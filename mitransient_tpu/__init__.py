@@ -1,0 +1,24 @@
+"""mitransient_tpu — TPU-native transient light-transport rendering.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+`diegoroyo/mitransient` (transient + NLOS differentiable rendering on top of
+Mitsuba 3), built TPU-first: dense wavefront path tracing under ``jit``,
+SoA scene pytrees, counter-based RNG, scatter-add transient films, PRB-style
+two-sweep differentiation, and ``shard_map`` scaling over device meshes.
+
+Unlike the reference (which refuses to import without a Mitsuba variant set,
+reference __init__.py:3-13), variants here are plain values — see
+``set_variant`` / ``variant`` — defaulting to ``rgb``.
+"""
+from . import nlos, vis  # noqa: F401
+from .core.spectrum import (  # noqa: F401
+    is_monochromatic,
+    is_polarized,
+    is_rgb,
+    set_variant,
+    variant,
+)
+from .render import render  # noqa: F401
+from .scene.schema import Scene, load_dict, traverse  # noqa: F401
+from .utils import cornell_box, speed_of_light  # noqa: F401
+from .version import __version__  # noqa: F401

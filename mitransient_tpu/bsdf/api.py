@@ -1,0 +1,284 @@
+"""BSDF evaluation/sampling over the compiled BSDF table.
+
+TPU-native replacement for Mitsuba's virtual ``bsdf.sample/eval/eval_pdf``
+dispatch (/root/reference/mitransient/integrators/transientpath.py:208-227).
+Instead of per-lane virtual calls, every BSDF *kind* is evaluated densely for
+all lanes and the result selected by the per-lane kind code — branchless VPU
+work, which beats masked divergent execution for the small kind count (5)
+found in the reference's scene corpus.
+
+Conventions (matching Mitsuba):
+* directions are in the local shading frame, +z = normal, pointing away from
+  the surface; ``wi`` is toward the viewer.
+* ``eval``/``eval_pdf`` return f * |cos_theta_o| and exclude delta lobes.
+* ``sample`` returns weight = f * |cos| / pdf (delta lobes: weight = F).
+* two-sided BSDFs mirror the frame when ``wi.z < 0``
+  (Mitsuba ``twosided`` wrapper).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math import safe_div, safe_rcp, safe_sqrt
+from ..core.records import BSDFSample
+from ..core.warp import (
+    square_to_cosine_hemisphere,
+    square_to_cosine_hemisphere_pdf,
+)
+from ..scene.scene import (
+    BSDF_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_DIFFUSE,
+    BSDF_NULL,
+    BSDF_ROUGH_CONDUCTOR,
+    BSDFParams,
+)
+from .fresnel import fresnel_conductor, fresnel_dielectric
+
+
+class LaneBSDF(NamedTuple):
+    """Per-lane gathered BSDF parameters."""
+
+    kind: jnp.ndarray  # (N,) int32
+    two_sided: jnp.ndarray  # (N,) bool
+    reflectance: jnp.ndarray  # (N, C)
+    eta_re: jnp.ndarray
+    eta_im: jnp.ndarray
+    alpha: jnp.ndarray  # (N,)
+    eta_ratio: jnp.ndarray  # (N,)
+
+
+def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
+    i = jnp.maximum(bsdf_id, 0)
+    return LaneBSDF(
+        kind=jnp.where(bsdf_id >= 0, bp.kind[i], -1),
+        two_sided=bp.two_sided[i],
+        reflectance=bp.reflectance[i],
+        eta_re=bp.eta_re[i],
+        eta_im=bp.eta_im[i],
+        alpha=bp.alpha[i],
+        eta_ratio=bp.eta_ratio[i],
+    )
+
+
+def is_smooth(lb: LaneBSDF) -> jnp.ndarray:
+    """Lanes whose BSDF has a non-delta component (NEE applies);
+    mi.BSDFFlags.Smooth check at transientpath.py:188-189."""
+    return (lb.kind == BSDF_DIFFUSE) | (lb.kind == BSDF_ROUGH_CONDUCTOR)
+
+
+def is_null(lb: LaneBSDF) -> jnp.ndarray:
+    return lb.kind == BSDF_NULL
+
+
+def _maybe_flip(lb: LaneBSDF, wi: jnp.ndarray):
+    """Two-sided handling: flip z for lanes with wi below the surface."""
+    flip = lb.two_sided & (wi[..., 2] < 0.0)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    return sgn
+
+
+# --------------------------------------------------------------------------
+# GGX microfacet helpers (isotropic, Smith separable, visible-normal sampling)
+# --------------------------------------------------------------------------
+
+def _ggx_ndf(m: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    a2 = alpha * alpha
+    cz = jnp.maximum(m[..., 2], 0.0)
+    denom = cz * cz * (a2 - 1.0) + 1.0
+    return safe_div(a2, jnp.pi * denom * denom) * (cz > 0.0)
+
+
+def _ggx_g1(v: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    cz = v[..., 2]
+    t2 = safe_div(1.0 - cz * cz, cz * cz)
+    return safe_div(2.0, 1.0 + jnp.sqrt(1.0 + alpha * alpha * t2))
+
+
+def _ggx_sample_vndf(wi: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray):
+    """Heitz 2018 visible-normal sampling; wi must have wi.z > 0."""
+    a = alpha[..., None]
+    vh = jnp.stack(
+        [a[..., 0] * wi[..., 0], a[..., 0] * wi[..., 1], wi[..., 2]], axis=-1
+    )
+    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-12)
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv_len = safe_rcp(jnp.sqrt(jnp.maximum(lensq, 1e-20)))
+    t1 = jnp.where(
+        (lensq > 1e-12)[..., None],
+        jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
+                   jnp.zeros_like(inv_len)], axis=-1),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), vh.shape),
+    )
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(jnp.maximum(u[..., 0], 0.0))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    m = jnp.stack(
+        [a[..., 0] * nh[..., 0], a[..., 0] * nh[..., 1],
+         jnp.maximum(nh[..., 2], 1e-6)], axis=-1
+    )
+    return m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+
+
+def _reflect(wi: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(wi * m, axis=-1, keepdims=True) * m - wi
+
+
+# --------------------------------------------------------------------------
+# eval_pdf: smooth lobes only (diffuse + rough conductor)
+# --------------------------------------------------------------------------
+
+def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
+             active: jnp.ndarray):
+    """Returns (f*cos (N, C), pdf (N,)) for the smooth component."""
+    sgn = _maybe_flip(lb, wi)
+    wi_l = wi * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
+    wo_l = wo * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
+    ci = wi_l[..., 2]
+    co = wo_l[..., 2]
+    both_up = (ci > 0.0) & (co > 0.0)
+
+    # diffuse
+    f_diff = lb.reflectance * (co / jnp.pi)[..., None]
+    pdf_diff = square_to_cosine_hemisphere_pdf(wo_l)
+
+    # rough conductor
+    m = wi_l + wo_l
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    d_ndf = _ggx_ndf(m, lb.alpha)
+    g = _ggx_g1(wi_l, lb.alpha) * _ggx_g1(wo_l, lb.alpha)
+    F = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
+    f_rough = lb.reflectance * F * safe_div(d_ndf * g, 4.0 * ci)[..., None]
+    pdf_rough = safe_div(
+        _ggx_g1(wi_l, lb.alpha) * d_ndf, 4.0 * ci
+    )  # VNDF pdf in wo measure: G1 * D * (wi.m) / wi.z / (4 wi.m)
+
+    is_diff = lb.kind == BSDF_DIFFUSE
+    is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
+    ok = active & both_up
+    f = jnp.where(
+        (ok & is_diff)[..., None], f_diff,
+        jnp.where((ok & is_rough)[..., None], f_rough, 0.0),
+    )
+    pdf = jnp.where(
+        ok & is_diff, pdf_diff, jnp.where(ok & is_rough, pdf_rough, 0.0)
+    )
+    return f, pdf
+
+
+# --------------------------------------------------------------------------
+# sample
+# --------------------------------------------------------------------------
+
+def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
+           active: jnp.ndarray) -> BSDFSample:
+    n = wi.shape[0]
+    C = lb.reflectance.shape[-1]
+    sgn = _maybe_flip(lb, wi)
+    wi_l = wi * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
+    ci = wi_l[..., 2]
+    up = ci > 0.0
+
+    # ---- diffuse: cosine hemisphere -------------------------------------
+    wo_diff = square_to_cosine_hemisphere(u2)
+    pdf_diff = square_to_cosine_hemisphere_pdf(wo_diff)
+    w_diff = jnp.broadcast_to(lb.reflectance, (n, C))
+
+    # ---- smooth conductor: mirror ---------------------------------------
+    wo_mirr = jnp.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]], axis=-1)
+    F_cond = jnp.where(
+        (lb.eta_im > 0.0) | (lb.eta_re > 0.0),
+        fresnel_conductor(ci, lb.eta_re, lb.eta_im),
+        1.0,
+    )
+    w_mirr = lb.reflectance * F_cond
+
+    # ---- rough conductor: VNDF ------------------------------------------
+    m = _ggx_sample_vndf(wi_l, lb.alpha, u2)
+    wo_rough = _reflect(wi_l, m)
+    co_r = wo_rough[..., 2]
+    d_ndf = _ggx_ndf(m, lb.alpha)
+    g1_i = _ggx_g1(wi_l, lb.alpha)
+    pdf_rough = safe_div(g1_i * d_ndf, 4.0 * ci)
+    F_r = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
+    # weight = f*cos/pdf = F * G2/G1(wi)
+    g2 = g1_i * _ggx_g1(wo_rough, lb.alpha)
+    w_rough = lb.reflectance * F_r * safe_div(g2, g1_i)[..., None]
+    rough_ok = (co_r > 0.0) & (pdf_rough > 0.0)
+    w_rough = jnp.where(rough_ok[..., None], w_rough, 0.0)
+
+    # ---- dielectric: Fresnel-weighted reflect/refract --------------------
+    ci_signed = wi[..., 2]  # dielectric is intrinsically two-sided, use true z
+    Fd, cos_t, eta_it, eta_ti = fresnel_dielectric(ci_signed, lb.eta_ratio)
+    refl = u1 < Fd
+    wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+    wo_refr = jnp.stack(
+        [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], axis=-1
+    )
+    wo_diel = jnp.where(refl[..., None], wo_refl, wo_refr)
+    # transmission carries radiance scale 1/eta_it^2 (solid-angle compression)
+    w_diel = jnp.where(
+        refl[..., None],
+        jnp.ones((n, C)),
+        (eta_ti * eta_ti)[..., None] * jnp.ones((n, C)),
+    )
+    eta_diel = jnp.where(refl, 1.0, eta_it)
+    pdf_diel = jnp.where(refl, Fd, 1.0 - Fd)
+
+    # ---- null: pass-through ----------------------------------------------
+    wo_null = -wi
+    w_null = jnp.ones((n, C))
+
+    is_diff = lb.kind == BSDF_DIFFUSE
+    is_mirr = lb.kind == BSDF_CONDUCTOR
+    is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
+    is_diel = lb.kind == BSDF_DIELECTRIC
+    is_nullk = lb.kind == BSDF_NULL
+
+    need_up = is_diff | is_mirr | is_rough
+    lane_ok = active & (~need_up | up)
+
+    def sel(vals, default):
+        out = default
+        for mask, v in vals:
+            out = jnp.where(mask[..., None] if out.ndim == 2 else mask, v, out)
+        return out
+
+    wo_l = sel(
+        [(is_diff, wo_diff), (is_mirr, wo_mirr), (is_rough, wo_rough),
+         (is_diel, wo_diel), (is_nullk, wo_null)],
+        jnp.zeros((n, 3)),
+    )
+    weight = sel(
+        [(is_diff, w_diff), (is_mirr, w_mirr), (is_rough, w_rough),
+         (is_diel, w_diel), (is_nullk, w_null)],
+        jnp.zeros((n, C)),
+    )
+    pdf = sel(
+        [(is_diff, pdf_diff), (is_mirr, jnp.ones(n)), (is_rough, pdf_rough),
+         (is_diel, pdf_diel), (is_nullk, jnp.ones(n))],
+        jnp.zeros(n),
+    )
+    eta = sel([(is_diel, eta_diel)], jnp.ones(n))
+    delta = is_mirr | is_diel | is_nullk
+
+    ok = lane_ok & (pdf > 0.0) & jnp.any(weight != 0.0, axis=-1)
+    weight = jnp.where(ok[..., None], weight, 0.0)
+
+    # un-flip wo for two-sided lanes (dielectric/null already in true frame)
+    flip_back = sgn
+    needs_unflip = is_diff | is_mirr | is_rough
+    z_sgn = jnp.where(needs_unflip, flip_back, 1.0)
+    wo = wo_l * jnp.stack(
+        [jnp.ones_like(z_sgn), jnp.ones_like(z_sgn), z_sgn], axis=-1
+    )
+    return BSDFSample(wo=wo, pdf=jnp.where(ok, pdf, 0.0), eta=eta,
+                      delta=delta, weight=weight)

@@ -1,0 +1,155 @@
+"""Mueller / Stokes polarization algebra (SoA jnp).
+
+TPU-native equivalent of the ``mi.mueller`` routines consumed by the
+reference: ``stokes_basis`` / ``rotate_stokes_basis`` for the sensor-aligned
+throughput init (/root/reference/mitransient/utils.py:9-21) and the implicit
+``si.to_world_mueller`` frame rotations around every BSDF evaluation
+(/root/reference/mitransient/integrators/transientpath.py:210,227).
+
+Conventions follow Mitsuba 3: Stokes vectors are expressed w.r.t. a basis
+vector perpendicular to the propagation direction ``w``; Mueller matrices act
+on Stokes vectors from the left.  A polarized Spectrum here has shape
+``(..., 4, 4, C)`` (see core/spectrum.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .math import cross, dot, normalize
+from .frame import coordinate_system
+
+
+def stokes_basis(w: jnp.ndarray) -> jnp.ndarray:
+    """Canonical basis vector perpendicular to propagation direction ``w``."""
+    s, _t = coordinate_system(normalize(w))
+    return s
+
+
+def _rotator(theta: jnp.ndarray) -> jnp.ndarray:
+    """Mueller rotator matrix R(theta) of shape (..., 4, 4)."""
+    c = jnp.cos(2.0 * theta)
+    s = jnp.sin(2.0 * theta)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    rows = [
+        jnp.stack([o, z, z, z], axis=-1),
+        jnp.stack([z, c, s, z], axis=-1),
+        jnp.stack([z, -s, c, z], axis=-1),
+        jnp.stack([z, z, z, o], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def unit_angle(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Numerically stable angle between unit vectors."""
+    dot_ab = jnp.clip(dot(a, b), -1.0, 1.0)
+    return jnp.arccos(dot_ab)
+
+
+def rotate_stokes_basis(
+    w: jnp.ndarray, basis_current: jnp.ndarray, basis_target: jnp.ndarray
+) -> jnp.ndarray:
+    """Mueller rotator re-expressing Stokes vectors from ``basis_current`` to
+    ``basis_target`` (both perpendicular to propagation ``w``).
+    Returns shape ``(..., 4, 4)``."""
+    theta = unit_angle(normalize(basis_current), normalize(basis_target))
+    # sign of rotation from the orientation relative to w
+    s = jnp.sign(dot(w, cross(basis_current, basis_target)))
+    theta = theta * jnp.where(s == 0.0, 1.0, s)
+    return _rotator(theta)
+
+
+def rotate_mueller_basis(
+    M: jnp.ndarray,
+    in_w: jnp.ndarray,
+    in_basis_current: jnp.ndarray,
+    in_basis_target: jnp.ndarray,
+    out_w: jnp.ndarray,
+    out_basis_current: jnp.ndarray,
+    out_basis_target: jnp.ndarray,
+) -> jnp.ndarray:
+    """Express Mueller matrix ``M`` (shape (..., 4, 4)) defined w.r.t. the
+    'current' input/output bases in the 'target' bases:
+    ``R_out @ M @ R_in^-1`` where R rotates current->target."""
+    r_in = rotate_stokes_basis(in_w, in_basis_current, in_basis_target)
+    r_out = rotate_stokes_basis(out_w, out_basis_current, out_basis_target)
+    # inverse of a rotator is its transpose
+    r_in_inv = jnp.swapaxes(r_in, -1, -2)
+    return r_out @ M @ r_in_inv
+
+
+def linear_polarizer(transmission: jnp.ndarray) -> jnp.ndarray:
+    t = transmission
+    z = jnp.zeros_like(t)
+    h = 0.5 * t
+    rows = [
+        jnp.stack([h, h, z, z], axis=-1),
+        jnp.stack([h, h, z, z], axis=-1),
+        jnp.stack([z, z, z, z], axis=-1),
+        jnp.stack([z, z, z, z], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def specular_reflection_mueller(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
+                                eta_im: jnp.ndarray) -> jnp.ndarray:
+    """Mueller matrix for specular reflection off a (possibly complex-IOR)
+    surface — the polarized Fresnel used by conductor/GGX BSDFs (the gold 'Au'
+    wall in /root/reference/examples/polarization scenes).
+
+    Returns shape ``(..., 4, 4)`` in the s/p basis.  Implements the standard
+    Fresnel equations for complex eta = eta_re + i*eta_im.
+    """
+    ci = jnp.clip(jnp.abs(cos_theta_i), 1e-6, 1.0)
+    si2 = 1.0 - ci * ci
+    eta2_re = eta_re * eta_re - eta_im * eta_im
+    eta2_im = 2.0 * eta_re * eta_im
+    # t = eta^2 - sin^2(theta), complex sqrt
+    t_re = eta2_re - si2
+    t_im = eta2_im
+    mag = jnp.sqrt(t_re * t_re + t_im * t_im)
+    ct_re = jnp.sqrt(jnp.maximum((mag + t_re) * 0.5, 0.0))
+    ct_im = jnp.sign(t_im + 1e-30) * jnp.sqrt(jnp.maximum((mag - t_re) * 0.5, 0.0))
+    # r_s = (ci - ct)/(ci + ct); r_p = (eta^2 ci - ct)/(eta^2 ci + ct)
+    def cdiv(ar, ai, br, bi):
+        d = br * br + bi * bi
+        return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+    rs_re, rs_im = cdiv(ci - ct_re, -ct_im, ci + ct_re, ct_im)
+    a_re, a_im = eta2_re * ci, eta2_im * ci
+    rp_re, rp_im = cdiv(a_re - ct_re, a_im - ct_im, a_re + ct_re, a_im + ct_im)
+    Rs = rs_re * rs_re + rs_im * rs_im
+    Rp = rp_re * rp_re + rp_im * rp_im
+    # relative phase
+    cr = rs_re * rp_re + rs_im * rp_im
+    cri = rs_im * rp_re - rs_re * rp_im
+    amp = jnp.sqrt(jnp.maximum(Rs * Rp, 0.0))
+    denom = jnp.sqrt(cr * cr + cri * cri) + 1e-30
+    cos_d = cr / denom
+    sin_d = cri / denom
+    A = 0.5 * (Rs + Rp)
+    B = 0.5 * (Rs - Rp)
+    C = amp * cos_d
+    S = amp * sin_d
+    z = jnp.zeros_like(A)
+    rows = [
+        jnp.stack([A, B, z, z], axis=-1),
+        jnp.stack([B, A, z, z], axis=-1),
+        jnp.stack([z, z, C, S], axis=-1),
+        jnp.stack([z, z, -S, C], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def depolarizer(value: jnp.ndarray) -> jnp.ndarray:
+    """Ideal depolarizer Mueller matrix scaled by ``value`` (...,):
+    only M[0,0] nonzero.  Used to lift unpolarized BSDF values (diffuse) into
+    polarized mode, as Mitsuba does."""
+    z = jnp.zeros_like(value)
+    rows = [
+        jnp.stack([value, z, z, z], axis=-1),
+        jnp.stack([z, z, z, z], axis=-1),
+        jnp.stack([z, z, z, z], axis=-1),
+        jnp.stack([z, z, z, z], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)

@@ -1,0 +1,701 @@
+"""Scene description: dict schema -> compiled SceneData.
+
+TPU-native replacement for ``mi.load_dict`` + the Mitsuba plugin registry +
+``mi.traverse`` parameter system (SURVEY.md section 2.2 'Scene description'
+and 'Parameter traversal').  The accepted dict schema intentionally matches
+the reference's scene dicts (e.g. /root/reference/mitransient/utils.py:78-220
+cornell_box, /root/reference/tests/integration/test_nlos.py:13-80) so scenes
+written for mitransient port with minimal edits.
+
+Compilation strategy: all host-side parsing happens once; the output is
+(a) a :class:`SceneData` pytree of flat jnp arrays for the device and
+(b) a parameter registry mapping Mitsuba-style string paths
+    ('white.reflectance.value', 'light.emitter.radiance.value', ...) to
+    leaves of that pytree, enabling ``traverse``-style read/write and
+    ``jax.grad`` w.r.t. selected parameters.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spectrum import Variant, variant
+from ..core.transform import Transform4, from_spec
+from .scene import (
+    BSDF_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_DIFFUSE,
+    BSDF_NULL,
+    BSDF_ROUGH_CONDUCTOR,
+    EM_ANGULAR_AREA,
+    EM_AREA,
+    EM_POINT,
+    EM_PROJECTOR,
+    BSDFParams,
+    EmitterParams,
+    SceneData,
+    Triangles,
+)
+from .shapes import SHAPE_REGISTRY, Shape
+
+RGB_TO_LUMA = np.array([0.212671, 0.715160, 0.072169])
+
+
+def parse_color(spec: Any, channels: int) -> np.ndarray:
+    """Parse an rgb/float/texture-ish spectrum value to (C,)."""
+    if isinstance(spec, dict):
+        t = spec.get("type")
+        if t in ("rgb", "srgb"):
+            v = np.asarray(spec.get("value", 1.0), np.float64)
+        elif t in ("spectrum", "uniform", "d65"):
+            v = np.asarray(spec.get("value", 1.0), np.float64)
+        else:
+            raise ValueError(f"unsupported spectrum type {t!r}")
+    else:
+        v = np.asarray(spec, np.float64)
+    if v.ndim == 0:
+        v = np.full((3,), float(v))
+    if channels == 1:
+        if v.shape[-1] == 3:
+            v = np.array([float(RGB_TO_LUMA @ v)])
+        else:
+            v = v[:1]
+    elif channels == 3 and v.shape[-1] == 1:
+        v = np.repeat(v, 3)
+    return v.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Static configs
+# --------------------------------------------------------------------------
+
+class FilmConfig(NamedTuple):
+    width: int = 256
+    height: int = 256
+    temporal_bins: int = 2048  # default of transient_hdr_film.py:116
+    start_opl: float = 0.0
+    bin_width_opl: float = 0.003
+    exhaustive_scan: bool = False
+    laser_scan_width: int = 0
+    laser_scan_height: int = 0
+
+    @property
+    def end_opl(self) -> float:
+        return self.start_opl + self.bin_width_opl * self.temporal_bins
+
+
+class IntegratorConfig(NamedTuple):
+    kind: str = "transient_path"
+    max_depth: int = 6  # reference default (transientpath.py docstring)
+    rr_depth: int = 5
+    camera_unwarp: bool = False
+    discard_direct_light: bool = False
+    temporal_filter: str = ""
+    gaussian_stddev: float = 2.0
+    # transient_nlos_path extras (transientnlospath.py:201-249)
+    capture_type: str = "single"  # single | confocal | exhaustive
+    filter_depth: int = -1
+    filter_bounces: int = -1
+    discard_direct_paths: bool = False
+    nlos_laser_sampling: bool = False
+    nlos_hidden_geometry_sampling: bool = False
+    nlos_hidden_geometry_sampling_do_rroulette: bool = False
+    nlos_hidden_geometry_sampling_includes_relay_wall: bool = True
+    account_first_and_last_bounces: bool = True
+    # transient_prbvolpath extras
+    hide_emitters: bool = False
+
+
+class SensorConfig(NamedTuple):
+    kind: str  # 'perspective' | 'nlos_capture_meter'
+    to_world: Any  # Transform4 (host)
+    fov: float
+    fov_axis: str
+    near_clip: float
+    spp: int
+    seed: int
+    film: FilmConfig
+    # nlos_capture_meter extras (nloscapturemeter.py:87-125)
+    sensor_origin: Any = None  # (3,) np
+    shape_index: int = -1  # shape the meter is attached to
+    original_film_width: int | None = None
+    original_film_height: int | None = None
+
+    @property
+    def is_confocal(self) -> bool:
+        return (
+            self.original_film_width is not None
+            and self.original_film_height is not None
+        )
+
+    @property
+    def scan_size(self):
+        """Scan grid (may differ from film size in confocal mode)."""
+        if self.is_confocal:
+            return (self.original_film_width, self.original_film_height)
+        return (self.film.width, self.film.height)
+
+
+MAX_DEPTH_CAP = 32  # static bound substituted for max_depth = -1 (infinity)
+
+
+def _parse_film(d: dict) -> FilmConfig:
+    return FilmConfig(
+        width=int(d.get("width", 256)),
+        height=int(d.get("height", 256)),
+        temporal_bins=int(d.get("temporal_bins", 2048)),
+        start_opl=float(d.get("start_opl", 0.0)),
+        bin_width_opl=float(d.get("bin_width_opl", 0.003)),
+        exhaustive_scan=bool(d.get("exhaustive_scan", False)),
+        laser_scan_width=int(d.get("laser_scan_width", 0)),
+        laser_scan_height=int(d.get("laser_scan_height", 0)),
+    )
+
+
+def _parse_integrator(d: dict) -> IntegratorConfig:
+    md = int(d.get("max_depth", 6))
+    if md < 0:
+        md = MAX_DEPTH_CAP
+    return IntegratorConfig(
+        kind=d.get("type", "transient_path"),
+        max_depth=md,
+        rr_depth=int(d.get("rr_depth", 5)),
+        camera_unwarp=bool(d.get("camera_unwarp", False)),
+        discard_direct_light=bool(d.get("discard_direct_light", False)),
+        temporal_filter=d.get("temporal_filter", ""),
+        gaussian_stddev=float(d.get("gaussian_stddev", 2.0)),
+        capture_type=str(d.get("capture_type", "single")).lower(),
+        filter_depth=int(d.get("filter_depth", -1)),
+        filter_bounces=int(d.get("filter_bounces", -1)),
+        discard_direct_paths=bool(d.get("discard_direct_paths", False)),
+        nlos_laser_sampling=bool(d.get("nlos_laser_sampling", False)),
+        nlos_hidden_geometry_sampling=bool(
+            d.get("nlos_hidden_geometry_sampling", False)
+        ),
+        nlos_hidden_geometry_sampling_do_rroulette=bool(
+            d.get("nlos_hidden_geometry_sampling_do_rroulette", False)
+        ),
+        nlos_hidden_geometry_sampling_includes_relay_wall=bool(
+            d.get("nlos_hidden_geometry_sampling_includes_relay_wall", True)
+        ),
+        account_first_and_last_bounces=bool(
+            d.get("account_first_and_last_bounces", True)
+        ),
+        hide_emitters=bool(d.get("hide_emitters", False)),
+    )
+
+
+class _BSDFEntry(NamedTuple):
+    key: str
+    kind: int
+    two_sided: bool
+    reflectance: np.ndarray
+    eta_re: np.ndarray
+    eta_im: np.ndarray
+    alpha: float
+    eta_ratio: float
+
+
+# A small complex-IOR table (550nm-ish) for named conductor materials.
+CONDUCTOR_IOR = {
+    "Au": (np.array([0.1431, 0.3749, 1.4424]), np.array([3.9831, 2.3857, 1.6032])),
+    "Ag": (np.array([0.1553, 0.1163, 0.1380]), np.array([4.8283, 3.1222, 2.1457])),
+    "Al": (np.array([1.3404, 0.9511, 0.6852]), np.array([7.3509, 6.4542, 5.6351])),
+    "Cu": (np.array([0.2004, 0.9240, 1.1022]), np.array([3.9129, 2.4528, 2.1421])),
+    "none": (np.zeros(3), np.zeros(3)),
+}
+
+
+def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
+    t = d.get("type", "diffuse")
+    two_sided = False
+    if t == "twosided":
+        two_sided = True
+        inner = d.get("bsdf") or next(
+            (v for v in d.values() if isinstance(v, dict) and "type" in v), None
+        )
+        d = inner
+        t = d.get("type", "diffuse")
+
+    refl = parse_color(d.get("reflectance", d.get("specular_reflectance", 1.0)),
+                       channels)
+    eta_re = np.zeros(channels, np.float32)
+    eta_im = np.zeros(channels, np.float32)
+    alpha = 0.0
+    eta_ratio = 1.5046
+
+    if t == "diffuse":
+        kind = BSDF_DIFFUSE
+        two_sided = two_sided  # mitsuba diffuse is one-sided unless wrapped
+    elif t in ("conductor", "mirror"):
+        kind = BSDF_CONDUCTOR
+        mat = d.get("material", "none")
+        er, ei = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["none"])
+        eta_re = parse_color(d.get("eta", list(er)), channels)
+        eta_im = parse_color(d.get("k", list(ei)), channels)
+    elif t == "roughconductor":
+        kind = BSDF_ROUGH_CONDUCTOR
+        mat = d.get("material", "Au")
+        er, ei = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["Au"])
+        eta_re = parse_color(d.get("eta", list(er)), channels)
+        eta_im = parse_color(d.get("k", list(ei)), channels)
+        alpha = float(d.get("alpha", 0.1))
+    elif t in ("dielectric", "thindielectric"):
+        kind = BSDF_DIELECTRIC
+        int_ior = float(d.get("int_ior", 1.5046)) if not isinstance(
+            d.get("int_ior"), str) else 1.5046
+        ext_ior = float(d.get("ext_ior", 1.000277)) if not isinstance(
+            d.get("ext_ior"), str) else 1.000277
+        eta_ratio = int_ior / ext_ior
+    elif t == "null":
+        kind = BSDF_NULL
+    else:
+        raise ValueError(f"unsupported bsdf type {t!r} (key {key!r})")
+    return _BSDFEntry(key, kind, two_sided, refl, eta_re, eta_im, alpha, eta_ratio)
+
+
+class _EmitterEntry(NamedTuple):
+    key: str
+    kind: int
+    radiance: np.ndarray
+    to_world: Transform4
+    fov: float
+    cutoff_angle: float
+    beam_width: float
+    shape_index: int  # -1 for delta emitters
+
+
+class Scene:
+    """Loaded scene: host-side object model + compiled device pytree.
+
+    Mirrors the user surface of ``mi.load_dict`` -> ``mi.render`` plus
+    ``mi.traverse`` (see module docstring).
+    """
+
+    def __init__(self, desc: dict, base_dir: str = "."):
+        self.variant: Variant = variant()
+        C = self.variant.color_channels
+        self.integrator = IntegratorConfig()
+        self.sensors: list[SensorConfig] = []
+        self.shapes: list[Shape] = []
+        self._bsdfs: list[_BSDFEntry] = []
+        self._bsdf_index: dict[str, int] = {}
+        self._emitters: list[_EmitterEntry] = []
+        self._shape_keys: list[str] = []
+        self._param_paths: dict[str, tuple[str, int]] = {}
+        self.base_dir = base_dir
+
+        sensor_dicts: list[tuple[dict, int]] = []  # (sensor dict, shape idx)
+
+        def add_bsdf(key: str, d: dict) -> int:
+            if d.get("type") == "ref":
+                ref = d["id"]
+                if ref not in self._bsdf_index:
+                    raise KeyError(f"bsdf ref {ref!r} not found")
+                return self._bsdf_index[ref]
+            entry = _parse_bsdf(key, d, C)
+            idx = len(self._bsdfs)
+            self._bsdfs.append(entry)
+            self._bsdf_index[key] = idx
+            self._param_paths[f"{key}.reflectance.value"] = ("bsdf.reflectance", idx)
+            return idx
+
+        # Pass 1: collect named top-level BSDFs first so refs resolve.
+        items = [(k, v) for k, v in desc.items() if k != "type"]
+        for key, val in items:
+            if isinstance(val, dict) and val.get("type") in (
+                "diffuse", "conductor", "mirror", "roughconductor",
+                "dielectric", "thindielectric", "null", "twosided",
+            ):
+                add_bsdf(key, val)
+
+        for key, val in items:
+            if not isinstance(val, dict):
+                continue
+            t = val.get("type")
+            if t == "scene":
+                continue
+            if t in SHAPE_REGISTRY:
+                shape_idx = len(self.shapes)
+                props = dict(val)
+                props["id"] = key
+                props["_base_dir"] = base_dir
+                shape = SHAPE_REGISTRY[t](props)
+                # children: bsdf / emitter / sensor
+                bsdf_idx = None
+                for ck, cv in val.items():
+                    if not isinstance(cv, dict):
+                        continue
+                    ct = cv.get("type")
+                    if ct in ("ref",) or ct in (
+                        "diffuse", "conductor", "mirror", "roughconductor",
+                        "dielectric", "thindielectric", "null", "twosided",
+                    ):
+                        bsdf_idx = add_bsdf(f"{key}.{ck}", cv)
+                    elif ct in ("area", "angulararea"):
+                        em_idx = len(self._emitters)
+                        kind = EM_AREA if ct == "area" else EM_ANGULAR_AREA
+                        self._emitters.append(
+                            _EmitterEntry(
+                                key=f"{key}.{ck}",
+                                kind=kind,
+                                radiance=parse_color(cv.get("radiance", 1.0), C),
+                                to_world=from_spec(cv.get("to_world")),
+                                fov=0.0,
+                                cutoff_angle=float(cv.get("cutoff_angle", 20.0)),
+                                beam_width=float(
+                                    cv.get("beam_width",
+                                           float(cv.get("cutoff_angle", 20.0)) * 0.75)
+                                ),
+                                shape_index=shape_idx,
+                            )
+                        )
+                        self._param_paths[f"{key}.{ck}.radiance.value"] = (
+                            "emitter.radiance", em_idx)
+                        shape.emitter_key = em_idx
+                    elif ct in ("nlos_capture_meter", "perspective", "irradiancemeter"):
+                        sensor_dicts.append((cv, shape_idx))
+                if bsdf_idx is None:
+                    bsdf_idx = add_bsdf(f"{key}.__default", {"type": "diffuse"})
+                shape.bsdf_key = bsdf_idx
+                self.shapes.append(shape)
+                self._shape_keys.append(key)
+            elif t in ("projector", "point", "spot"):
+                em_idx = len(self._emitters)
+                kind = EM_PROJECTOR if t == "projector" else EM_POINT
+                rad_key = "irradiance" if t == "projector" else "intensity"
+                self._emitters.append(
+                    _EmitterEntry(
+                        key=key,
+                        kind=kind,
+                        radiance=parse_color(val.get(rad_key, 1.0), C),
+                        to_world=from_spec(val.get("to_world")),
+                        fov=float(val.get("fov", 45.0)),
+                        cutoff_angle=float(val.get("cutoff_angle", 20.0)),
+                        beam_width=float(val.get("beam_width", 15.0)),
+                        shape_index=-1,
+                    )
+                )
+                self._param_paths[f"{key}.{rad_key}.value"] = (
+                    "emitter.radiance", em_idx)
+                self._param_paths[f"{key}.to_world"] = ("emitter.to_world", em_idx)
+            elif t in ("perspective", "thinlens"):
+                sensor_dicts.append((val, -1))
+            elif t and (t in SHAPE_REGISTRY or False):
+                pass
+            elif t in (
+                "diffuse", "conductor", "mirror", "roughconductor",
+                "dielectric", "thindielectric", "null", "twosided",
+            ):
+                pass  # handled in pass 1
+            elif t in ("transient_path", "transient_nlos_path",
+                       "transient_prbvolpath", "path"):
+                self.integrator = _parse_integrator(val)
+            else:
+                raise ValueError(f"unknown scene entry {key!r} of type {t!r}")
+
+        # Sensors
+        for sdict, shape_idx in sensor_dicts:
+            st = sdict.get("type")
+            film = _parse_film(sdict.get("film", {}))
+            sampler = sdict.get("sampler", {})
+            if st == "perspective":
+                self.sensors.append(
+                    SensorConfig(
+                        kind="perspective",
+                        to_world=from_spec(sdict.get("to_world")),
+                        fov=float(sdict.get("fov", 45.0)),
+                        fov_axis=sdict.get("fov_axis", "x"),
+                        near_clip=float(sdict.get("near_clip", 1e-2)),
+                        spp=int(sampler.get("sample_count", 4)),
+                        seed=int(sampler.get("seed", 0)),
+                        film=film,
+                    )
+                )
+            elif st == "nlos_capture_meter":
+                self.sensors.append(
+                    SensorConfig(
+                        kind="nlos_capture_meter",
+                        to_world=Transform4(),
+                        fov=0.0,
+                        fov_axis="x",
+                        near_clip=0.0,
+                        spp=int(sampler.get("sample_count", 4)),
+                        seed=int(sampler.get("seed", 0)),
+                        film=film,
+                        sensor_origin=np.asarray(
+                            sdict.get("sensor_origin", [0, 0, 0]), np.float64
+                        ),
+                        shape_index=shape_idx,
+                        original_film_width=sdict.get("original_film_width"),
+                        original_film_height=sdict.get("original_film_height"),
+                    )
+                )
+            else:
+                raise ValueError(f"unsupported sensor type {st!r}")
+
+        if not self.sensors:
+            raise ValueError("scene has no sensor")
+
+        # NLOS bookkeeping: laser focus state (updated by mitransient_tpu.nlos)
+        self.laser_target = np.zeros(3)
+        self.laser_bounce_opl = 0.0
+
+        self._compile()
+
+    # ------------------------------------------------------------------
+    def _compile(self):
+        C = self.variant.color_channels
+        # Triangle soup
+        tri_v0, tri_v1, tri_v2 = [], [], []
+        tri_uv0, tri_uv1, tri_uv2 = [], [], []
+        tri_shape, tri_bsdf, tri_em = [], [], []
+        self.shape_tri_ranges: list[tuple[int, int]] = []
+        count = 0
+        for si_, shape in enumerate(self.shapes):
+            td = shape.triangles()
+            m = td.count
+            self.shape_tri_ranges.append((count, m))
+            count += m
+            tri_v0.append(td.v0)
+            tri_v1.append(td.v1)
+            tri_v2.append(td.v2)
+            tri_uv0.append(td.uv0)
+            tri_uv1.append(td.uv1)
+            tri_uv2.append(td.uv2)
+            tri_shape.append(np.full(m, si_, np.int32))
+            tri_bsdf.append(np.full(m, shape.bsdf_key, np.int32))
+            em = shape.emitter_key if shape.emitter_key is not None else -1
+            tri_em.append(np.full(m, em, np.int32))
+
+        if count == 0:
+            raise ValueError("scene has no geometry")
+        v0 = np.concatenate(tri_v0)
+        v1 = np.concatenate(tri_v1)
+        v2 = np.concatenate(tri_v2)
+        e1 = v1 - v0
+        e2 = v2 - v0
+        cr = np.cross(e1, e2)
+        area = 0.5 * np.linalg.norm(cr, axis=-1)
+        ng = cr / np.maximum(np.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+        uv0 = np.concatenate(tri_uv0)
+        uv1 = np.concatenate(tri_uv1)
+        uv2 = np.concatenate(tri_uv2)
+
+        tri = Triangles(
+            v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            ng=jnp.asarray(ng.astype(np.float32)),
+            uv0=jnp.asarray(uv0), uv_e1=jnp.asarray(uv1 - uv0),
+            uv_e2=jnp.asarray(uv2 - uv0),
+            area=jnp.asarray(area.astype(np.float32)),
+            shape_id=jnp.asarray(np.concatenate(tri_shape)),
+            bsdf_id=jnp.asarray(np.concatenate(tri_bsdf)),
+            emitter_id=jnp.asarray(np.concatenate(tri_em)),
+        )
+
+        # BSDF table
+        B = max(len(self._bsdfs), 1)
+        bsdf = BSDFParams(
+            kind=jnp.asarray(
+                np.array([b.kind for b in self._bsdfs] or [0], np.int32)),
+            two_sided=jnp.asarray(
+                np.array([b.two_sided for b in self._bsdfs] or [False])),
+            reflectance=jnp.asarray(
+                np.stack([b.reflectance for b in self._bsdfs]
+                         or [np.ones(C, np.float32)])),
+            eta_re=jnp.asarray(
+                np.stack([b.eta_re for b in self._bsdfs]
+                         or [np.zeros(C, np.float32)])),
+            eta_im=jnp.asarray(
+                np.stack([b.eta_im for b in self._bsdfs]
+                         or [np.zeros(C, np.float32)])),
+            alpha=jnp.asarray(
+                np.array([b.alpha for b in self._bsdfs] or [0.0], np.float32)),
+            eta_ratio=jnp.asarray(
+                np.array([b.eta_ratio for b in self._bsdfs] or [1.0],
+                         np.float32)),
+        )
+
+        # Emitter table
+        E = len(self._emitters)
+        em_kind = np.array([e.kind for e in self._emitters], np.int32).reshape(E)
+        em_rad = (
+            np.stack([e.radiance for e in self._emitters])
+            if E else np.zeros((0, C), np.float32)
+        )
+        em_pos = np.zeros((E, 3), np.float32)
+        em_dir = np.zeros((E, 3), np.float32)
+        em_fs = np.zeros((E, 3), np.float32)
+        em_ft = np.zeros((E, 3), np.float32)
+        em_thf = np.zeros(E, np.float32)
+        em_cb = np.zeros(E, np.float32)
+        em_cc = np.zeros(E, np.float32)
+        em_area = np.zeros(E, np.float32)
+        em_tri_start = np.zeros(E, np.int32)
+        em_tri_count = np.zeros(E, np.int32)
+        em_tri_idx_l: list[np.ndarray] = []
+        em_tri_cdf_l: list[np.ndarray] = []
+        k = 0
+        for i, e in enumerate(self._emitters):
+            R = e.to_world.m[:3, :3]
+            em_pos[i] = e.to_world.translation
+            em_dir[i] = R @ np.array([0, 0, 1.0])
+            em_fs[i] = R @ np.array([1.0, 0, 0])
+            em_ft[i] = R @ np.array([0, 1.0, 0])
+            em_thf[i] = np.tan(np.deg2rad(e.fov) / 2.0)
+            em_cb[i] = np.cos(np.deg2rad(e.beam_width))
+            em_cc[i] = np.cos(np.deg2rad(e.cutoff_angle))
+            if e.shape_index >= 0:
+                start, cnt = self.shape_tri_ranges[e.shape_index]
+                areas = area[start : start + cnt]
+                total = float(np.sum(areas))
+                em_area[i] = total
+                em_tri_start[i] = k
+                em_tri_count[i] = cnt
+                em_tri_idx_l.append(np.arange(start, start + cnt, dtype=np.int32))
+                em_tri_cdf_l.append(
+                    np.cumsum(areas / max(total, 1e-30)).astype(np.float32))
+                k += cnt
+        em_tri_idx = (
+            np.concatenate(em_tri_idx_l) if em_tri_idx_l
+            else np.zeros(1, np.int32)
+        )
+        em_tri_cdf = (
+            np.concatenate(em_tri_cdf_l) if em_tri_cdf_l
+            else np.ones(1, np.float32)
+        )
+
+        emitter = EmitterParams(
+            kind=jnp.asarray(em_kind),
+            radiance=jnp.asarray(em_rad.astype(np.float32)),
+            position=jnp.asarray(em_pos),
+            direction=jnp.asarray(em_dir),
+            frame_s=jnp.asarray(em_fs),
+            frame_t=jnp.asarray(em_ft),
+            tan_half_fov=jnp.asarray(em_thf),
+            cos_beam=jnp.asarray(em_cb),
+            cos_cutoff=jnp.asarray(em_cc),
+            area=jnp.asarray(em_area),
+            tri_start=jnp.asarray(em_tri_start),
+            tri_count=jnp.asarray(em_tri_count),
+            em_tri_idx=jnp.asarray(em_tri_idx),
+            em_tri_cdf=jnp.asarray(em_tri_cdf),
+        )
+
+        self.data = SceneData(tri=tri, bsdf=bsdf, emitter=emitter)
+
+    # ------------------------------------------------------------------
+    def emitter_index(self, key_or_idx) -> int:
+        if isinstance(key_or_idx, int):
+            return key_or_idx
+        for i, e in enumerate(self._emitters):
+            if e.key == key_or_idx or e.key.startswith(str(key_or_idx)):
+                return i
+        raise KeyError(key_or_idx)
+
+    def shape_index(self, key: str) -> int:
+        return self._shape_keys.index(key)
+
+    def replace_emitter_transform(self, em_idx: int, t: Transform4):
+        """Host-side update of a delta emitter's to_world (used by the NLOS
+        focus helpers, mirroring mitransient/nlos.py:17-24)."""
+        e = self._emitters[em_idx]
+        self._emitters[em_idx] = e._replace(to_world=t)
+        R = t.m[:3, :3]
+        em = self.data.emitter
+        self.data = self.data._replace(
+            emitter=em._replace(
+                position=em.position.at[em_idx].set(
+                    jnp.asarray(t.translation, jnp.float32)),
+                direction=em.direction.at[em_idx].set(
+                    jnp.asarray(R @ np.array([0, 0, 1.0]), jnp.float32)),
+                frame_s=em.frame_s.at[em_idx].set(
+                    jnp.asarray(R @ np.array([1.0, 0, 0]), jnp.float32)),
+                frame_t=em.frame_t.at[em_idx].set(
+                    jnp.asarray(R @ np.array([0, 1.0, 0]), jnp.float32)),
+            )
+        )
+
+
+def load_dict(desc: dict, base_dir: str = ".") -> Scene:
+    """Entry point mirroring ``mi.load_dict``."""
+    if desc.get("type") != "scene":
+        raise ValueError("top-level dict must have type='scene'")
+    return Scene(desc, base_dir=base_dir)
+
+
+# --------------------------------------------------------------------------
+# Parameter traversal (mi.traverse parity; nlos.py:18-32, docs)
+# --------------------------------------------------------------------------
+
+class ParamMap:
+    """String-path view over the differentiable leaves of ``scene.data``.
+
+    Usage parity with ``mi.traverse``::
+
+        params = traverse(scene)
+        params['white.reflectance.value'] = jnp.array([0.5, 0.5, 0.5])
+        params.update()
+
+    For gradient-based use, :meth:`apply` is the pure-functional form: it maps
+    a {path: value} dict onto a fresh SceneData without touching the scene.
+    """
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self._staged: dict[str, Any] = {}
+
+    def keys(self):
+        return list(self.scene._param_paths.keys())
+
+    def __contains__(self, key):
+        return key in self.scene._param_paths
+
+    def __getitem__(self, key):
+        table, idx = self.scene._param_paths[key]
+        if table == "bsdf.reflectance":
+            return self.scene.data.bsdf.reflectance[idx]
+        if table == "emitter.radiance":
+            return self.scene.data.emitter.radiance[idx]
+        if table == "emitter.to_world":
+            return self.scene._emitters[idx].to_world
+        raise KeyError(key)
+
+    def __setitem__(self, key, value):
+        if key not in self.scene._param_paths:
+            raise KeyError(key)
+        self._staged[key] = value
+
+    def update(self):
+        self.scene.data = self.apply(self._staged, self.scene.data)
+        for key, value in self._staged.items():
+            table, idx = self.scene._param_paths[key]
+            if table == "emitter.to_world":
+                self.scene.replace_emitter_transform(idx, value)
+        self._staged = {}
+
+    def apply(self, updates: dict, data: SceneData | None = None) -> SceneData:
+        data = data if data is not None else self.scene.data
+        for key, value in updates.items():
+            table, idx = self.scene._param_paths[key]
+            if table == "bsdf.reflectance":
+                data = data._replace(
+                    bsdf=data.bsdf._replace(
+                        reflectance=data.bsdf.reflectance.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "emitter.radiance":
+                data = data._replace(
+                    emitter=data.emitter._replace(
+                        radiance=data.emitter.radiance.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "emitter.to_world":
+                pass  # host-side; handled in update()
+            else:
+                raise KeyError(key)
+        return data
+
+
+def traverse(scene: Scene) -> ParamMap:
+    return ParamMap(scene)

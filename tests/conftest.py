@@ -1,0 +1,20 @@
+"""Test harness config: force an 8-virtual-device CPU platform so tests are
+deterministic, parallel-safe and runnable without TPU hardware (SURVEY.md
+section 4 'Implication').
+
+Note: this image registers an 'axon' TPU PJRT plugin from sitecustomize and
+pins JAX_PLATFORMS=axon, so plain env vars are not enough — the platform is
+overridden through jax.config *before* backends initialize.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
