@@ -56,6 +56,7 @@ class PathState(NamedTuple):
     prev_pdf: jnp.ndarray  # (N,)
     prev_delta: jnp.ndarray  # (N,) bool
     film: TransientFilmState
+    n_rays: jnp.ndarray  # () f32 — closest-hit + shadow rays actually traced
 
 
 def sample_primal(
@@ -107,6 +108,7 @@ def sample_primal(
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_delta=jnp.ones((n,), bool),
         film=film,
+        n_rays=jnp.zeros((), jnp.float32),
     )
 
     def bounce(it, st: PathState) -> PathState:
@@ -198,7 +200,10 @@ def sample_primal(
             prev_pdf=jnp.where(active_next, bs.pdf, st.prev_pdf),
             prev_delta=jnp.where(active_next, bs.delta, st.prev_delta),
             film=film_st,
+            n_rays=st.n_rays
+            + jnp.sum(active.astype(jnp.float32))
+            + jnp.sum(active_em.astype(jnp.float32)),
         )
 
     state = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    return state.film, state.L, state.depth > 0
+    return state.film, state.L, state.depth > 0, state.n_rays

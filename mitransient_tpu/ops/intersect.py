@@ -26,6 +26,38 @@ import jax.numpy as jnp
 DEFAULT_TRI_CHUNK = 32
 RAY_EPS = 1e-4
 
+_BACKEND_IS_TPU = None
+
+
+def _use_pallas() -> bool:
+    """Route the hot queries to the Pallas kernels on TPU; the jnp path below
+    remains the reference implementation and the CPU/test path."""
+    global _BACKEND_IS_TPU
+    if _BACKEND_IS_TPU is None:
+        try:
+            _BACKEND_IS_TPU = jax.default_backend() == "tpu"
+        except Exception:
+            _BACKEND_IS_TPU = False
+    return _BACKEND_IS_TPU
+
+
+def intersect(v0, e1, e2, ray_o, ray_d, maxt, active):
+    """Backend-dispatching closest-hit query."""
+    if _use_pallas():
+        from .intersect_pallas import intersect_soup_pallas
+
+        return intersect_soup_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)
+    return intersect_soup(v0, e1, e2, ray_o, ray_d, maxt, active)
+
+
+def ray_test(v0, e1, e2, ray_o, ray_d, maxt, active):
+    """Backend-dispatching any-hit query."""
+    if _use_pallas():
+        from .intersect_pallas import ray_test_soup_pallas
+
+        return ray_test_soup_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)
+    return ray_test_soup(v0, e1, e2, ray_o, ray_d, maxt, active)
+
 
 def _pad_tris(v0, e1, e2, chunk):
     m = v0.shape[0]

@@ -33,8 +33,7 @@ DEFAULT_MAX_LANES = 1 << 21
 
 @partial(
     jax.jit,
-    static_argnames=("film_cfg", "icfg", "width", "height", "spp_chunk",
-                     "total_spp"),
+    static_argnames=("film_cfg", "icfg", "width", "height", "spp_chunk"),
     donate_argnames=("film",),
 )
 def _perspective_pass(
@@ -43,23 +42,23 @@ def _perspective_pass(
     film,
     seed,
     pass_idx,
+    inv_total_spp,
     *,
     film_cfg: FilmConfig,
     icfg: IntegratorConfig,
     width: int,
     height: int,
     spp_chunk: int,
-    total_spp: int,
 ):
     n = width * height * spp_chunk
     sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
-    film, L, valid = sample_primal(
+    film, L, valid, n_rays = sample_primal(
         sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
-        sample_scale=1.0 / total_spp, base_dim=2,
+        sample_scale=inv_total_spp, base_dim=2,
     )
     film = splat_steady(film, pix, L, ray_weight)
-    return film
+    return film, n_rays
 
 
 def render(
@@ -69,6 +68,7 @@ def render(
     sensor: int = 0,
     max_lanes: int = DEFAULT_MAX_LANES,
     progress_callback=None,
+    return_stats: bool = False,
 ):
     """Render ``(steady, transient)`` for the scene's sensor.
 
@@ -96,13 +96,19 @@ def render(
 
     cam = build_camera(cfg)
     film = film_init(film_cfg, scene.variant.color_channels)
+    total_rays = 0.0
     for p in range(n_passes):
-        film = _perspective_pass(
+        film, n_rays = _perspective_pass(
             scene.data, cam, film, jnp.uint32(seed), jnp.uint32(p),
+            jnp.float32(1.0 / total_spp),
             film_cfg=film_cfg, icfg=icfg,
             width=film_cfg.width, height=film_cfg.height,
-            spp_chunk=spp_chunk, total_spp=total_spp,
+            spp_chunk=spp_chunk,
         )
+        total_rays = total_rays + n_rays
         if progress_callback is not None:
             progress_callback((p + 1) / n_passes)
-    return develop(film, film_cfg)
+    steady, transient = develop(film, film_cfg)
+    if return_stats:
+        return steady, transient, {"rays": total_rays, "spp": total_spp}
+    return steady, transient

@@ -21,7 +21,7 @@ import numpy as np
 from ..core.frame import Frame
 from ..core.math import dot, normalize, safe_div
 from ..core.records import DirectionSample, Ray, SurfaceInteraction
-from ..ops.intersect import intersect_soup, ray_test_soup
+from ..ops.intersect import intersect as _intersect_q, ray_test as _ray_test_q
 
 # BSDF kind codes (see bsdf/ modules)
 BSDF_DIFFUSE = 0
@@ -91,7 +91,7 @@ class SceneData(NamedTuple):
 def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceInteraction:
     """Closest hit + shading record.  Equivalent of ``mi.Scene.ray_intersect``
     (used at transientpath.py:149)."""
-    t, prim, u, v = intersect_soup(
+    t, prim, u, v = _intersect_q(
         sd.tri.v0, sd.tri.e1, sd.tri.e2, ray.o, ray.d, ray.maxt, active
     )
     valid = prim >= 0
@@ -128,7 +128,7 @@ def ray_test(sd: SceneData, o: jnp.ndarray, d_unit: jnp.ndarray, dist: jnp.ndarr
     """Occlusion query between ``o`` and ``o + d_unit * dist`` (shadow ray),
     with epsilon shortening at both ends; cf. ``mi.Scene.ray_test``."""
     maxt = dist * (1.0 - 1e-3)
-    return ray_test_soup(sd.tri.v0, sd.tri.e1, sd.tri.e2, o, d_unit, maxt, active)
+    return _ray_test_q(sd.tri.v0, sd.tri.e1, sd.tri.e2, o, d_unit, maxt, active)
 
 
 # ---- emitters -------------------------------------------------------------

@@ -1,0 +1,52 @@
+"""Multi-device SPMD tests on the 8-virtual-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+from mitransient_tpu.parallel.mesh import make_mesh, render_sharded
+
+
+def small_cbox(w=16, h=16, bins=60):
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = w
+    d["sensor"]["film"]["height"] = h
+    d["sensor"]["film"]["temporal_bins"] = bins
+    return d
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_render_runs_and_matches_stats():
+    scene = mitr.load_dict(small_cbox())
+    mesh = make_mesh(4)
+    s_sh, t_sh, stats = render_sharded(scene, mesh, spp=64, seed=0,
+                                       return_stats=True)
+    assert stats["devices"] == 4
+    assert s_sh.shape == (16, 16, 3)
+    assert t_sh.shape == (16, 16, 60, 3)
+    # statistical agreement with the single-device renderer
+    s_1, t_1 = mitr.render(scene, spp=64, seed=0)
+    m_sh, m_1 = float(jnp.mean(s_sh)), float(jnp.mean(s_1))
+    assert abs(m_sh - m_1) / max(m_1, 1e-9) < 0.15
+    ratio = float(jnp.sum(t_sh)) / max(float(jnp.sum(s_sh)), 1e-9)
+    assert 0.5 < ratio <= 1.0001
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_deterministic():
+    scene = mitr.load_dict(small_cbox())
+    mesh = make_mesh(8)
+    s1, t1 = render_sharded(scene, mesh, spp=16, seed=3)
+    s2, t2 = render_sharded(scene, mesh, spp=16, seed=3)
+    assert np.allclose(np.asarray(s1), np.asarray(s2))
+    assert np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_device_count_changes_sample_set_not_mean():
+    scene = mitr.load_dict(small_cbox())
+    s2, _ = render_sharded(scene, make_mesh(2), spp=128, seed=0)
+    s4, _ = render_sharded(scene, make_mesh(4), spp=128, seed=0)
+    m2, m4 = float(jnp.mean(s2)), float(jnp.mean(s4))
+    assert abs(m2 - m4) / max(m2, 1e-9) < 0.15
