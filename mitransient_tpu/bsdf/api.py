@@ -27,6 +27,7 @@ from ..core.warp import (
     square_to_cosine_hemisphere,
     square_to_cosine_hemisphere_pdf,
 )
+from ..ops.gather import columns_lookup
 from ..scene.scene import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
@@ -52,14 +53,28 @@ class LaneBSDF(NamedTuple):
 
 def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
     i = jnp.maximum(bsdf_id, 0)
+    cols = columns_lookup(
+        {
+            "kind": bp.kind.astype(jnp.float32),
+            "two_sided": bp.two_sided.astype(jnp.float32),
+            "reflectance": bp.reflectance,
+            "eta_re": bp.eta_re,
+            "eta_im": bp.eta_im,
+            "alpha": bp.alpha,
+            "eta_ratio": bp.eta_ratio,
+        },
+        i,
+    )
     return LaneBSDF(
-        kind=jnp.where(bsdf_id >= 0, bp.kind[i], -1),
-        two_sided=bp.two_sided[i],
-        reflectance=bp.reflectance[i],
-        eta_re=bp.eta_re[i],
-        eta_im=bp.eta_im[i],
-        alpha=bp.alpha[i],
-        eta_ratio=bp.eta_ratio[i],
+        kind=jnp.where(
+            bsdf_id >= 0, jnp.round(cols["kind"]).astype(jnp.int32), -1
+        ),
+        two_sided=cols["two_sided"] > 0.5,
+        reflectance=cols["reflectance"],
+        eta_re=cols["eta_re"],
+        eta_im=cols["eta_im"],
+        alpha=cols["alpha"],
+        eta_ratio=cols["eta_ratio"],
     )
 
 

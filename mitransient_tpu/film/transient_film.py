@@ -5,109 +5,165 @@ TPU-native equivalent of the reference's ``TransientHDRFilm`` +
 transient_hdr_film.py, render/transient_image_block.py).
 
 Design notes:
-* The film state is a plain pytree of dense arrays, carried through the
-  wavefront loop and accumulated with XLA scatter-add — the moral equivalent
-  of ``dr.scatter_reduce(ReduceOp.Add)`` (transient_image_block.py:79-81).
 * Because the spatial reconstruction filter is a box (the only filter the
   reference's transient block supports, transient_image_block.py:150-151),
-  the *pixel* of every lane is static; only the *time bin* is dynamic.  The
-  transient buffer is laid out ``(H*W, T+1, C)`` with one overflow bin so
-  out-of-range samples are routed to a dead slot instead of being masked with
-  predication — a branchless pattern that keeps the scatter dense.
+  the *pixel* of every lane is static — lanes are laid out spp-major
+  (lane = s*HW + p) so a splat is a per-pixel histogram over time only.
+* The transient buffer is ``(C, T_pad, HW_pad)``: time on the sublane axis,
+  pixels on the lane axis — the layout the Pallas splat kernel
+  (ops/splat_pallas.py) wants.  Bin T is the overflow slot for out-of-range
+  samples (branchless routing instead of predication); T+1..T_pad-1 is
+  alignment padding.  ``develop`` slices and transposes back to
+  ``(H, W, T, C)``.
 * OPL -> bin mapping mirrors transient_hdr_film.py:263-265:
-  ``bin = floor((distance - start_opl) / bin_width_opl)``; valid iff
-  ``0 <= bin < T``.
+  ``bin = floor((distance - start_opl) / bin_width_opl)``.
 * Values are pre-scaled by the per-sample weight (ray_weight / total_spp)
-  before splatting, like add_transient_f (common.py:411-422); the weight
-  channel is unused for the transient block (add_transient_data passes
-  weight=0, transient_hdr_film.py:270-272).
+  before splatting, like add_transient_f (common.py:411-422).
 * The steady image accumulates the per-lane total L once per pass
-  (common.py:180-206) plus a weight channel that develop() divides by.
-* ``temporal_filter='gaussian'`` splats each sample into a small window of
-  bins with Gaussian weights (stddev in bins), the transient analogue of the
-  reference's gaussian rfilter option (common.py:25-30).
+  (common.py:180-206) as a *dense* spp-axis reduction — no scatter at all.
+* ``temporal_filter='gaussian'`` splats into a +-3 sigma window of bins with
+  normalized Gaussian weights (the transient analogue of the reference's
+  gaussian rfilter option, common.py:25-30); it currently runs on the XLA
+  scatter path.
 """
 from __future__ import annotations
 
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
+from ..ops.splat_pallas import PIXEL_BLOCK, round_up, splat_accumulate
 from ..scene.schema import FilmConfig
+
+_IS_TPU = None
+
+
+def _on_tpu() -> bool:
+    global _IS_TPU
+    if _IS_TPU is None:
+        try:
+            _IS_TPU = jax.default_backend() == "tpu"
+        except Exception:
+            _IS_TPU = False
+    return _IS_TPU
 
 
 class TransientFilmState(NamedTuple):
-    steady: jnp.ndarray  # (H*W, C) accumulated radiance * filter weight
-    steady_weight: jnp.ndarray  # (H*W,) accumulated filter weight
-    transient: jnp.ndarray  # (H*W, T+1, C); last bin = overflow (dropped)
+    steady: jnp.ndarray  # (HW, C) accumulated radiance * filter weight
+    steady_weight: jnp.ndarray  # (HW,) accumulated filter weight
+    transient: jnp.ndarray  # (C, T_pad, HW_pad); bin T = overflow (dropped)
+
+
+def t_pad_of(cfg: FilmConfig) -> int:
+    return round_up(cfg.temporal_bins + 1, 8)
 
 
 def film_init(cfg: FilmConfig, channels: int,
               scan_pixels: int | None = None) -> TransientFilmState:
     hw = scan_pixels if scan_pixels is not None else cfg.width * cfg.height
+    hw_pad = round_up(hw, PIXEL_BLOCK)
     return TransientFilmState(
         steady=jnp.zeros((hw, channels), jnp.float32),
         steady_weight=jnp.zeros((hw,), jnp.float32),
-        transient=jnp.zeros((hw, cfg.temporal_bins + 1, channels), jnp.float32),
+        transient=jnp.zeros((channels, t_pad_of(cfg), hw_pad), jnp.float32),
     )
 
 
 def time_bin(cfg: FilmConfig, distance: jnp.ndarray):
-    """OPL -> (bin index, in-range mask)."""
+    """OPL -> (bin index, in-range mask); out-of-range -> overflow bin T."""
     pos = (distance - cfg.start_opl) / cfg.bin_width_opl
     b = jnp.floor(pos).astype(jnp.int32)
     ok = (pos >= 0.0) & (pos < cfg.temporal_bins)
     return jnp.where(ok, b, cfg.temporal_bins), ok
 
 
-def splat_transient(
+def splat_transient_pair(
     state: TransientFilmState,
     cfg: FilmConfig,
-    pix: jnp.ndarray,  # (N,) int32 linear pixel index
-    distance: jnp.ndarray,  # (N,) OPL
-    value: jnp.ndarray,  # (N, C) already scaled by sample weight
+    spp: int,
+    dist_a: jnp.ndarray,  # (N,) OPL of event set A (emitter hits)
+    val_a: jnp.ndarray,  # (N, C) scaled values
+    dist_b: jnp.ndarray | None,  # (N,) OPL of event set B (NEE) or None
+    val_b: jnp.ndarray | None,
     active: jnp.ndarray,  # (N,) bool
     temporal_filter: str = "",
     gaussian_stddev: float = 2.0,
 ) -> TransientFilmState:
-    value = jnp.where(active[:, None], value, 0.0)
+    """Accumulate one bounce's transient contributions (both splat events of
+    transientpath.py:179-218 in one fused call).  Lanes are spp-major."""
+    hw = state.steady.shape[0]
     if temporal_filter == "gaussian":
-        # Gaussian reconstruction along t: window of +-3 sigma around the
-        # continuous bin position, weights normalized per sample.
-        sigma = gaussian_stddev
-        radius = max(1, int(math.ceil(3.0 * sigma)))
-        pos = (distance - cfg.start_opl) / cfg.bin_width_opl
-        center = jnp.floor(pos)
-        tr = state.transient
-        offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-        b = center[:, None] + offs[None, :]
-        w = jnp.exp(-0.5 * ((b + 0.5 - pos[:, None]) / sigma) ** 2)
-        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
-        ok = (b >= 0) & (b < cfg.temporal_bins)
-        bidx = jnp.where(ok, b, cfg.temporal_bins).astype(jnp.int32)
-        n, K = bidx.shape
-        pix2 = jnp.broadcast_to(pix[:, None], (n, K))
-        vals = value[:, None, :] * w[:, :, None]
-        tr = tr.at[pix2.reshape(-1), bidx.reshape(-1)].add(
-            vals.reshape(n * K, -1), mode="drop"
+        tr = _splat_gaussian(state.transient, cfg, spp, hw, dist_a, val_a,
+                             active, gaussian_stddev)
+        if dist_b is not None:
+            tr = _splat_gaussian(tr, cfg, spp, hw, dist_b, val_b, active,
+                                 gaussian_stddev)
+        return state._replace(transient=tr)
+
+    bins_a, _ = time_bin(cfg, dist_a)
+    va = jnp.where(active[:, None], val_a, 0.0)
+    if dist_b is not None:
+        bins_b, _ = time_bin(cfg, dist_b)
+        vb = jnp.where(active[:, None], val_b, 0.0)
+    else:
+        bins_b, vb = None, None
+
+    if _on_tpu():
+        tr = splat_accumulate(
+            state.transient, bins_a, va, bins_b, vb, spp=spp, hw=hw
         )
         return state._replace(transient=tr)
 
-    b, _ok = time_bin(cfg, distance)
-    tr = state.transient.at[pix, b].add(value, mode="drop")
+    # XLA scatter path (CPU/tests): same layout.
+    tr = _scatter_layout(state.transient, spp, hw, bins_a, va)
+    if bins_b is not None:
+        tr = _scatter_layout(tr, spp, hw, bins_b, vb)
     return state._replace(transient=tr)
+
+
+def _scatter_layout(tr, spp, hw, bins, vals):
+    n = bins.shape[0]
+    pix = jnp.arange(n, dtype=jnp.int32) % hw
+    c = vals.shape[-1]
+    return tr.at[:, bins, pix].add(jnp.moveaxis(vals, -1, 0), mode="drop")
+
+
+def _splat_gaussian(tr, cfg, spp, hw, distance, value, active, sigma):
+    value = jnp.where(active[:, None], value, 0.0)
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    pos = (distance - cfg.start_opl) / cfg.bin_width_opl
+    center = jnp.floor(pos)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    b = center[:, None] + offs[None, :]
+    w = jnp.exp(-0.5 * ((b + 0.5 - pos[:, None]) / sigma) ** 2)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+    ok = (b >= 0) & (b < cfg.temporal_bins)
+    bidx = jnp.where(ok, b, cfg.temporal_bins).astype(jnp.int32)
+    n, K = bidx.shape
+    pix = (jnp.arange(n, dtype=jnp.int32) % hw)[:, None]
+    pix2 = jnp.broadcast_to(pix, (n, K)).reshape(-1)
+    vals = (value[:, None, :] * w[:, :, None]).reshape(n * K, -1)
+    return tr.at[:, bidx.reshape(-1), pix2].add(
+        jnp.moveaxis(vals, -1, 0), mode="drop"
+    )
 
 
 def splat_steady(
     state: TransientFilmState,
-    pix: jnp.ndarray,
-    value: jnp.ndarray,  # (N, C) unscaled radiance
+    spp: int,
+    value: jnp.ndarray,  # (N, C) unscaled radiance, spp-major lanes
     weight: jnp.ndarray,  # (N,) filter weight (box: 1)
 ) -> TransientFilmState:
+    """Dense spp-axis reduction (no scatter: pixel is the lane index)."""
+    hw = state.steady.shape[0]
+    c = value.shape[-1]
+    v = (value * weight[:, None]).reshape(spp, hw, c).sum(axis=0)
+    w = weight.reshape(spp, hw).sum(axis=0)
     return state._replace(
-        steady=state.steady.at[pix].add(value * weight[:, None], mode="drop"),
-        steady_weight=state.steady_weight.at[pix].add(weight, mode="drop"),
+        steady=state.steady + v,
+        steady_weight=state.steady_weight + w,
     )
 
 
@@ -117,10 +173,11 @@ def develop(state: TransientFilmState, cfg: FilmConfig,
     steady, transient already scaled at splat time
     (transient_hdr_film.py:210-248)."""
     h, w = shape_hw if shape_hw is not None else (cfg.height, cfg.width)
+    hw = state.steady.shape[0]
     C = state.steady.shape[-1]
     wgt = jnp.where(state.steady_weight == 0.0, 1.0, state.steady_weight)
     steady = (state.steady / wgt[:, None]).reshape(h, w, C)
-    transient = state.transient[:, : cfg.temporal_bins, :].reshape(
-        h, w, cfg.temporal_bins, C
-    )
+    T = cfg.temporal_bins
+    tr = state.transient[:, :T, :hw]  # (C, T, HW)
+    transient = jnp.transpose(tr, (2, 1, 0)).reshape(h, w, T, C)
     return steady, transient

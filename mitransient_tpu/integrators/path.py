@@ -30,7 +30,7 @@ from ..bsdf import api as bsdf_api
 from ..core.math import mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
-from ..film.transient_film import TransientFilmState, splat_transient
+from ..film.transient_film import TransientFilmState, splat_transient_pair
 from ..scene.scene import (
     SceneData,
     emitter_eval_hit,
@@ -70,6 +70,7 @@ def sample_primal(
     icfg: IntegratorConfig,
     sample_scale: float,
     base_dim: int,
+    spp: int,
     initial_distance: jnp.ndarray | None = None,
 ):
     """Trace one wavefront; returns (film', L (N, C), valid (N,)).
@@ -138,10 +139,6 @@ def sample_primal(
             st.beta * mis[:, None] * Le_raw,
             0.0,
         )
-        film_st = splat_transient(
-            st.film, film_cfg, pix, distance, Le * splat_w[:, None], active,
-            icfg.temporal_filter, icfg.gaussian_stddev,
-        )
 
         # ---------------- continuation gating ------------------------------
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
@@ -158,9 +155,13 @@ def sample_primal(
         Lr_dir = jnp.where(
             active_em[:, None], st.beta * mis_em[:, None] * f_em * em_weight, 0.0
         )
-        film_st = splat_transient(
-            film_st, film_cfg, pix, distance + ds.dist * st.eta,
-            Lr_dir * splat_w[:, None], active,
+        # one fused film update for both splat events of this bounce
+        # (emitter hit at `distance`, NEE at `distance + ds.dist * eta`)
+        film_st = splat_transient_pair(
+            st.film, film_cfg, spp,
+            distance, Le * splat_w[:, None],
+            distance + ds.dist * st.eta, Lr_dir * splat_w[:, None],
+            active,
             icfg.temporal_filter, icfg.gaussian_stddev,
         )
 

@@ -42,12 +42,26 @@ def _use_pallas() -> bool:
 
 
 def intersect(v0, e1, e2, ray_o, ray_d, maxt, active):
-    """Backend-dispatching closest-hit query."""
+    """Backend-dispatching closest-hit query (with barycentrics)."""
     if _use_pallas():
         from .intersect_pallas import intersect_soup_pallas
 
         return intersect_soup_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)
     return intersect_soup(v0, e1, e2, ray_o, ray_d, maxt, active)
+
+
+def closest_hit(v0, e1, e2, ray_o, ray_d, maxt, active):
+    """Backend-dispatching closest-hit returning only (t, prim).
+
+    The hot path: callers that reconstruct barycentrics themselves (via the
+    one-hot attribute lookup in scene.ray_intersect) use this to skip the
+    gather-based post-processing entirely."""
+    if _use_pallas():
+        from .intersect_pallas import closest_hit_pallas
+
+        return closest_hit_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)
+    t, prim, _u, _v = intersect_soup(v0, e1, e2, ray_o, ray_d, maxt, active)
+    return t, prim
 
 
 def ray_test(v0, e1, e2, ray_o, ray_d, maxt, active):

@@ -174,6 +174,31 @@ def _ray_spec():
 
 
 @jax.jit
+def closest_hit_pallas(v0, e1, e2, ray_o, ray_d, maxt, active):
+    """Closest-hit (t, prim) only — no barycentric post-processing."""
+    n = ray_o.shape[0]
+    table, n_tris = _tri_table(v0, e1, e2)
+    tiles = _ray_tiles(ray_o, ray_d, maxt, active)
+    rows = tiles[0].shape[0]
+    grid = (rows // SUBLANES,)
+    kernel = functools.partial(_closest_hit_kernel, n_tris=n_tris)
+    best_t, best_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [_ray_spec()] * 7,
+        out_specs=(_ray_spec(), _ray_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+    )(table, *tiles)
+    best_t = best_t.reshape(-1)[:n]
+    prim = best_i.reshape(-1)[:n]
+    t = jnp.where(prim < 0, jnp.inf, best_t)
+    return t, prim
+
+
+@jax.jit
 def intersect_soup_pallas(v0, e1, e2, ray_o, ray_d, maxt, active):
     """Closest-hit query; same contract as ops.intersect.intersect_soup."""
     n = ray_o.shape[0]

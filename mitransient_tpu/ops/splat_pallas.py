@@ -1,0 +1,126 @@
+"""Pallas TPU kernel for transient-film accumulation (time-binned splatting).
+
+The reference's core histogram op is an atomic ``dr.scatter_reduce(Add)``
+over (pixel, time-bin) cells (transient_image_block.py:79-81).  XLA's TPU
+scatter executes updates ~serially (~90 ns/update measured on v5e), which
+made film splatting the dominant cost of a render pass.
+
+TPU-native reformulation: with a box spatial filter the *pixel* of a lane is
+static (lane = s*HW + p, spp-major), so a splat is a **per-pixel histogram
+over the time axis only**.  The kernel sweeps the T axis: for each time bin
+``t`` it reduces ``sum_s val[s, p] * (bin[s, p] == t)`` over the spp axis —
+dense, branchless VPU work (O(N * T) compares instead of N serialized
+scatters), laid out as (spp, PIXEL_BLOCK) tiles with pixels on the lane
+axis.  Two event sets (emitter-hit + NEE splats of one bounce,
+transientpath.py:179-218) are fused into one call to halve film traffic.
+
+Film layout: ``(C, T_pad, HW_pad)`` — time on the sublane axis, pixels on
+the lane axis — accumulated in place via input/output aliasing.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PIXEL_BLOCK = 512
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _splat_kernel(film_ref, bins_a, vals_a, bins_b, vals_b, out_ref,
+                  *, n_channels: int, t_pad: int, two_events: bool):
+    ba = bins_a[...]
+    bb = bins_b[...] if two_events else None
+    va = [vals_a[c] for c in range(n_channels)]
+    vb = [vals_b[c] for c in range(n_channels)] if two_events else None
+
+    for tc in range(t_pad // 8):
+        for c in range(n_channels):
+            rows = []
+            for r in range(8):
+                t = tc * 8 + r
+                contrib = jnp.sum(
+                    jnp.where(ba == t, va[c], 0.0), axis=0, keepdims=True
+                )
+                if two_events:
+                    contrib = contrib + jnp.sum(
+                        jnp.where(bb == t, vb[c], 0.0), axis=0, keepdims=True
+                    )
+                rows.append(contrib)
+            block = jnp.concatenate(rows, axis=0)  # (8, PIXEL_BLOCK)
+            out_ref[c, tc * 8 : (tc + 1) * 8, :] = (
+                film_ref[c, tc * 8 : (tc + 1) * 8, :] + block
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "hw"), donate_argnums=(0,))
+def splat_accumulate(
+    film: jnp.ndarray,  # (C, T_pad, HW_pad) f32
+    bins_a: jnp.ndarray,  # (N,) int32, overflow bin = T (in range [0, T_pad))
+    vals_a: jnp.ndarray,  # (N, C) f32, already masked/scaled
+    bins_b: jnp.ndarray | None,
+    vals_b: jnp.ndarray | None,
+    *,
+    spp: int,
+    hw: int,
+):
+    """Accumulate one or two splat event sets into the film, in place."""
+    C, t_pad, hw_pad = film.shape
+    spp_pad = round_up(max(spp, 1), 8)
+
+    def prep(bins, vals):
+        b2 = bins.reshape(spp, hw)
+        v2 = jnp.moveaxis(vals.reshape(spp, hw, C), -1, 0)  # (C, spp, hw)
+        pad_s = spp_pad - spp
+        pad_p = hw_pad - hw
+        b2 = jnp.pad(b2, ((0, pad_s), (0, pad_p)), constant_values=t_pad - 1)
+        v2 = jnp.pad(v2, ((0, 0), (0, pad_s), (0, pad_p)))
+        return b2, v2
+
+    two = bins_b is not None
+    ba, va = prep(bins_a, vals_a)
+    if two:
+        bb, vb = prep(bins_b, vals_b)
+    else:
+        bb, vb = ba[:1, :], va[:, :1, :]  # dummies (unused in kernel)
+
+    grid = (hw_pad // PIXEL_BLOCK,)
+    kernel = functools.partial(
+        _splat_kernel, n_channels=C, t_pad=t_pad, two_events=two
+    )
+    film_spec = pl.BlockSpec(
+        (C, t_pad, PIXEL_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    bins_spec = pl.BlockSpec(
+        (spp_pad, PIXEL_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    dummy_bins_spec = pl.BlockSpec(
+        (1, PIXEL_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    vals_spec = pl.BlockSpec(
+        (C, spp_pad, PIXEL_BLOCK), lambda i: (0, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    dummy_vals_spec = pl.BlockSpec(
+        (C, 1, PIXEL_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            film_spec,
+            bins_spec,
+            vals_spec,
+            bins_spec if two else dummy_bins_spec,
+            vals_spec if two else dummy_vals_spec,
+        ],
+        out_specs=film_spec,
+        out_shape=jax.ShapeDtypeStruct(film.shape, jnp.float32),
+        input_output_aliases={0: 0},
+    )(film, ba, va, bb, vb)

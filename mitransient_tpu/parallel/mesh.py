@@ -91,9 +91,9 @@ def render_sharded(
         )
         film, L, valid, n_rays = sample_primal(
             sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
-            sample_scale=1.0 / total_spp, base_dim=2,
+            sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
         )
-        film = splat_steady(film, pix, L, ray_weight)
+        film = splat_steady(film, chunk, L, ray_weight)
         # all-reduce partials over ICI
         film = jax.tree.map(lambda x: jax.lax.psum(x, "shard"), film)
         n_rays = jax.lax.psum(n_rays, "shard")

@@ -55,9 +55,9 @@ def _perspective_pass(
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
     film, L, valid, n_rays = sample_primal(
         sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
-        sample_scale=inv_total_spp, base_dim=2,
+        sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
     )
-    film = splat_steady(film, pix, L, ray_weight)
+    film = splat_steady(film, spp_chunk, L, ray_weight)
     return film, n_rays
 
 

@@ -21,7 +21,8 @@ import numpy as np
 from ..core.frame import Frame
 from ..core.math import dot, normalize, safe_div
 from ..core.records import DirectionSample, Ray, SurfaceInteraction
-from ..ops.intersect import intersect as _intersect_q, ray_test as _ray_test_q
+from ..ops.gather import columns_lookup
+from ..ops.intersect import closest_hit as _closest_hit_q, ray_test as _ray_test_q
 
 # BSDF kind codes (see bsdf/ modules)
 BSDF_DIFFUSE = 0
@@ -90,24 +91,56 @@ class SceneData(NamedTuple):
 
 def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceInteraction:
     """Closest hit + shading record.  Equivalent of ``mi.Scene.ray_intersect``
-    (used at transientpath.py:149)."""
-    t, prim, u, v = _intersect_q(
+    (used at transientpath.py:149).
+
+    TPU note: all per-hit attributes come from ONE packed one-hot lookup over
+    the triangle table (ops/gather.py) and the barycentrics are reconstructed
+    from the hit point — no XLA gathers anywhere on the hot path."""
+    t, prim = _closest_hit_q(
         sd.tri.v0, sd.tri.e1, sd.tri.e2, ray.o, ray.d, ray.maxt, active
     )
     valid = prim >= 0
     prim_c = jnp.maximum(prim, 0)
     p = ray.o + ray.d * jnp.where(valid, t, 0.0)[:, None]
-    ng = sd.tri.ng[prim_c]
-    uv = (
-        sd.tri.uv0[prim_c]
-        + sd.tri.uv_e1[prim_c] * u[:, None]
-        + sd.tri.uv_e2[prim_c] * v[:, None]
+    cols = columns_lookup(
+        {
+            "v0": sd.tri.v0,
+            "e1": sd.tri.e1,
+            "e2": sd.tri.e2,
+            "ng": sd.tri.ng,
+            "uv0": sd.tri.uv0,
+            "uv_e1": sd.tri.uv_e1,
+            "uv_e2": sd.tri.uv_e2,
+            "shape_id": sd.tri.shape_id.astype(jnp.float32),
+            "bsdf_id": sd.tri.bsdf_id.astype(jnp.float32),
+            "emitter_id": sd.tri.emitter_id.astype(jnp.float32),
+        },
+        prim_c,
     )
+    ng = cols["ng"]
+    # Barycentrics of p in the winning triangle (projection method).
+    w = p - cols["v0"]
+    e1, e2 = cols["e1"], cols["e2"]
+    d00 = dot(e1, e1)
+    d01 = dot(e1, e2)
+    d11 = dot(e2, e2)
+    d20 = dot(w, e1)
+    d21 = dot(w, e2)
+    denom = d00 * d11 - d01 * d01
+    inv = safe_div(1.0, denom)
+    u = (d11 * d20 - d01 * d21) * inv
+    v = (d00 * d21 - d01 * d20) * inv
+    uv = cols["uv0"] + cols["uv_e1"] * u[:, None] + cols["uv_e2"] * v[:, None]
     # Shading normal == geometric normal (flat shading); orient the *shading
     # frame* toward the incident side like Mitsuba does for two-sided BSDFs at
     # the BSDF level, but keep ng fixed for consistent emitter sidedness.
     frame = Frame.from_normal(ng)
     wi = frame.to_local(-ray.d)
+
+    def _id(name):
+        i = jnp.round(cols[name]).astype(jnp.int32)
+        return jnp.where(valid, i, -1)
+
     return SurfaceInteraction(
         valid=valid,
         t=jnp.where(valid, t, jnp.inf),
@@ -117,9 +150,9 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
         uv=uv,
         wi=wi,
         prim=jnp.where(valid, prim, -1),
-        shape_id=jnp.where(valid, sd.tri.shape_id[prim_c], -1),
-        bsdf_id=jnp.where(valid, sd.tri.bsdf_id[prim_c], -1),
-        emitter_id=jnp.where(valid, sd.tri.emitter_id[prim_c], -1),
+        shape_id=_id("shape_id"),
+        bsdf_id=_id("bsdf_id"),
+        emitter_id=_id("emitter_id"),
     )
 
 
@@ -135,24 +168,33 @@ def ray_test(sd: SceneData, o: jnp.ndarray, d_unit: jnp.ndarray, dist: jnp.ndarr
 
 def _sample_emitter_triangle(sd: SceneData, em_idx: jnp.ndarray, u: jnp.ndarray):
     """Pick a triangle of emitter ``em_idx`` area-proportionally via the
-    per-emitter CDF segment; returns (soup tri index, rescaled u)."""
+    per-emitter CDF segment; returns (soup tri index, rescaled u).
+
+    TPU-native: the inverse-CDF search is a vectorized compare-and-count over
+    the (small) flattened emitter-triangle table — branchless, gather-free —
+    rather than a binary search (cf. mi.DiscreteDistribution used at
+    transientnlospath.py:277-292)."""
     start = sd.emitter.tri_start[em_idx]
     count = sd.emitter.tri_count[em_idx]
-    k_total = sd.emitter.em_tri_idx.shape[0]
-    steps = max(1, int(np.ceil(np.log2(max(k_total, 2)))))
-    lo = start
-    hi = start + count - 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        c = sd.emitter.em_tri_cdf[mid]
-        go_right = u > c
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    slot = jnp.clip(lo, start, start + count - 1)
-    tri = sd.emitter.em_tri_idx[slot]
-    cdf_hi = sd.emitter.em_tri_cdf[slot]
-    cdf_lo = jnp.where(slot > start, sd.emitter.em_tri_cdf[jnp.maximum(slot - 1, 0)], 0.0)
-    pmf = jnp.maximum(cdf_hi - cdf_lo, 1e-30)
+    K = sd.emitter.em_tri_cdf.shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_seg = (k >= start[:, None]) & (k < (start + count)[:, None])
+    below = in_seg & (u[:, None] > sd.emitter.em_tri_cdf[None, :])
+    slot = start + jnp.sum(below.astype(jnp.int32), axis=1)
+    slot = jnp.clip(slot, start, start + count - 1)
+    cols = columns_lookup(
+        {
+            "tri": sd.emitter.em_tri_idx.astype(jnp.float32),
+            "cdf": sd.emitter.em_tri_cdf,
+            "cdf_prev": jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32), sd.emitter.em_tri_cdf[:-1]]
+            ),
+        },
+        slot,
+    )
+    tri = jnp.round(cols["tri"]).astype(jnp.int32)
+    cdf_lo = jnp.where(slot > start, cols["cdf_prev"], 0.0)
+    pmf = jnp.maximum(cols["cdf"] - cdf_lo, 1e-30)
     u2 = jnp.clip((u - cdf_lo) / pmf, 0.0, 1.0 - 1e-7)
     return tri, u2
 
@@ -163,8 +205,12 @@ def _uniform_triangle_point(sd: SceneData, tri: jnp.ndarray, u1: jnp.ndarray,
     su = jnp.sqrt(jnp.maximum(u1, 0.0))
     b1 = 1.0 - su
     b2 = u2 * su
-    p = sd.tri.v0[tri] + sd.tri.e1[tri] * b1[:, None] + sd.tri.e2[tri] * b2[:, None]
-    return p, sd.tri.ng[tri]
+    cols = columns_lookup(
+        {"v0": sd.tri.v0, "e1": sd.tri.e1, "e2": sd.tri.e2, "ng": sd.tri.ng},
+        tri,
+    )
+    p = cols["v0"] + cols["e1"] * b1[:, None] + cols["e2"] * b2[:, None]
+    return p, cols["ng"]
 
 
 def sample_emitter_direction(
@@ -197,17 +243,26 @@ def sample_emitter_direction(
     u0 = jnp.clip(u_sel * E - em_idx.astype(jnp.float32), 0.0, 1.0 - 1e-7)
     sel_pdf = 1.0 / E
 
-    kind = sd.emitter.kind[em_idx]
+    ecols = columns_lookup(
+        {
+            "kind": sd.emitter.kind.astype(jnp.float32),
+            "position": sd.emitter.position,
+            "direction": sd.emitter.direction,
+            "area": sd.emitter.area,
+        },
+        em_idx,
+    )
+    kind = jnp.round(ecols["kind"]).astype(jnp.int32)
     is_delta = kind == EM_PROJECTOR
 
     # --- area-like emitters: sample a point on the shape ------------------
     tri, u0b = _sample_emitter_triangle(sd, em_idx, u0)
     p_area, n_area = _uniform_triangle_point(sd, tri, u0b, sample2[:, 1])
-    area = jnp.maximum(sd.emitter.area[em_idx], 1e-30)
+    area = jnp.maximum(ecols["area"], 1e-30)
 
     # --- delta emitters: fixed position ------------------------------------
-    p = jnp.where(is_delta[:, None], sd.emitter.position[em_idx], p_area)
-    n_em = jnp.where(is_delta[:, None], -sd.emitter.direction[em_idx], n_area)
+    p = jnp.where(is_delta[:, None], ecols["position"], p_area)
+    n_em = jnp.where(is_delta[:, None], -ecols["direction"], n_area)
 
     d_vec = p - ref_p
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d_vec * d_vec, axis=-1), 1e-20))
@@ -242,8 +297,21 @@ def emitter_eval_direction(sd: SceneData, em_idx, p, n_em, d, dist, cos_em):
     """Radiance leaving emitter point ``p`` toward ``-d``... i.e. toward the
     reference point (direction of travel is ``-d`` from the emitter's view).
     For projector emitters this returns irradiance/dist^2-style intensity."""
-    kind = sd.emitter.kind[em_idx]
-    rad = sd.emitter.radiance[em_idx]
+    ecols = columns_lookup(
+        {
+            "kind": sd.emitter.kind.astype(jnp.float32),
+            "radiance": sd.emitter.radiance,
+            "direction": sd.emitter.direction,
+            "frame_s": sd.emitter.frame_s,
+            "frame_t": sd.emitter.frame_t,
+            "tan_half_fov": sd.emitter.tan_half_fov,
+            "cos_beam": sd.emitter.cos_beam,
+            "cos_cutoff": sd.emitter.cos_cutoff,
+        },
+        em_idx,
+    )
+    kind = jnp.round(ecols["kind"]).astype(jnp.int32)
+    rad = ecols["radiance"]
     front = cos_em > 0.0
 
     # area: constant radiance from the front side
@@ -253,23 +321,22 @@ def emitter_eval_direction(sd: SceneData, em_idx, p, n_em, d, dist, cos_em):
     # (reference mitransient/emitters/angulararea.py:74-102: full radiance
     # within beam_width, linear falloff to cutoff_angle, zero outside).
     cos_ang = cos_em  # angle between emission dir (-d) and normal
-    cb = sd.emitter.cos_beam[em_idx]
-    cc = sd.emitter.cos_cutoff[em_idx]
+    cb = ecols["cos_beam"]
+    cc = ecols["cos_cutoff"]
     t_lin = safe_div(cos_ang - cc, jnp.maximum(cb - cc, 1e-9))
     falloff = jnp.clip(t_lin, 0.0, 1.0)
     val_ang = jnp.where(front[:, None], rad * falloff[:, None], 0.0)
 
     # projector: inside frustum -> irradiance / dist^2
-    dirn = sd.emitter.direction[em_idx]
-    fs = sd.emitter.frame_s[em_idx]
-    ft = sd.emitter.frame_t[em_idx]
-    to_ref = -d  # emitter -> ref direction is... p - ref = d*dist so ref-p = -d
+    dirn = ecols["direction"]
+    fs = ecols["frame_s"]
+    ft = ecols["frame_t"]
     # direction from projector position to ref point:
     v = -d
     z = dot(v, dirn)
     x = dot(v, fs)
     y = dot(v, ft)
-    thf = sd.emitter.tan_half_fov[em_idx]
+    thf = ecols["tan_half_fov"]
     inside = (z > 0) & (jnp.abs(x) <= z * thf) & (jnp.abs(y) <= z * thf)
     val_proj = jnp.where(inside[:, None], rad, 0.0) / jnp.maximum(dist * dist, 1e-20)[:, None]
 
@@ -291,14 +358,18 @@ def pdf_emitter_direction(sd: SceneData, ref_p: jnp.ndarray,
     em = si.emitter_id
     has_em = em >= 0
     em_c = jnp.maximum(em, 0)
-    kind = sd.emitter.kind[em_c]
+    ecols = columns_lookup(
+        {"kind": sd.emitter.kind.astype(jnp.float32), "area": sd.emitter.area},
+        em_c,
+    )
+    kind = jnp.round(ecols["kind"]).astype(jnp.int32)
     area_like = (kind == EM_AREA) | (kind == EM_ANGULAR_AREA)
     d_vec = si.p - ref_p
     dist2 = jnp.sum(d_vec * d_vec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
     d = d_vec / dist[:, None]
     cos_em = dot(si.n, -d)
-    area = jnp.maximum(sd.emitter.area[em_c], 1e-30)
+    area = jnp.maximum(ecols["area"], 1e-30)
     pdf = safe_div(dist2, jnp.maximum(cos_em, 0.0) * area) / E
     return jnp.where(has_em & area_like & (cos_em > 0.0), pdf, 0.0)
 
@@ -321,6 +392,10 @@ def emitter_eval_hit(sd: SceneData, si: SurfaceInteraction,
     )
     # emitter_eval_direction's projector branch is meaningless here (delta
     # emitters are never hit); area/angular branches only use cos_em.
-    kind = sd.emitter.kind[em_c]
+    kind = jnp.round(
+        columns_lookup(
+            {"kind": sd.emitter.kind.astype(jnp.float32)}, em_c
+        )["kind"]
+    ).astype(jnp.int32)
     val = jnp.where((kind == EM_PROJECTOR)[:, None], 0.0, val)
     return jnp.where(has_em[:, None], val, 0.0)

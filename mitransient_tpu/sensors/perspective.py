@@ -58,7 +58,8 @@ def sample_rays(
     height: int,
     spp: int,
 ):
-    """Generate ``H*W*spp`` lanes (pixel-major: lane = pix * spp + s).
+    """Generate ``H*W*spp`` lanes (spp-major: lane = s * HW + pix, the
+    layout the Pallas transient-splat kernel requires).
 
     Returns (Ray, pix (N,) int32, ray_weight (N,)).  Consumes sampler dims
     0-1 (pixel jitter).
@@ -66,7 +67,7 @@ def sample_rays(
     hw = width * height
     n = hw * spp
     lane = jnp.arange(n, dtype=jnp.int32)
-    pix = lane // spp
+    pix = lane % hw
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 

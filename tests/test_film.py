@@ -1,4 +1,7 @@
-"""Unit tests: transient film binning / splatting / develop."""
+"""Unit tests: transient film binning / splatting / develop.
+
+Lanes are spp-major: lane = s * HW + pix.
+"""
 import jax.numpy as jnp
 import numpy as np
 
@@ -6,7 +9,7 @@ from mitransient_tpu.film.transient_film import (
     develop,
     film_init,
     splat_steady,
-    splat_transient,
+    splat_transient_pair,
     time_bin,
 )
 from mitransient_tpu.scene.schema import FilmConfig
@@ -21,43 +24,74 @@ def test_time_bin_mapping():
     c = cfg()
     d = jnp.array([0.9, 1.0, 1.49, 1.5, 5.99, 6.0, 100.0])
     b, ok = time_bin(c, d)
-    # (d - 1.0) / 0.5 -> bins; valid range [0, 10)
     assert np.array_equal(np.asarray(ok), [False, True, True, True, True, False, False])
     assert np.array_equal(np.asarray(b), [10, 0, 0, 1, 9, 10, 10])
+
+
+def _lane_arrays(c, spp, entries):
+    """entries: list of (pix, dist, val(list)) per (s, p) slot to fill."""
+    hw = c.width * c.height
+    n = spp * hw
+    dist = np.full(n, 1e9, np.float32)  # default -> overflow bin
+    val = np.zeros((n, 3), np.float32)
+    act = np.zeros(n, bool)
+    for s, (pix, dd, vv) in enumerate(entries):
+        lane = s * hw + pix
+        dist[lane] = dd
+        val[lane] = vv
+        act[lane] = True
+    return jnp.asarray(dist), jnp.asarray(val), jnp.asarray(act)
 
 
 def test_splat_and_develop():
     c = cfg()
     st = film_init(c, channels=3)
-    pix = jnp.array([0, 0, 5], jnp.int32)
-    dist = jnp.array([1.0, 1.0, 2.0])
-    val = jnp.array([[1.0, 2.0, 3.0], [1.0, 0.0, 0.0], [4.0, 4.0, 4.0]])
-    act = jnp.array([True, True, True])
-    st = splat_transient(st, c, pix, dist, val, act)
+    # two samples in pixel 0 hitting bin 0, one in pixel 5 hitting bin 2
+    dist, val, act = _lane_arrays(
+        c, spp=3,
+        entries=[(0, 1.0, [1.0, 2.0, 3.0]), (0, 1.0, [1.0, 0.0, 0.0]),
+                 (5, 2.0, [4.0, 4.0, 4.0])],
+    )
+    st = st._replace(transient=st.transient)
+    st = splat_transient_pair(st, c, 3, dist, val, None, None, act)
     steady, tr = develop(st, c)
     assert tr.shape == (2, 4, 10, 3)
-    assert np.allclose(tr[0, 0, 0], [2.0, 2.0, 3.0])  # two splats same bin
-    assert np.allclose(tr[1, 1, 2], [4.0, 4.0, 4.0])  # pix 5 = (row1, col1)
+    assert np.allclose(tr[0, 0, 0], [2.0, 2.0, 3.0])
+    assert np.allclose(tr[1, 1, 2], [4.0, 4.0, 4.0])
+    assert np.allclose(tr.sum(), 2 + 2 + 3 + 12)
+
+
+def test_pair_fused_both_events():
+    c = cfg()
+    st = film_init(c, channels=3)
+    hw = c.width * c.height
+    n = 1 * hw
+    dist_a = jnp.full((n,), 1.0)
+    dist_b = jnp.full((n,), 2.0)
+    val = jnp.ones((n, 3))
+    act = jnp.zeros((n,), bool).at[2].set(True)
+    st = splat_transient_pair(st, c, 1, dist_a, val, dist_b, val, act)
+    _, tr = develop(st, c)
+    assert np.allclose(tr[0, 2, 0], 1.0)  # event A bin 0
+    assert np.allclose(tr[0, 2, 2], 1.0)  # event B bin 2
+    assert float(tr.sum()) == 6.0
 
 
 def test_out_of_range_dropped():
     c = cfg()
-    st = film_init(c, channels=1)
-    st = splat_transient(
-        st, c, jnp.array([0], jnp.int32), jnp.array([100.0]),
-        jnp.array([[7.0]]), jnp.array([True])
-    )
+    st = film_init(c, channels=3)
+    dist, val, act = _lane_arrays(c, spp=1, entries=[(0, 100.0, [7.0] * 3)])
+    st = splat_transient_pair(st, c, 1, dist, val, None, None, act)
     _, tr = develop(st, c)
     assert float(jnp.sum(tr)) == 0.0
 
 
 def test_inactive_masked():
     c = cfg()
-    st = film_init(c, channels=1)
-    st = splat_transient(
-        st, c, jnp.array([0], jnp.int32), jnp.array([1.2]),
-        jnp.array([[7.0]]), jnp.array([False])
-    )
+    st = film_init(c, channels=3)
+    dist, val, _ = _lane_arrays(c, spp=1, entries=[(0, 1.2, [7.0] * 3)])
+    act = jnp.zeros_like(dist, bool)
+    st = splat_transient_pair(st, c, 1, dist, val, None, None, act)
     _, tr = develop(st, c)
     assert float(jnp.sum(tr)) == 0.0
 
@@ -65,8 +99,10 @@ def test_inactive_masked():
 def test_steady_weight_normalization():
     c = cfg()
     st = film_init(c, channels=1)
-    pix = jnp.array([3, 3], jnp.int32)
-    st = splat_steady(st, pix, jnp.array([[2.0], [4.0]]), jnp.ones((2,)))
+    hw = c.width * c.height
+    # spp=2, pixel 3 gets values 2 and 4
+    val = jnp.zeros((2 * hw, 1)).at[3, 0].set(2.0).at[hw + 3, 0].set(4.0)
+    st = splat_steady(st, 2, val, jnp.ones((2 * hw,)))
     steady, _ = develop(st, c)
     assert np.allclose(steady[0, 3], 3.0)  # (2+4)/2
 
@@ -74,12 +110,12 @@ def test_steady_weight_normalization():
 def test_gaussian_temporal_filter_conserves_energy():
     c = cfg()
     st = film_init(c, channels=1)
-    st = splat_transient(
-        st, c, jnp.array([0], jnp.int32), jnp.array([3.0]),
-        jnp.array([[5.0]]), jnp.array([True]),
-        temporal_filter="gaussian", gaussian_stddev=1.0,
-    )
+    hw = c.width * c.height
+    dist = jnp.full((hw,), 3.0)
+    val = jnp.zeros((hw, 1)).at[0, 0].set(5.0)
+    act = jnp.zeros((hw,), bool).at[0].set(True)
+    st = splat_transient_pair(st, c, 1, dist, val, None, None, act,
+                              temporal_filter="gaussian", gaussian_stddev=1.0)
     _, tr = develop(st, c)
-    # splat centered at bin 4, spread over neighbors, total preserved
     assert abs(float(jnp.sum(tr)) - 5.0) < 1e-4
     assert float(tr[0, 0, 4, 0]) > float(tr[0, 0, 2, 0]) > 0.0

@@ -30,7 +30,7 @@ def test_sharded_render_runs_and_matches_stats():
     m_sh, m_1 = float(jnp.mean(s_sh)), float(jnp.mean(s_1))
     assert abs(m_sh - m_1) / max(m_1, 1e-9) < 0.15
     ratio = float(jnp.sum(t_sh)) / max(float(jnp.sum(s_sh)), 1e-9)
-    assert 0.5 < ratio <= 1.0001
+    assert 0.4 < ratio <= 1.0001
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
