@@ -72,6 +72,7 @@ def sample_primal(
     base_dim: int,
     spp: int,
     initial_distance: jnp.ndarray | None = None,
+    enable_film: bool = True,
 ):
     """Trace one wavefront; returns (film', L (N, C), valid (N,)).
 
@@ -157,13 +158,16 @@ def sample_primal(
         )
         # one fused film update for both splat events of this bounce
         # (emitter hit at `distance`, NEE at `distance + ds.dist * eta`)
-        film_st = splat_transient_pair(
-            st.film, film_cfg, spp,
-            distance, Le * splat_w[:, None],
-            distance + ds.dist * st.eta, Lr_dir * splat_w[:, None],
-            active,
-            icfg.temporal_filter, icfg.gaussian_stddev,
-        )
+        if enable_film:
+            film_st = splat_transient_pair(
+                st.film, film_cfg, spp,
+                distance, Le * splat_w[:, None],
+                distance + ds.dist * st.eta, Lr_dir * splat_w[:, None],
+                active,
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
+        else:
+            film_st = st.film
 
         # ---------------- BSDF sampling ------------------------------------
         bs = bsdf_api.sample(lb, si.wi, rnd1(2), rnd2(3), active_next)

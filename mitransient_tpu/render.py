@@ -112,3 +112,161 @@ def render(
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp}
     return steady, transient
+
+
+# --------------------------------------------------------------------------
+# Differentiable rendering (PRB two-sweep; mirrors common.py:215-409)
+# --------------------------------------------------------------------------
+
+def _prb_setup(scene: Scene, spp, seed, sensor):
+    cfg = scene.sensors[sensor]
+    if cfg.kind != "perspective":
+        raise NotImplementedError(
+            "differentiable NLOS rendering lands with the NLOS integrator")
+    icfg = scene.integrator
+    film_cfg = cfg.film
+    spp = spp if spp is not None else cfg.spp
+    hw = film_cfg.width * film_cfg.height
+    if hw * spp > DEFAULT_MAX_LANES * 4:
+        # the reference likewise refuses multi-pass differential rendering
+        # (common.py:237-240,350-353)
+        raise ValueError(
+            f"render_backward/forward require a single pass; reduce spp "
+            f"(lanes = {hw * spp})")
+    return cfg, icfg, film_cfg, spp, hw
+
+
+@partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
+                                   "spp"))
+def _backward_pass(sd, cam, grad_st_flat, grad_tr_flat, seed, inv_spp, *,
+                   film_cfg, icfg, width, height, spp):
+    from .film.transient_film import film_init as _fi
+    from .integrators.prb import sample_adjoint
+    from .integrators.path import sample_primal
+
+    n = width * height * spp
+    sampler = Sampler(seed, n, stream=0)
+    ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
+    # sweep 1: primal (state_out = per-lane total L); film splats skipped
+    film = _fi(film_cfg, sd.bsdf.reflectance.shape[-1])
+    _f, L, _v, _r = sample_primal(
+        sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+        sample_scale=inv_spp, base_dim=2, spp=spp, enable_film=False,
+    )
+    # sweep 2: replay with adjoint reads
+    grads = sample_adjoint(
+        sd, sampler.key, ray, pix, ray_weight, L, grad_tr_flat, grad_st_flat,
+        film_cfg, icfg, inv_spp, base_dim=2, mode="backward",
+    )
+    return grads
+
+
+def render_backward(scene: Scene, grad_in, spp: int | None = None,
+                    seed: int = 0, sensor: int = 0):
+    """Reverse-mode differential rendering (parity with
+    ``TransientADIntegrator.render_backward``, common.py:325-409).
+
+    ``grad_in`` = (grad_steady (H, W, C) | None, grad_transient
+    (H, W, T, C) | None).  Returns a dict mapping traversal paths (see
+    ``traverse``) to gradient arrays, plus the raw table grads under
+    ``'__tables__'``.
+    """
+    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+    grad_steady, grad_transient = grad_in
+    gs = (jnp.zeros((hw, C), jnp.float32) if grad_steady is None
+          else jnp.asarray(grad_steady, jnp.float32).reshape(hw, C))
+    gt = (jnp.zeros((hw * T, C), jnp.float32) if grad_transient is None
+          else jnp.asarray(grad_transient, jnp.float32).reshape(hw * T, C))
+
+    cam = build_camera(cfg)
+    grads = _backward_pass(
+        scene.data, cam, gs, gt, jnp.uint32(seed), jnp.float32(1.0 / spp),
+        film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+        height=film_cfg.height, spp=spp,
+    )
+    out = {"__tables__": grads}
+    for path, (table, idx) in scene._param_paths.items():
+        if table == "bsdf.reflectance":
+            out[path] = grads.bsdf_reflectance[idx]
+        elif table == "emitter.radiance":
+            out[path] = grads.emitter_radiance[idx]
+    return out
+
+
+@partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
+                                   "spp"))
+def _forward_pass(sd, cam, tangents, seed, inv_spp, *, film_cfg, icfg,
+                  width, height, spp):
+    from .film.transient_film import film_init as _fi, splat_transient_pair
+    from .integrators.prb import sample_adjoint
+    from .integrators.path import sample_primal
+
+    n = width * height * spp
+    C = sd.bsdf.reflectance.shape[-1]
+    sampler = Sampler(seed, n, stream=0)
+    ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
+    film = _fi(film_cfg, C)
+    _f, L, _v, _r = sample_primal(
+        sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+        sample_scale=inv_spp, base_dim=2, spp=spp, enable_film=False,
+    )
+    hw = width * height
+    gt0 = jnp.zeros((hw * film_cfg.temporal_bins, C), jnp.float32)
+    gs0 = jnp.zeros((hw, C), jnp.float32)
+    splats, dists = sample_adjoint(
+        sd, sampler.key, ray, pix, ray_weight, L, gt0, gs0,
+        film_cfg, icfg, inv_spp, base_dim=2, mode="forward",
+        tangents=tangents,
+    )
+    # splat per-bounce forward derivatives into a fresh film
+    # (transientpath.py:312-316)
+    dfilm = _fi(film_cfg, C)
+    act = jnp.ones((n,), bool)
+    for d_ in range(splats.shape[0]):
+        dfilm = splat_transient_pair(
+            dfilm, film_cfg, spp, dists[d_], splats[d_], None, None, act,
+            icfg.temporal_filter, icfg.gaussian_stddev,
+        )
+    # steady forward derivative: raw per-lane sum of dLo (splats carry the
+    # 1/spp scale; undo it — develop divides by the weight sum = spp)
+    dL_total = jnp.sum(splats, axis=0) / inv_spp
+    dfilm = splat_steady(dfilm, spp, dL_total, ray_weight)
+    return develop(dfilm, film_cfg)
+
+
+def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
+                   seed: int = 0, sensor: int = 0):
+    """Forward-mode differential rendering (parity with
+    ``render_forward``, common.py:215-323): returns the derivative
+    (d_steady, d_transient) videos for a parameter perturbation direction.
+
+    ``tangent``: dict mapping traversal paths (or the whole-table keys
+    'bsdf.reflectance' / 'emitter.radiance') to tangent values.
+    """
+    from .integrators.prb import DiffParams
+
+    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
+    sd = scene.data
+    tb = jnp.zeros_like(sd.bsdf.reflectance)
+    te = jnp.zeros_like(sd.emitter.radiance)
+    for path, val in tangent.items():
+        if path == "bsdf.reflectance":
+            tb = jnp.asarray(val, jnp.float32)
+        elif path == "emitter.radiance":
+            te = jnp.asarray(val, jnp.float32)
+        elif path in scene._param_paths:
+            table, idx = scene._param_paths[path]
+            if table == "bsdf.reflectance":
+                tb = tb.at[idx].set(jnp.asarray(val, jnp.float32))
+            elif table == "emitter.radiance":
+                te = te.at[idx].set(jnp.asarray(val, jnp.float32))
+    tangents = DiffParams(bsdf_reflectance=tb, emitter_radiance=te)
+
+    cam = build_camera(cfg)
+    return _forward_pass(
+        scene.data, cam, tangents, jnp.uint32(seed), jnp.float32(1.0 / spp),
+        film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+        height=film_cfg.height, spp=spp,
+    )
