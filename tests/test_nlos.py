@@ -1,0 +1,150 @@
+"""NLOS integration tests.
+
+Builds the canonical NLOS setup fully in-Python, mirroring the reference's
+fixtures (/root/reference/tests/integration/test_nlos.py:1-80) but with a
+self-contained hidden target (a rectangle facing the relay wall) instead of
+an external mesh asset.  Goes beyond the reference's shape-only assertions
+with arrival-time geometry checks.
+"""
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+
+
+def nlos_scene(sx=4, sy=4, laser_sampling=True, hg_sampling=True,
+               account=False, bins=300, spp=64):
+    return {
+        "type": "scene",
+        "integrator": {
+            "type": "transient_nlos_path",
+            "max_depth": 4,
+            "filter_depth": -1,
+            "nlos_laser_sampling": laser_sampling,
+            "nlos_hidden_geometry_sampling": hg_sampling,
+            "nlos_hidden_geometry_sampling_do_rroulette": False,
+            "nlos_hidden_geometry_sampling_includes_relay_wall": False,
+            "account_first_and_last_bounces": account,
+            "temporal_filter": "box",
+        },
+        # hidden target: unit rectangle at z=1 facing the wall (normal -z)
+        "hidden-target": {
+            "type": "rectangle",
+            "to_world": {
+                "translate": [0.0, 0.0, 1.0],
+                "rotate": {"axis": [0, 1, 0], "angle": 180},
+                "scale": 0.5,
+            },
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+        },
+        "laser": {
+            "type": "projector",
+            "to_world": {"translate": [-0.5, 0.0, 0.25]},
+            "irradiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]},
+            "fov": 0.2,
+        },
+        # relay wall: [-1,1]^2 rectangle at z=0, normal +z
+        "relay_wall": {
+            "type": "rectangle",
+            "bsdf": {"type": "diffuse", "reflectance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+            "nlos_sensor": {
+                "type": "nlos_capture_meter",
+                "sampler": {"type": "independent", "sample_count": spp,
+                            "seed": 0},
+                "sensor_origin": [-0.5, 0.0, 0.25],
+                "film": {
+                    "type": "transient_hdr_film",
+                    "width": sx,
+                    "height": sy,
+                    "temporal_bins": bins,
+                    "bin_width_opl": 0.02,
+                    "start_opl": 0.0,
+                },
+            },
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    scene = mitr.load_dict(nlos_scene())
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], scene)
+    steady, transient = mitr.render(scene, spp=64, seed=0)
+    return np.asarray(steady), np.asarray(transient)
+
+
+def test_shapes(rendered):
+    steady, transient = rendered
+    assert steady.shape == (4, 4, 3)
+    assert transient.shape == (4, 4, 300, 3)
+
+
+def test_energy_present_and_finite(rendered):
+    steady, transient = rendered
+    assert np.all(np.isfinite(transient))
+    assert transient.sum() > 0.0
+
+
+def test_arrival_time_third_bounce_geometry(rendered):
+    """With account_first_and_last_bounces=False the OPL counts
+    wall->target->wall(->laser NEE at the illuminated point).  The shortest
+    such path is about 2x the 1.0 wall-target distance => bin ~100 with
+    bin_width 0.02; nothing can arrive earlier (laser point and scan points
+    are near the wall center)."""
+    _, transient = rendered
+    prof = transient.sum(axis=(0, 1, 3))
+    nz = np.nonzero(prof)[0]
+    assert len(nz) > 0
+    assert 90 <= nz[0] <= 115
+
+
+def test_laser_focus_changes_signal():
+    scene = mitr.load_dict(nlos_scene())
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+    _, t1 = mitr.render(scene, spp=32, seed=0)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([3.0, 3.0], scene)
+    _, t2 = mitr.render(scene, spp=32, seed=0)
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_plain_nee_mode_also_works():
+    scene = mitr.load_dict(nlos_scene(laser_sampling=False, hg_sampling=False))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], scene)
+    _, t = mitr.render(scene, spp=64, seed=0)
+    t = np.asarray(t)
+    assert np.all(np.isfinite(t))
+    # plain NEE toward a near-delta projector finds almost nothing except
+    # direct wall illumination paths; just check it runs and is finite
+
+
+def test_account_first_and_last_shifts_arrival():
+    s1 = mitr.load_dict(nlos_scene(account=False))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s1)
+    _, t1 = mitr.render(s1, spp=32, seed=0)
+    s2 = mitr.load_dict(nlos_scene(account=True))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s2)
+    _, t2 = mitr.render(s2, spp=32, seed=0)
+    p1 = np.asarray(t1).sum(axis=(0, 1, 3))
+    p2 = np.asarray(t2).sum(axis=(0, 1, 3))
+    f1 = np.nonzero(p1)[0][0]
+    f2 = np.nonzero(p2)[0][0]
+    # including sensor->wall (~0.59) and wall->laser (~0.59) segments delays
+    # the first arrival by ~1.2 OPL = ~60 bins
+    assert f2 > f1 + 40
+
+
+def test_hidden_geometry_sampling_reduces_noise():
+    """HG sampling should find the hidden target much more often than BSDF
+    sampling at equal spp (the point of transientnlospath.py:637-670)."""
+    s_hg = mitr.load_dict(nlos_scene(hg_sampling=True))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s_hg)
+    _, t_hg = mitr.render(s_hg, spp=32, seed=0)
+    s_no = mitr.load_dict(nlos_scene(hg_sampling=False))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s_no)
+    _, t_no = mitr.render(s_no, spp=32, seed=0)
+    hits_hg = (np.asarray(t_hg).sum(axis=(2, 3)) > 0).mean()
+    assert hits_hg > 0.9  # every scan pixel sees the target with HG sampling
+    # statistical agreement of the two estimators (same integral)
+    a, b = float(np.asarray(t_hg).sum()), float(np.asarray(t_no).sum())
+    if b > 0:
+        assert abs(a - b) / max(a, b) < 0.5
