@@ -181,3 +181,36 @@ def develop(state: TransientFilmState, cfg: FilmConfig,
     tr = state.transient[:, :T, :hw]  # (C, T, HW)
     transient = jnp.transpose(tr, (2, 1, 0)).reshape(h, w, T, C)
     return steady, transient
+
+
+# --------------------------------------------------------------------------
+# Film-kind dispatch (transient histogram vs phasor DFT)
+# --------------------------------------------------------------------------
+
+def film_init_any(cfg: FilmConfig, channels: int,
+                  scan_pixels: int | None = None):
+    if cfg.kind == "phasor_hdr_film":
+        from .phasor_film import phasor_film_init
+
+        return phasor_film_init(cfg, channels)
+    return film_init(cfg, channels, scan_pixels)
+
+
+def splat_pair_any(state, cfg: FilmConfig, spp, dist_a, val_a, dist_b, val_b,
+                   active, temporal_filter="", gaussian_stddev=2.0):
+    if cfg.kind == "phasor_hdr_film":
+        from .phasor_film import splat_phasor_pair
+
+        return splat_phasor_pair(state, cfg, spp, dist_a, val_a, dist_b,
+                                 val_b, active)
+    return splat_transient_pair(state, cfg, spp, dist_a, val_a, dist_b,
+                                val_b, active, temporal_filter,
+                                gaussian_stddev)
+
+
+def develop_any(state, cfg: FilmConfig, shape_hw=None):
+    if cfg.kind == "phasor_hdr_film":
+        from .phasor_film import develop_phasor
+
+        return develop_phasor(state, cfg)
+    return develop(state, cfg, shape_hw)

@@ -30,7 +30,7 @@ from ..bsdf import api as bsdf_api
 from ..core.math import mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
-from ..film.transient_film import TransientFilmState, splat_transient_pair
+from ..film.transient_film import TransientFilmState, splat_pair_any
 from ..scene.scene import (
     SceneData,
     emitter_eval_hit,
@@ -159,7 +159,7 @@ def sample_primal(
         # one fused film update for both splat events of this bounce
         # (emitter hit at `distance`, NEE at `distance + ds.dist * eta`)
         if enable_film:
-            film_st = splat_transient_pair(
+            film_st = splat_pair_any(
                 st.film, film_cfg, spp,
                 distance, Le * splat_w[:, None],
                 distance + ds.dist * st.eta, Lr_dir * splat_w[:, None],

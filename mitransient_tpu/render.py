@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .core.rng import Sampler
-from .film.transient_film import develop, film_init, splat_steady
+from .film.transient_film import develop_any as develop, film_init_any as film_init, splat_steady
 from .integrators.path import sample_primal
 from .scene.schema import FilmConfig, IntegratorConfig, Scene
 from .sensors.perspective import build_camera, sample_rays

@@ -72,6 +72,7 @@ def parse_color(spec: Any, channels: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 class FilmConfig(NamedTuple):
+    kind: str = "transient_hdr_film"  # or "phasor_hdr_film"
     width: int = 256
     height: int = 256
     temporal_bins: int = 2048  # default of transient_hdr_film.py:116
@@ -80,6 +81,9 @@ class FilmConfig(NamedTuple):
     exhaustive_scan: bool = False
     laser_scan_width: int = 0
     laser_scan_height: int = 0
+    # phasor_hdr_film extras (phasor_hdr_film.py:112-114)
+    wl_mean: float = 100.0
+    wl_sigma: float = 1000.0
 
     @property
     def end_opl(self) -> float:
@@ -142,15 +146,20 @@ MAX_DEPTH_CAP = 32  # static bound substituted for max_depth = -1 (infinity)
 
 
 def _parse_film(d: dict) -> FilmConfig:
+    kind = d.get("type", "transient_hdr_film")
+    default_bins = 4096 if kind == "phasor_hdr_film" else 2048
     return FilmConfig(
+        kind=kind,
         width=int(d.get("width", 256)),
         height=int(d.get("height", 256)),
-        temporal_bins=int(d.get("temporal_bins", 2048)),
+        temporal_bins=int(d.get("temporal_bins", default_bins)),
         start_opl=float(d.get("start_opl", 0.0)),
         bin_width_opl=float(d.get("bin_width_opl", 0.003)),
         exhaustive_scan=bool(d.get("exhaustive_scan", False)),
         laser_scan_width=int(d.get("laser_scan_width", 0)),
         laser_scan_height=int(d.get("laser_scan_height", 0)),
+        wl_mean=float(d.get("wl_mean", 100.0)),
+        wl_sigma=float(d.get("wl_sigma", 1000.0)),
     )
 
 
