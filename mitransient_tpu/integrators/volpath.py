@@ -1,0 +1,303 @@
+"""Transient volumetric path tracer (``transient_prbvolpath`` parity).
+
+TPU-native re-design of the reference's volumetric PRB integrator
+(/root/reference/mitransient/integrators/transient_prbvolpath.py): transient
+path tracing through homogeneous participating media bounded by null-BSDF
+shapes, with analytic free-flight sampling, Henyey–Greenstein phase
+scattering, NEE with medium transmittance, and OPL accumulation at both
+medium and surface events.
+
+Correspondences (reference line -> here):
+* free-flight sampling + real/null event classification (:186-239) — for
+  homogeneous media the delta-tracking loop collapses to the closed-form
+  exponential sample, a TPU-friendly single step
+* distance += mei.t * eta at medium scatters (:229), si.t * eta at
+  surfaces (:258)
+* transient splats at emitter hits (:282-283) and NEE (:329-331)
+* NEE transmittance estimation through null boundaries — the reference's
+  ratio-tracking loop (:413-512) becomes a fixed-step null-crossing walk
+  with analytic exp(-sigma_t * segment) factors (exact for homogeneous
+  media, no variance)
+* HG phase sampling (:333-360); medium transitions at null surfaces
+  (si.target_medium semantics)
+* no forward mode, detached sampling, no shape gradients (docstring :40-48)
+
+Media are attached as shape interiors (cbox_volumetric.xml:99-120); the
+per-lane medium is tracked as an index into the medium table, switching on
+null-boundary crossings by the sign of dot(d, n).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf import api as bsdf_api
+from ..core.math import dot, mis_weight
+from ..core.records import Ray
+from ..core.rng import Sampler
+from ..core.warp import hg_pdf, square_to_hg
+from ..film.transient_film import TransientFilmState, splat_pair_any
+from ..ops.gather import columns_lookup
+from ..scene.scene import (
+    SceneData,
+    emitter_eval_hit,
+    pdf_emitter_direction,
+    ray_intersect,
+    sample_emitter_direction,
+)
+from ..scene.schema import FilmConfig, IntegratorConfig
+
+VOL_DIMS_PER_BOUNCE = 8
+TRANSMITTANCE_STEPS = 4  # max null-boundary crossings along a shadow ray
+
+
+def _medium_lookup(sd: SceneData, med_id):
+    i = jnp.maximum(med_id, 0)
+    cols = columns_lookup(
+        {"sigma_t": sd.medium.sigma_t, "albedo": sd.medium.albedo,
+         "g": sd.medium.g}, i,
+    )
+    in_medium = med_id >= 0
+    sigma_t = jnp.where(in_medium, cols["sigma_t"], 0.0)
+    return sigma_t, cols["albedo"], cols["g"], in_medium
+
+
+def _transition(sd: SceneData, si, d, current_med):
+    """Medium transition at a null boundary: entering (dot(d, n) < 0) ->
+    the shape's interior medium; exiting -> vacuum."""
+    tri_med = jnp.round(
+        columns_lookup(
+            {"m": sd.tri.medium_id.astype(jnp.float32)},
+            jnp.maximum(si.prim, 0),
+        )["m"]
+    ).astype(jnp.int32)
+    entering = dot(d, si.n) < 0.0
+    return jnp.where(entering, tri_med, -1)
+
+
+def transmittance(sd: SceneData, o, d_unit, dist, start_med, active):
+    """Analytic transmittance along a shadow ray crossing up to
+    TRANSMITTANCE_STEPS null boundaries; returns (T (N,), occluded (N,))."""
+    n = dist.shape[0]
+    tau = jnp.zeros((n,), jnp.float32)
+    med = start_med
+    t_done = jnp.zeros((n,), jnp.float32)
+    occluded = jnp.zeros((n,), bool)
+    walking = active
+
+    for _ in range(TRANSMITTANCE_STEPS):
+        o_cur = o + d_unit * t_done[:, None]
+        remaining = dist - t_done
+        si = ray_intersect(
+            sd, Ray.make(o_cur + d_unit * 1e-4, d_unit,
+                         maxt=remaining - 2e-4),
+            walking,
+        )
+        seg = jnp.where(si.valid, si.t, jnp.maximum(remaining, 0.0))
+        sigma_t, _alb, _g, _in = _medium_lookup(sd, med)
+        tau = tau + jnp.where(walking, sigma_t * seg, 0.0)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        is_null = bsdf_api.is_null(lb)
+        blocked = walking & si.valid & ~is_null
+        occluded = occluded | blocked
+        # continue through null boundaries, switching media
+        med = jnp.where(walking & si.valid & is_null,
+                        _transition(sd, si, d_unit, med), med)
+        t_done = t_done + jnp.where(si.valid, si.t + 1e-4, remaining)
+        walking = walking & si.valid & is_null
+    # any remaining unresolved walkers treated as occluded (very deep nesting)
+    occluded = occluded | walking
+    return jnp.exp(-tau), occluded
+
+
+def sample_volpath_primal(
+    sd: SceneData,
+    sampler: Sampler,
+    ray: Ray,
+    pix: jnp.ndarray,
+    ray_weight: jnp.ndarray,
+    film: TransientFilmState,
+    film_cfg: FilmConfig,
+    icfg: IntegratorConfig,
+    sample_scale,
+    base_dim: int,
+    spp: int,
+):
+    """The volumetric wavefront loop (primal).  Returns
+    (film, L, valid, n_rays) like sample_primal."""
+    n = pix.shape[0]
+    C = sd.bsdf.reflectance.shape[-1]
+    key = sampler.key
+    splat_w = ray_weight * sample_scale
+
+    state = dict(
+        o=ray.o, d=ray.d,
+        beta=jnp.ones((n, C), jnp.float32),
+        L=jnp.zeros((n, C), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        distance=jnp.zeros((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        medium=jnp.full((n,), -1, jnp.int32),
+        prev_p=ray.o,
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        film=film,
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(it, st):
+        dim = base_dim + it * VOL_DIMS_PER_BOUNCE
+
+        def rnd1(k):
+            return jax.random.uniform(jax.random.fold_in(key, dim + k), (n,))
+
+        def rnd2(k):
+            return jnp.stack([rnd1(k), rnd1(k + 1)], axis=-1)
+
+        active = st["active"]
+        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
+        hit = active & si.valid
+
+        # ---- free-flight sampling in the current medium (dim 0) ----------
+        sigma_t, med_albedo, med_g, in_medium = _medium_lookup(
+            sd, st["medium"])
+        u_ff = rnd1(0)
+        t_fly = jnp.where(
+            in_medium & (sigma_t > 0.0),
+            -jnp.log(jnp.maximum(1.0 - u_ff, 1e-30))
+            / jnp.maximum(sigma_t, 1e-30),
+            jnp.inf,
+        )
+        medium_scatter = hit & in_medium & (t_fly < si.t)
+
+        # event position + OPL
+        t_event = jnp.where(medium_scatter, t_fly, jnp.where(hit, si.t, 0.0))
+        p_event = st["o"] + st["d"] * t_event[:, None]
+        distance = st["distance"] + jnp.where(active, t_event, 0.0) * st["eta"]
+
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        is_null_srf = bsdf_api.is_null(lb) & ~medium_scatter
+
+        # throughput update for scattering events: analog MC, beta *= albedo
+        # at real medium scatters (sigma_s / sigma_t)
+        beta = jnp.where(medium_scatter[:, None], st["beta"] * med_albedo,
+                         st["beta"])
+
+        # ---- direct emission at surfaces (not at medium events) ----------
+        pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
+        pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
+        mis = mis_weight(st["prev_pdf"], pdf_em_hit)
+        Le = jnp.where(
+            (hit & ~medium_scatter & ~jnp.bool_(icfg.discard_direct_light))[:, None],
+            st["beta"] * mis[:, None] * emitter_eval_hit(sd, si, st["d"]),
+            0.0,
+        )
+
+        active_next = active & (it + 1 < icfg.max_depth) & si.valid
+
+        # ---- NEE (dims 1-2): from medium points (phase) or surfaces ------
+        scatter_event = medium_scatter | (hit & ~is_null_srf)
+        active_em = active_next & scatter_event & (
+            medium_scatter | bsdf_api.is_smooth(lb))
+        ds, em_weight = sample_emitter_direction(
+            sd, p_event, rnd2(1), False, active_em  # visibility via
+        )                                            # transmittance below
+        active_em = active_em & (ds.pdf > 0.0)
+        trans, occ = transmittance(
+            sd, p_event, ds.d, ds.dist, st["medium"], active_em)
+        active_em = active_em & ~occ
+
+        # scatter kernel toward the light: phase (medium) or BSDF (surface)
+        cos_ph = dot(st["d"], ds.d)
+        f_phase = hg_pdf(cos_ph, med_g)[:, None] * jnp.ones((n, C))
+        pdf_phase = hg_pdf(cos_ph, med_g)
+        wo_em = si.frame.to_local(ds.d)
+        f_srf, pdf_srf = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
+        f_em = jnp.where(medium_scatter[:, None], f_phase, f_srf)
+        pdf_for_mis = jnp.where(medium_scatter, pdf_phase, pdf_srf)
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_for_mis))
+        Lr_dir = jnp.where(
+            active_em[:, None],
+            beta * mis_em[:, None] * f_em * em_weight * trans[:, None],
+            0.0,
+        )
+
+        film_st = splat_pair_any(
+            st["film"], film_cfg, spp,
+            distance, Le * splat_w[:, None],
+            distance + ds.dist * st["eta"], Lr_dir * splat_w[:, None],
+            active,
+            icfg.temporal_filter, icfg.gaussian_stddev,
+        )
+
+        # ---- direction sampling (dims 3-5) --------------------------------
+        # medium: HG about the current direction; surface: BSDF sample;
+        # null surface: pass straight through and switch medium
+        d_hg_local, pdf_hg = square_to_hg(rnd2(4), med_g)
+        from ..core.frame import Frame
+
+        frame_d = Frame.from_normal(st["d"])
+        d_hg = frame_d.to_world(d_hg_local)
+
+        bs = bsdf_api.sample(lb, si.wi, rnd1(3), rnd2(4),
+                             active_next & ~medium_scatter)
+        d_srf = si.frame.to_world(bs.wo)
+
+        new_d = jnp.where(medium_scatter[:, None], d_hg, d_srf)
+        new_o = jnp.where(
+            medium_scatter[:, None],
+            p_event,
+            si.spawn_ray(d_srf).o,
+        )
+        w_step = jnp.where(medium_scatter[:, None], jnp.ones((n, C)),
+                           bs.weight)
+        pdf_step = jnp.where(medium_scatter, pdf_hg, bs.pdf)
+        delta_step = jnp.where(medium_scatter, False, bs.delta)
+        eta_step = jnp.where(medium_scatter, 1.0, bs.eta)
+
+        # medium switch at null boundaries
+        new_med = jnp.where(
+            hit & ~medium_scatter & bsdf_api.is_null(lb),
+            _transition(sd, si, st["d"], st["medium"]),
+            st["medium"],
+        )
+
+        L = st["L"] + Le + Lr_dir
+        beta = jnp.where(active_next[:, None], beta * w_step, beta)
+        eta = jnp.where(active_next, st["eta"] * eta_step, st["eta"])
+
+        # ---- RR -----------------------------------------------------------
+        beta_max = jnp.max(beta, axis=-1)
+        active_next = active_next & (beta_max != 0.0)
+        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+        active_next = active_next & (rr_prob > 0.0)
+        rr_active = it >= icfg.rr_depth
+        beta = jnp.where(
+            (rr_active & active_next)[:, None],
+            beta * jnp.where(rr_prob > 0.0,
+                             1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)[:, None],
+            beta,
+        )
+        rr_continue = rnd1(7) < rr_prob
+        active_next = active_next & (~rr_active | rr_continue)
+
+        return dict(
+            o=new_o, d=new_d, beta=beta, L=L, eta=eta,
+            distance=distance, active=active_next,
+            depth=st["depth"] + jnp.where(scatter_event, 1, 0),
+            medium=new_med,
+            # null crossings must NOT update the previous-scatter records
+            # (the MIS pdf refers to the last real scattering event)
+            prev_p=jnp.where(scatter_event[:, None], p_event, st["prev_p"]),
+            prev_pdf=jnp.where(active_next & scatter_event, pdf_step,
+                               st["prev_pdf"]),
+            prev_delta=jnp.where(active_next & scatter_event, delta_step,
+                                 st["prev_delta"]),
+            film=film_st,
+            n_rays=st["n_rays"]
+            + jnp.sum(active.astype(jnp.float32)) * (1 + TRANSMITTANCE_STEPS),
+        )
+
+    final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
+    return final["film"], final["L"], final["depth"] > 0, final["n_rays"]

@@ -53,7 +53,11 @@ def _perspective_pass(
     n = width * height * spp_chunk
     sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
-    film, L, valid, n_rays = sample_primal(
+    if icfg.kind == "transient_prbvolpath":
+        from .integrators.volpath import sample_volpath_primal as sample_fn
+    else:
+        sample_fn = sample_primal
+    film, L, valid, n_rays = sample_fn(
         sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
         sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
     )

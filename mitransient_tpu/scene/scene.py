@@ -50,6 +50,7 @@ class Triangles(NamedTuple):
     shape_id: jnp.ndarray  # (M,) int32
     bsdf_id: jnp.ndarray  # (M,) int32
     emitter_id: jnp.ndarray  # (M,) int32, -1 = none
+    medium_id: jnp.ndarray  # (M,) int32 interior medium, -1 = vacuum
 
 
 class BSDFParams(NamedTuple):
@@ -79,10 +80,21 @@ class EmitterParams(NamedTuple):
     em_tri_cdf: jnp.ndarray  # (K,) float32 CDF within each emitter's range
 
 
+class MediumParams(NamedTuple):
+    """Homogeneous participating media (mi.Medium equivalents consumed by
+    transient_prbvolpath; cf. cbox_volumetric.xml:99-120): extinction
+    sigma_t, single-scattering albedo, HG phase anisotropy g."""
+
+    sigma_t: jnp.ndarray  # (M,)
+    albedo: jnp.ndarray  # (M, C)
+    g: jnp.ndarray  # (M,)
+
+
 class SceneData(NamedTuple):
     tri: Triangles
     bsdf: BSDFParams
     emitter: EmitterParams
+    medium: MediumParams
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from .scene import (
     EM_PROJECTOR,
     BSDFParams,
     EmitterParams,
+    MediumParams,
     SceneData,
     Triangles,
 )
@@ -292,6 +293,7 @@ class Scene:
         self._bsdfs: list[_BSDFEntry] = []
         self._bsdf_index: dict[str, int] = {}
         self._emitters: list[_EmitterEntry] = []
+        self._media: list[dict] = []  # parsed homogeneous media
         self._shape_keys: list[str] = []
         self._param_paths: dict[str, tuple[str, int]] = {}
         self.base_dir = base_dir
@@ -364,6 +366,17 @@ class Scene:
                         self._param_paths[f"{key}.{ck}.radiance.value"] = (
                             "emitter.radiance", em_idx)
                         shape.emitter_key = em_idx
+                    elif ct in ("homogeneous",):
+                        med_idx = len(self._media)
+                        phase = cv.get("phase", {})
+                        self._media.append({
+                            "sigma_t": float(cv.get("sigma_t", 1.0)),
+                            "albedo": parse_color(cv.get("albedo", 0.75), C),
+                            "g": float(phase.get("g", 0.0)),
+                        })
+                        shape.medium_key = med_idx
+                        self._param_paths[f"{key}.{ck}.albedo.value"] = (
+                            "medium.albedo", med_idx)
                     elif ct in ("nlos_capture_meter", "perspective", "irradiancemeter"):
                         sensor_dicts.append((cv, shape_idx))
                 if bsdf_idx is None:
@@ -460,7 +473,7 @@ class Scene:
         # Triangle soup
         tri_v0, tri_v1, tri_v2 = [], [], []
         tri_uv0, tri_uv1, tri_uv2 = [], [], []
-        tri_shape, tri_bsdf, tri_em = [], [], []
+        tri_shape, tri_bsdf, tri_em, tri_med = [], [], [], []
         self.shape_tri_ranges: list[tuple[int, int]] = []
         count = 0
         for si_, shape in enumerate(self.shapes):
@@ -478,6 +491,8 @@ class Scene:
             tri_bsdf.append(np.full(m, shape.bsdf_key, np.int32))
             em = shape.emitter_key if shape.emitter_key is not None else -1
             tri_em.append(np.full(m, em, np.int32))
+            med = getattr(shape, "medium_key", None)
+            tri_med.append(np.full(m, med if med is not None else -1, np.int32))
 
         if count == 0:
             raise ValueError("scene has no geometry")
@@ -502,6 +517,7 @@ class Scene:
             shape_id=jnp.asarray(np.concatenate(tri_shape)),
             bsdf_id=jnp.asarray(np.concatenate(tri_bsdf)),
             emitter_id=jnp.asarray(np.concatenate(tri_em)),
+            medium_id=jnp.asarray(np.concatenate(tri_med)),
         )
 
         # BSDF table
@@ -593,7 +609,20 @@ class Scene:
             em_tri_cdf=jnp.asarray(em_tri_cdf),
         )
 
-        self.data = SceneData(tri=tri, bsdf=bsdf, emitter=emitter)
+        # Medium table (at least one row so lookups are well-formed)
+        n_med = max(len(self._media), 1)
+        medium = MediumParams(
+            sigma_t=jnp.asarray(np.array(
+                [m["sigma_t"] for m in self._media] or [0.0], np.float32)),
+            albedo=jnp.asarray(np.stack(
+                [m["albedo"] for m in self._media]
+                or [np.zeros(C, np.float32)])),
+            g=jnp.asarray(np.array(
+                [m["g"] for m in self._media] or [0.0], np.float32)),
+        )
+
+        self.data = SceneData(tri=tri, bsdf=bsdf, emitter=emitter,
+                              medium=medium)
 
     # ------------------------------------------------------------------
     def emitter_index(self, key_or_idx) -> int:
@@ -668,6 +697,8 @@ class ParamMap:
             return self.scene.data.bsdf.reflectance[idx]
         if table == "emitter.radiance":
             return self.scene.data.emitter.radiance[idx]
+        if table == "medium.albedo":
+            return self.scene.data.medium.albedo[idx]
         if table == "emitter.to_world":
             return self.scene._emitters[idx].to_world
         raise KeyError(key)
@@ -698,6 +729,11 @@ class ParamMap:
                 data = data._replace(
                     emitter=data.emitter._replace(
                         radiance=data.emitter.radiance.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "medium.albedo":
+                data = data._replace(
+                    medium=data.medium._replace(
+                        albedo=data.medium.albedo.at[idx].set(
                             jnp.asarray(value, jnp.float32))))
             elif table == "emitter.to_world":
                 pass  # host-side; handled in update()

