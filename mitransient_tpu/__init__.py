@@ -10,7 +10,7 @@ Unlike the reference (which refuses to import without a Mitsuba variant set,
 reference __init__.py:3-13), variants here are plain values — see
 ``set_variant`` / ``variant`` — defaulting to ``rgb``.
 """
-from . import nlos, vis  # noqa: F401
+from . import nlos, vis, vis_polarized  # noqa: F401
 from .core.spectrum import (  # noqa: F401
     is_monochromatic,
     is_polarized,

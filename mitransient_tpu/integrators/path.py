@@ -73,6 +73,8 @@ def sample_primal(
     spp: int,
     initial_distance: jnp.ndarray | None = None,
     enable_film: bool = True,
+    polarized: bool = False,
+    cam_vertical: jnp.ndarray | None = None,
 ):
     """Trace one wavefront; returns (film', L (N, C), valid (N,)).
 
@@ -81,6 +83,13 @@ def sample_primal(
     the raw per-lane L splatted once by the caller.
     ``initial_distance`` seeds the OPL (NLOS: laser->wall OPL arrives via
     ray.time, transientnlospath.py:718).
+
+    ``polarized=True`` switches the throughput to a Mueller-matrix chain
+    (beta (N, 4, 4, C), composed camera-first as beta @ M like Mitsuba's
+    polarized Spectrum product) aligned to the sensor's vertical axis at the
+    first vertex (reference utils.py:9-21); contributions become Stokes
+    vectors and the film carries 4*C channels (transient_image_block.py:90-99
+    channel packing).
     """
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
@@ -97,11 +106,23 @@ def sample_primal(
 
     splat_w = ray_weight * sample_scale
 
+    if polarized:
+        from ..bsdf.polarized import sensor_alignment_mueller
+
+        vert = cam_vertical if cam_vertical is not None else jnp.array(
+            [0.0, 1.0, 0.0])
+        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
+        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        L0 = jnp.zeros((n, 4 * C), jnp.float32)
+    else:
+        beta0 = jnp.ones((n, C), jnp.float32)
+        L0 = jnp.zeros((n, C), jnp.float32)
+
     state = PathState(
         o=ray.o,
         d=ray.d,
-        beta=jnp.ones((n, C), jnp.float32),
-        L=jnp.zeros((n, C), jnp.float32),
+        beta=beta0,
+        L=L0,
         eta=jnp.ones((n,), jnp.float32),
         distance=distance0,
         active=jnp.ones((n,), bool),
@@ -135,11 +156,21 @@ def sample_primal(
         pdf_em_hit = jnp.where(st.prev_delta, 0.0, pdf_em_hit)
         mis = mis_weight(st.prev_pdf, pdf_em_hit)
         Le_raw = emitter_eval_hit(sd, si, st.d)
-        Le = jnp.where(
-            (hit & ~jnp.bool_(icfg.discard_direct_light))[:, None],
-            st.beta * mis[:, None] * Le_raw,
-            0.0,
-        )
+        le_mask = hit & ~jnp.bool_(icfg.discard_direct_light)
+        if polarized:
+            # emission is unpolarized: contribution Stokes = E * mis *
+            # (first column of the Mueller throughput)
+            b_col = st.beta[:, :, 0, :]  # (N, 4, C)
+            Le = jnp.where(
+                le_mask[:, None],
+                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
+                    n, 4 * C),
+                0.0,
+            )
+        else:
+            Le = jnp.where(
+                le_mask[:, None], st.beta * mis[:, None] * Le_raw, 0.0
+            )
 
         # ---------------- continuation gating ------------------------------
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
@@ -153,9 +184,31 @@ def sample_primal(
         wo_em = si.frame.to_local(ds.d)
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
-        Lr_dir = jnp.where(
-            active_em[:, None], st.beta * mis_em[:, None] * f_em * em_weight, 0.0
-        )
+        if polarized:
+            from ..bsdf.polarized import polarization_factor
+
+            # Fresnel incidence cosine at the half vector (local frame)
+            m_h = si.wi + wo_em
+            m_h = m_h / jnp.maximum(
+                jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+            cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
+            wo_em_world = ds.d
+            P_em = polarization_factor(
+                lb, -wo_em_world, -st.d, cos_i_em)
+            M_em = P_em * f_em[:, None, None, :]
+            A = jnp.einsum("nikc,nkjc->nijc", st.beta, M_em)
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                (A[:, :, 0, :]
+                 * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
+                     n, 4 * C),
+                0.0,
+            )
+        else:
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                st.beta * mis_em[:, None] * f_em * em_weight, 0.0,
+            )
         # one fused film update for both splat events of this bounce
         # (emitter hit at `distance`, NEE at `distance + ds.dist * eta`)
         if enable_film:
@@ -175,20 +228,46 @@ def sample_primal(
         new_ray = si.spawn_ray(d_world)
 
         L = st.L + Le + Lr_dir
-        beta = jnp.where(active_next[:, None], st.beta * bs.weight, st.beta)
+        if polarized:
+            from ..bsdf.polarized import polarization_factor
+
+            m_h = si.wi + bs.wo
+            m_h = m_h / jnp.maximum(
+                jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+            cos_i_s = jnp.where(
+                bs.delta, jnp.abs(si.wi[:, 2]),
+                jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
+            transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
+            P_s = polarization_factor(
+                lb, -d_world, -st.d, cos_i_s, transmitted=transmitted)
+            M_w = P_s * bs.weight[:, None, None, :]
+            beta = jnp.where(
+                active_next[:, None, None, None],
+                jnp.einsum("nikc,nkjc->nijc", st.beta, M_w),
+                st.beta,
+            )
+        else:
+            beta = jnp.where(active_next[:, None], st.beta * bs.weight,
+                             st.beta)
         eta = jnp.where(active_next, st.eta * bs.eta, st.eta)
 
         # ---------------- stopping criteria --------------------------------
-        beta_max = jnp.max(beta, axis=-1)
+        if polarized:
+            beta_max = jnp.max(beta[:, 0, 0, :], axis=-1)
+        else:
+            beta_max = jnp.max(beta, axis=-1)
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
-        beta = jnp.where(
-            (rr_active & active_next)[:, None],
-            beta * jnp.where(rr_prob > 0.0, 1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)[:, None],
-            beta,
-        )
+        rr_scale = jnp.where(rr_prob > 0.0,
+                             1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)
+        rr_mask = rr_active & active_next
+        if polarized:
+            beta = jnp.where(rr_mask[:, None, None, None],
+                             beta * rr_scale[:, None, None, None], beta)
+        else:
+            beta = jnp.where(rr_mask[:, None], beta * rr_scale[:, None], beta)
         rr_continue = rnd1(5) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 

@@ -33,7 +33,8 @@ DEFAULT_MAX_LANES = 1 << 21
 
 @partial(
     jax.jit,
-    static_argnames=("film_cfg", "icfg", "width", "height", "spp_chunk"),
+    static_argnames=("film_cfg", "icfg", "width", "height", "spp_chunk",
+                     "polarized"),
     donate_argnames=("film",),
 )
 def _perspective_pass(
@@ -49,18 +50,28 @@ def _perspective_pass(
     width: int,
     height: int,
     spp_chunk: int,
+    polarized: bool = False,
 ):
     n = width * height * spp_chunk
     sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
     if icfg.kind == "transient_prbvolpath":
+        if polarized:
+            raise NotImplementedError(
+                "polarized volumetric rendering is not supported (the "
+                "reference's prbvolpath is likewise unpolarized)")
         from .integrators.volpath import sample_volpath_primal as sample_fn
+
+        film, L, valid, n_rays = sample_fn(
+            sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+            sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
+        )
     else:
-        sample_fn = sample_primal
-    film, L, valid, n_rays = sample_fn(
-        sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
-        sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
-    )
+        film, L, valid, n_rays = sample_primal(
+            sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+            sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
+            polarized=polarized, cam_vertical=cam.R[:, 1],
+        )
     film = splat_steady(film, spp_chunk, L, ray_weight)
     return film, n_rays
 
@@ -99,7 +110,9 @@ def render(
     total_spp = spp_chunk * n_passes
 
     cam = build_camera(cfg)
-    film = film_init(film_cfg, scene.variant.color_channels)
+    polarized = scene.variant.polarized
+    film_channels = scene.variant.color_channels * (4 if polarized else 1)
+    film = film_init(film_cfg, film_channels)
     total_rays = 0.0
     for p in range(n_passes):
         film, n_rays = _perspective_pass(
@@ -107,7 +120,7 @@ def render(
             jnp.float32(1.0 / total_spp),
             film_cfg=film_cfg, icfg=icfg,
             width=film_cfg.width, height=film_cfg.height,
-            spp_chunk=spp_chunk,
+            spp_chunk=spp_chunk, polarized=polarized,
         )
         total_rays = total_rays + n_rays
         if progress_callback is not None:

@@ -1,0 +1,106 @@
+"""Polarized (Stokes/Mueller) transient rendering tests.
+
+Parity targets: the reference's mono_polarized variant
+(cbox_polarized.xml, transient_nlos_polarization.ipynb) with 4 Stokes
+channels packed per pixel (transient_image_block.py:90-99).
+"""
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+
+
+@pytest.fixture()
+def mono_pol():
+    old = mitr.variant().name
+    mitr.set_variant("mono_polarized")
+    yield
+    mitr.set_variant(old)
+
+
+def pol_cbox(box_bsdf=None, w=16, h=16, bins=300, max_depth=4):
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = w
+    d["sensor"]["film"]["height"] = h
+    d["sensor"]["film"]["temporal_bins"] = bins
+    d["integrator"]["max_depth"] = max_depth
+    if box_bsdf is not None:
+        d["small-box"]["bsdf"] = box_bsdf
+    return d
+
+
+def test_polarized_shapes_and_stokes_validity(mono_pol):
+    scene = mitr.load_dict(pol_cbox())
+    s, t = mitr.render(scene, spp=16, seed=0)
+    s, t = np.asarray(s), np.asarray(t)
+    # mono_polarized: 4 Stokes channels (reference channel layout '0123')
+    assert s.shape == (16, 16, 4)
+    assert t.shape == (16, 16, 300, 4)
+    assert np.all(np.isfinite(s)) and np.all(np.isfinite(t))
+    I = s[..., 0]
+    assert I.min() >= -1e-6 and I.sum() > 0
+    # physical Stokes: DoP <= 1 (I^2 >= Q^2+U^2+V^2), allow MC noise
+    lin = np.sqrt(s[..., 1] ** 2 + s[..., 2] ** 2 + s[..., 3] ** 2)
+    mask = I > 1e-3
+    assert np.quantile(lin[mask] / I[mask], 0.95) <= 1.05
+
+
+def test_diffuse_scene_nearly_unpolarized(mono_pol):
+    """All-diffuse cbox: depolarizing BSDFs -> Q,U,V ~ 0."""
+    scene = mitr.load_dict(pol_cbox())
+    s, _t = mitr.render(scene, spp=32, seed=0)
+    s = np.asarray(s)
+    I = s[..., 0].sum()
+    quv = np.abs(s[..., 1:]).sum()
+    assert quv / max(I, 1e-9) < 1e-3
+
+
+def test_gold_wall_polarizes(mono_pol):
+    """Specular gold reflections produce nonzero linear polarization
+    (the polarization/ example scenes' point)."""
+    scene = mitr.load_dict(
+        pol_cbox(box_bsdf={"type": "roughconductor", "material": "Au",
+                           "alpha": 0.1}, max_depth=5))
+    s, _t = mitr.render(scene, spp=64, seed=0)
+    s = np.asarray(s)
+    I = s[..., 0]
+    Q = s[..., 1]
+    U = s[..., 2]
+    lin = np.sqrt(Q ** 2 + U ** 2)
+    dop = lin / np.maximum(I, 1e-6)
+    # some pixels (mirror reflections off the gold box) show DoP >> 0
+    assert np.quantile(dop[I > 1e-3], 0.99) > 0.02
+
+
+def test_intensity_matches_unpolarized_render(mono_pol):
+    """Stokes I must agree with the mono unpolarized render (depolarized
+    scene => identical estimator up to polarization bookkeeping)."""
+    scene_p = mitr.load_dict(pol_cbox())
+    s_p, t_p = mitr.render(scene_p, spp=32, seed=0)
+    mitr.set_variant("mono")
+    scene_u = mitr.load_dict(pol_cbox())
+    s_u, t_u = mitr.render(scene_u, spp=32, seed=0)
+    mitr.set_variant("mono_polarized")
+    I = np.asarray(s_p)[..., 0]
+    U = np.asarray(s_u)[..., 0]
+    assert np.allclose(I, U, rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(t_p)[..., 0], np.asarray(t_u)[..., 0],
+                       rtol=1e-3, atol=1e-6)
+
+
+def test_polarized_visualization_functions(mono_pol):
+    from mitransient_tpu import vis_polarized as vp
+
+    scene = mitr.load_dict(
+        pol_cbox(box_bsdf={"type": "roughconductor", "material": "Au",
+                           "alpha": 0.1}))
+    s, t = mitr.render(scene, spp=8, seed=0)
+    s = np.asarray(s)
+    dop = vp.degree_of_polarization(s)
+    assert dop.shape == (16, 16) and np.all(np.isfinite(dop))
+    for mode in ("dop", "aolp", "top", "chirality"):
+        img = vp.polarization_generate_false_color(s, mode)
+        assert img.shape == (16, 16, 3)
+        assert np.all(np.isfinite(img)) and img.min() >= 0 and img.max() <= 1
+    tm = vp.tonemap_transient(np.asarray(t))
+    assert np.all(np.isfinite(tm))
