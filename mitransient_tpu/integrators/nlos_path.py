@@ -88,16 +88,23 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
     if not isinstance(wall_shape, Rectangle):
         raise TypeError("nlos_capture_meter must be attached to a rectangle")
 
-    sx, sy = sensor_cfg.scan_size if not sensor_cfg.is_confocal else (
-        sensor_cfg.film.width, sensor_cfg.film.height)
+    sx, sy = (sensor_cfg.film.width, sensor_cfg.film.height)
     # film-sized scan grid at pixel centers (nloscapturemeter.py:149-151)
     px, py = np.meshgrid(np.arange(sx), np.arange(sy))
     uv = np.stack([(px.ravel() + 0.5) / sx, (py.ravel() + 0.5) / sy], -1)
     targets = wall_shape.position_from_uv(uv).astype(np.float32)
+    if sensor_cfg.is_confocal:
+        # confocal: the (1x1) film's sensor ray aims at the focused laser
+        # point itself (nloscapturemeter.py:110-123,143-145)
+        if not scene.laser_focused:
+            raise ValueError(
+                "confocal capture requires focusing the laser first "
+                "(mitransient_tpu.nlos.focus_emitter_at_relay_wall_*)")
+        targets = np.asarray(scene.laser_target, np.float32).reshape(1, 3)
 
     # laser target: focus helpers set scene.laser_target; otherwise intersect
     # the projector axis with the scene (transientnlospath.py:328-336)
-    if np.any(np.asarray(scene.laser_target) != 0.0):
+    if scene.laser_focused:
         laser_target = np.asarray(scene.laser_target, np.float32)
     else:
         o = np.asarray(sd.emitter.position[0]).reshape(1, 3)
@@ -451,6 +458,11 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
 
+    if icfg.capture_type == "exhaustive":
+        return render_nlos_exhaustive(
+            scene, spp=spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
+            progress_callback=progress_callback, return_stats=return_stats)
+
     ctx = prepare_nlos(scene, cfg)
 
     spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
@@ -489,3 +501,72 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp}
     return steady, transient
+
+
+def render_nlos_exhaustive(scene: Scene, spp, seed=0, sensor=0,
+                           max_lanes=1 << 21, progress_callback=None,
+                           return_stats: bool = False):
+    """Exhaustive NLOS capture: every scan pixel x every laser grid point
+    (transientnlospath.py:597-628 + the 6-D film of
+    transient_image_block.py:63-68).
+
+    Returns (steady (h, w, C), transient (h, w, lh, lw, T, C)).  The laser
+    grid is the pixel-center grid of (laser_scan_width x laser_scan_height)
+    on the relay wall; each grid point is rendered as a focused single
+    capture with the *same* seed — the sample-sharing structure of the
+    reference's inner laser loop, expressed as an outer loop over laser
+    points (identical estimator; contributions for laser point (lx, ly) land
+    in slab [:, :, ly, lx]).  With a projector emitter, emitter-hit (Le)
+    terms are identically zero, matching the reference's exhaustive-mode Le
+    skip (:775).
+    """
+    import numpy as np
+
+    cfg = scene.sensors[sensor]
+    film_cfg = cfg.film
+    if not film_cfg.exhaustive_scan:
+        raise ValueError("exhaustive capture requires a film with "
+                         "exhaustive_scan=True (transient_hdr_film.py:80-88)")
+    lw = film_cfg.laser_scan_width
+    lh = film_cfg.laser_scan_height
+    if lw <= 0 or lh <= 0:
+        raise ValueError("laser_scan_width/height must be set for "
+                         "exhaustive captures")
+
+    wall_shape = scene.shapes[cfg.shape_index]
+    px, py = np.meshgrid(np.arange(lw), np.arange(lh))
+    uv = np.stack([(px.ravel() + 0.5) / lw, (py.ravel() + 0.5) / lh], -1)
+    laser_targets = wall_shape.position_from_uv(uv).astype(np.float32)
+
+    h, w = film_cfg.height, film_cfg.width
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+    out = np.zeros((h, w, lh, lw, T, C), np.float32)
+    steady_acc = np.zeros((h, w, C), np.float32)
+    total_rays = 0.0
+
+    from ..nlos import focus_emitter_at_relay_wall_3dpoint
+
+    n_pts = lh * lw
+    # render each illumination point as a focused single capture
+    saved_icfg = scene.integrator
+    scene.integrator = saved_icfg._replace(capture_type="single")
+    try:
+        for i in range(n_pts):
+            focus_emitter_at_relay_wall_3dpoint(laser_targets[i], scene)
+            s, t, stats = render_nlos(
+                scene, spp=spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
+                return_stats=True)
+            ly, lx = divmod(i, lw)
+            # average over illumination points (transientnlospath.py:628)
+            out[:, :, ly, lx] = np.asarray(t)
+            steady_acc += np.asarray(s) / n_pts
+            total_rays += float(stats["rays"])
+            if progress_callback is not None:
+                progress_callback((i + 1) / n_pts)
+    finally:
+        scene.integrator = saved_icfg
+
+    if return_stats:
+        return steady_acc, out, {"rays": total_rays, "spp": spp * n_pts}
+    return steady_acc, out

@@ -23,6 +23,7 @@ def focus_emitter_at_relay_wall_3dpoint(target, scene: Scene, emitter="laser"):
     target = np.asarray(target, np.float64)
     scene.laser_target = target
     scene.laser_bounce_opl = float(np.linalg.norm(target - origin))
+    scene.laser_focused = True
     return scene
 
 

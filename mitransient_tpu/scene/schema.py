@@ -464,6 +464,7 @@ class Scene:
         # NLOS bookkeeping: laser focus state (updated by mitransient_tpu.nlos)
         self.laser_target = np.zeros(3)
         self.laser_bounce_opl = 0.0
+        self.laser_focused = False
 
         self._compile()
 

@@ -148,3 +148,34 @@ def test_hidden_geometry_sampling_reduces_noise():
     a, b = float(np.asarray(t_hg).sum()), float(np.asarray(t_no).sum())
     if b > 0:
         assert abs(a - b) / max(a, b) < 0.5
+
+
+def test_confocal_capture():
+    d = nlos_scene(sx=1, sy=1)
+    d["relay_wall"]["nlos_sensor"]["original_film_width"] = 4
+    d["relay_wall"]["nlos_sensor"]["original_film_height"] = 4
+    scene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], scene)
+    s, t = mitr.render(scene, spp=64, seed=0)
+    t = np.asarray(t)
+    assert t.shape == (1, 1, 300, 3)
+    assert np.all(np.isfinite(t)) and t.sum() > 0
+    # arrival geometry same as the single capture at the same pixel
+    prof = t.sum(axis=(0, 1, 3))
+    first = np.nonzero(prof)[0][0]
+    assert 90 <= first <= 120
+
+
+def test_exhaustive_capture():
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    scene = mitr.load_dict(d)
+    s, t = mitr.render(scene, spp=16, seed=0)
+    assert t.shape == (2, 2, 2, 2, 300, 3)
+    t = np.asarray(t)
+    assert np.all(np.isfinite(t)) and t.sum() > 0
+    # different laser points illuminate differently
+    assert not np.allclose(t[:, :, 0, 0], t[:, :, 1, 1])
