@@ -114,3 +114,80 @@ def render_sharded(
         return steady, transient, {"rays": total_rays, "spp": total_spp,
                                    "devices": ndev}
     return steady, transient
+
+
+def render_backward_sharded(
+    scene: Scene,
+    mesh: Mesh,
+    grad_in,
+    spp: int | None = None,
+    seed: int = 0,
+    sensor: int = 0,
+):
+    """Distributed PRB: every device runs the two-sweep replay on its spp
+    share (independent counter streams), parameter-table gradients are
+    psum-all-reduced over ICI — the full data-parallel training step of an
+    inverse-rendering loop (the distributed generalization the reference
+    lacks, SURVEY.md section 2.3).
+
+    Returns the same gradient dict as ``render_backward``.
+    """
+    import jax.numpy as jnp
+    from ..integrators.path import sample_primal
+    from ..integrators.prb import sample_adjoint
+    from ..film.transient_film import film_init
+
+    cfg = scene.sensors[sensor]
+    if cfg.kind != "perspective":
+        raise NotImplementedError("sharded NLOS gradients not implemented")
+    icfg = scene.integrator
+    film_cfg = cfg.film
+    ndev = mesh.size
+    spp = spp if spp is not None else cfg.spp
+    spp_dev = max(1, spp // ndev)
+    total_spp = spp_dev * ndev
+    hw = film_cfg.width * film_cfg.height
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+
+    grad_steady, grad_transient = grad_in
+    gs = (jnp.zeros((hw, C), jnp.float32) if grad_steady is None
+          else jnp.asarray(grad_steady, jnp.float32).reshape(hw, C))
+    gt = (jnp.zeros((hw * T, C), jnp.float32) if grad_transient is None
+          else jnp.asarray(grad_transient, jnp.float32).reshape(hw * T, C))
+
+    cam = build_camera(cfg)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step(sd, cam_, gs_, gt_, seed_):
+        didx = jax.lax.axis_index("shard").astype(jnp.uint32)
+        n = hw * spp_dev
+        sampler = Sampler(seed_, n, stream=didx)
+        ray, pix, ray_weight = sample_rays(
+            cam_, sampler, film_cfg.width, film_cfg.height, spp_dev)
+        film = film_init(film_cfg, C)
+        _f, L, _v, _r = sample_primal(
+            sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+            sample_scale=1.0 / total_spp, base_dim=2, spp=spp_dev,
+            enable_film=False,
+        )
+        grads = sample_adjoint(
+            sd, sampler.key, ray, pix, ray_weight, L, gt_, gs_,
+            film_cfg, icfg, 1.0 / total_spp, base_dim=2, mode="backward",
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), grads)
+
+    grads = jax.jit(step)(scene.data, cam, gs, gt, jnp.uint32(seed))
+    out = {"__tables__": grads}
+    for path, (table, idx) in scene._param_paths.items():
+        if table == "bsdf.reflectance":
+            out[path] = grads.bsdf_reflectance[idx]
+        elif table == "emitter.radiance":
+            out[path] = grads.emitter_radiance[idx]
+    return out

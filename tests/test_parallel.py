@@ -50,3 +50,26 @@ def test_device_count_changes_sample_set_not_mean():
     s4, _ = render_sharded(scene, make_mesh(4), spp=128, seed=0)
     m2, m4 = float(jnp.mean(s2)), float(jnp.mean(s4))
     assert abs(m2 - m4) / max(m2, 1e-9) < 0.15
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_backward_matches_single_device_scale():
+    from mitransient_tpu.parallel.mesh import render_backward_sharded
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 60
+    d["sensor"]["film"]["start_opl"] = 0.0
+    d["sensor"]["film"]["bin_width_opl"] = 0.3
+    d["integrator"]["max_depth"] = 3
+    d["integrator"]["rr_depth"] = 99
+    scene = mitr.load_dict(d)
+    ones_t = np.ones((8, 8, 60, 3), np.float32)
+    g_sh = render_backward_sharded(scene, make_mesh(4), (None, ones_t),
+                                   spp=64, seed=0)
+    g_1 = mitr.render_backward(scene, (None, ones_t), spp=64, seed=0)
+    a = np.asarray(g_sh["white.reflectance.value"])
+    b = np.asarray(g_1["white.reflectance.value"])
+    # different sample sets, same estimator: statistical agreement
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9) < 0.2
