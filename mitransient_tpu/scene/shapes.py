@@ -141,7 +141,26 @@ class Mesh(Shape):
     def triangles(self) -> TriangleData:
         ext = os.path.splitext(self.filename)[1].lower()
         if ext == ".obj":
-            verts, faces, uvs = load_obj(self.filename)
+            verts = faces = uvs = None
+            # large UV-free meshes take the native C++ parser
+            # (mitransient_tpu.native); the Python loader is the semantic
+            # reference and handles uv-indexed faces
+            try:
+                with open(self.filename, "rb") as fh:
+                    head = fh.read(1 << 16)
+                has_uv = b"\nvt " in head or head.startswith(b"vt ")
+                big = os.path.getsize(self.filename) > (1 << 20)
+            except OSError:
+                has_uv, big = True, False
+            if big and not has_uv:
+                from ..native import load_obj_native
+
+                res = load_obj_native(self.filename)
+                if res is not None:
+                    verts, faces = res
+                    uvs = None
+            if verts is None:
+                verts, faces, uvs = load_obj(self.filename)
         elif ext == ".ply":
             verts, faces, uvs = load_ply(self.filename)
         else:
