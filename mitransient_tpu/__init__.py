@@ -20,5 +20,6 @@ from .core.spectrum import (  # noqa: F401
 )
 from .render import render, render_backward, render_forward  # noqa: F401
 from .scene.schema import Scene, load_dict, traverse  # noqa: F401
+from .scene.xml_loader import load_file  # noqa: F401
 from .utils import cornell_box, speed_of_light  # noqa: F401
 from .version import __version__  # noqa: F401

@@ -84,15 +84,60 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
             f"NLOS scenes must have exactly 1 emitter, got {E} "
             "(transientnlospath.py:256-260)")
 
-    wall_shape = scene.shapes[sensor_cfg.shape_index]
-    if not isinstance(wall_shape, Rectangle):
-        raise TypeError("nlos_capture_meter must be attached to a rectangle")
-
     sx, sy = (sensor_cfg.film.width, sensor_cfg.film.height)
-    # film-sized scan grid at pixel centers (nloscapturemeter.py:149-151)
-    px, py = np.meshgrid(np.arange(sx), np.arange(sy))
-    uv = np.stack([(px.ravel() + 0.5) / sx, (py.ravel() + 0.5) / sy], -1)
-    targets = wall_shape.position_from_uv(uv).astype(np.float32)
+    if sensor_cfg.kind == "perspective":
+        # NLOS through a perspective sensor (the XML scenes' setup,
+        # nlos-z-simple.xml:4-28): scan targets = pixel-center camera rays
+        # intersected with the scene (transientnlospath.py:294-312)
+        from ..sensors.perspective import build_camera
+        from ..core.rng import Sampler as _S
+
+        cam = build_camera(sensor_cfg)
+        px, py = np.meshgrid(np.arange(sx), np.arange(sy))
+        u = (px.ravel() + 0.5) / sx
+        v = (py.ravel() + 0.5) / sy
+        d_cam = np.stack([
+            (1.0 - 2.0 * u) * float(cam.tan_half[0]),
+            (1.0 - 2.0 * v) * float(cam.tan_half[1]),
+            np.ones_like(u),
+        ], axis=-1)
+        R = np.asarray(cam.R)
+        d_world = d_cam @ R.T
+        d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True)
+        origin = np.asarray(cam.origin)
+        from ..ops.intersect import intersect_soup
+
+        n_scan = d_world.shape[0]
+        o_arr = jnp.asarray(np.broadcast_to(origin, (n_scan, 3)).copy(),
+                            jnp.float32)
+        t, prim, _u2, _v2 = intersect_soup(
+            sd.tri.v0, sd.tri.e1, sd.tri.e2, o_arr,
+            jnp.asarray(d_world, jnp.float32),
+            jnp.full((n_scan,), jnp.inf), jnp.ones((n_scan,), bool))
+        t_np = np.asarray(t)
+        prim_np = np.asarray(prim)
+        if not np.any(prim_np >= 0):
+            raise ValueError("The sensor did not intersect any geometry "
+                             "(transientnlospath.py:314-317)")
+        t_np = np.where(np.isfinite(t_np), t_np, 0.0)
+        targets = (origin + d_world * t_np[:, None]).astype(np.float32)
+        sensor_origin = origin.astype(np.float32)
+        # relay wall = shape hit by the central scan ray (for HG exclusion)
+        center_prim = int(prim_np[(sy // 2) * sx + sx // 2])
+        wall_shape_index = (
+            int(np.asarray(sd.tri.shape_id)[center_prim])
+            if center_prim >= 0 else -1)
+    else:
+        wall_shape = scene.shapes[sensor_cfg.shape_index]
+        if not isinstance(wall_shape, Rectangle):
+            raise TypeError(
+                "nlos_capture_meter must be attached to a rectangle")
+        # film-sized scan grid at pixel centers (nloscapturemeter.py:149-151)
+        px, py = np.meshgrid(np.arange(sx), np.arange(sy))
+        uv = np.stack([(px.ravel() + 0.5) / sx, (py.ravel() + 0.5) / sy], -1)
+        targets = wall_shape.position_from_uv(uv).astype(np.float32)
+        sensor_origin = np.asarray(sensor_cfg.sensor_origin, np.float32)
+        wall_shape_index = sensor_cfg.shape_index
     if sensor_cfg.is_confocal:
         # confocal: the (1x1) film's sensor ray aims at the focused laser
         # point itself (nloscapturemeter.py:110-123,143-145)
@@ -127,7 +172,7 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
     include_wall = icfg.nlos_hidden_geometry_sampling_includes_relay_wall
     mask = np.ones_like(areas, bool)
     if not include_wall:
-        mask &= shape_ids != sensor_cfg.shape_index
+        mask &= shape_ids != wall_shape_index
     hg_idx = np.nonzero(mask)[0].astype(np.int32)
     hg_areas = areas[hg_idx]
     total = float(hg_areas.sum())
@@ -141,8 +186,7 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
     cdf = np.cumsum(hg_areas / total).astype(np.float32)
 
     return NLOSContext(
-        sensor_origin=jnp.asarray(
-            np.asarray(sensor_cfg.sensor_origin, np.float32)),
+        sensor_origin=jnp.asarray(sensor_origin),
         sensor_targets=jnp.asarray(targets),
         laser_target=jnp.asarray(laser_target),
         emitter_idx=jnp.int32(0),

@@ -92,12 +92,14 @@ def render(
     ``(H, W, T, C)`` jnp arrays.
     """
     cfg = scene.sensors[sensor]
-    if cfg.kind == "nlos_capture_meter":
+    if (cfg.kind == "nlos_capture_meter"
+            or scene.integrator.kind == "transient_nlos_path"):
         from .integrators.nlos_path import render_nlos
 
         return render_nlos(scene, spp=spp, seed=seed, sensor=sensor,
                            max_lanes=max_lanes,
-                           progress_callback=progress_callback)
+                           progress_callback=progress_callback,
+                           return_stats=return_stats)
 
     icfg = scene.integrator
     film_cfg = cfg.film
