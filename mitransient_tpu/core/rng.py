@@ -69,3 +69,15 @@ class Sampler:
         s.n = self.n
         s.dim = 0
         return s
+
+
+BOUNCE_STREAM_TAG = 0x42000000  # disambiguates bounce blocks from scalar dims
+
+
+def draw_bounce_block(key, it, n: int, dims: int):
+    """One uniform draw for ALL of a bounce's sampler dimensions: a single
+    threefry invocation per bounce instead of ``dims`` separate ones
+    (dispatch/overhead-bound on TPU).  Deterministic in (key, it), so the
+    PRB replay regenerates the identical block.  Returns (n, dims)."""
+    k = jax.random.fold_in(key, jnp.uint32(BOUNCE_STREAM_TAG) + it)
+    return jax.random.uniform(k, (n, dims))

@@ -135,13 +135,15 @@ def sample_primal(
     )
 
     def bounce(it, st: PathState) -> PathState:
-        dim = base_dim + it * DIMS_PER_BOUNCE
+        from ..core.rng import draw_bounce_block
+
+        ub = draw_bounce_block(key, it, n, DIMS_PER_BOUNCE)
 
         def rnd1(k):
-            return jax.random.uniform(jax.random.fold_in(key, dim + k), (n,))
+            return ub[:, k]
 
         def rnd2(k):
-            return jnp.stack([rnd1(k), rnd1(k + 1)], axis=-1)
+            return ub[:, k : k + 2]
 
         active = st.active
         si = ray_intersect(sd, Ray.make(st.o, st.d), active)
