@@ -1,0 +1,236 @@
+"""Transient path tracer with in-loop path regeneration.
+
+The fixed-depth wavefront (integrators/path.py) pays for every lane on every
+bounce even though Russian roulette and escapes kill most paths early: by
+bounce 4 of a max_depth-8 Cornell-box render, occupancy is well under 50%.
+This variant keeps the wavefront saturated the classic GPU way — **when a
+lane's path terminates, the lane immediately starts its pixel's next spp
+sample** — expressed TPU-natively as a single `lax.while_loop` that runs
+until every lane's sample budget is exhausted.  The Python pass loop
+disappears: one launch consumes the whole spp budget.
+
+Lane layout: lane l = (row r = l // HW, pixel p = l % HW); the lane owns
+sample indices r, r + L, r + 2L, ... of pixel p (L = lanes per pixel), so
+the pixel of a lane never changes and the scatter-free film path
+(ops/splat_pallas.py) applies unchanged.
+
+RNG: per-(sample, dimension) *stateless hashing* — `hash_uniform(key,
+sample_id, dim)` with a PCG-style mixer — because regenerating lanes need
+per-lane keys, which `jax.random`'s single-key draws cannot express.  The
+estimator is identical to the fixed-depth integrator; only the sample stream
+differs (validated statistically in tests/test_regen.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf import api as bsdf_api
+from ..core.math import mis_weight, normalize
+from ..core.records import Ray
+from ..film.transient_film import TransientFilmState, splat_pair_any
+from ..scene.scene import (
+    SceneData,
+    emitter_eval_hit,
+    pdf_emitter_direction,
+    ray_intersect,
+    sample_emitter_direction,
+)
+from ..scene.schema import FilmConfig, IntegratorConfig
+
+DIMS_PER_BOUNCE = 8  # 2 NEE + 3 BSDF + 1 RR (+2 spare); dims 0-1 = jitter
+
+
+def _pcg(x: jnp.ndarray) -> jnp.ndarray:
+    """32-bit PCG-ish mixer (uint32 -> uint32)."""
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    w = ((x >> (x >> jnp.uint32(28)) + jnp.uint32(4)) ^ x) * jnp.uint32(277803737)
+    return (w >> jnp.uint32(22)) ^ w
+
+
+def hash_uniform(seed: jnp.ndarray, sample_id: jnp.ndarray,
+                 dim: jnp.ndarray) -> jnp.ndarray:
+    """Stateless uniform in [0,1): pure function of (seed, sample, dim)."""
+    h = _pcg(sample_id.astype(jnp.uint32) ^ _pcg(dim.astype(jnp.uint32)
+                                                 ^ _pcg(seed)))
+    return h.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def sample_primal_regen(
+    sd: SceneData,
+    seed,
+    cam,
+    film: TransientFilmState,
+    film_cfg: FilmConfig,
+    icfg: IntegratorConfig,
+    spp_total: int,
+    lanes_per_pixel: int,
+):
+    """Render the full spp budget in one while_loop with path regeneration.
+
+    Returns (film, steady_sum (N, C) per-lane accumulators to be
+    row-reduced, n_rays, n_iters).
+    """
+    hw = film_cfg.width * film_cfg.height
+    L = lanes_per_pixel
+    n = hw * L
+    C = sd.bsdf.reflectance.shape[-1]
+    width, height = film_cfg.width, film_cfg.height
+    seed_u = jnp.uint32(seed)
+    splat_scale = jnp.float32(1.0 / spp_total)
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = (lane % hw).astype(jnp.int32)
+    row = (lane // hw).astype(jnp.uint32)
+
+    def gen_ray(sample_idx):
+        """Camera ray for each lane's sample ``sample_idx`` (dims 0-1)."""
+        sid = sample_idx * jnp.uint32(hw) + pix.astype(jnp.uint32)
+        jx = hash_uniform(seed_u, sid, jnp.uint32(0))
+        jy = hash_uniform(seed_u, sid, jnp.uint32(1))
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        u = (px + jx) / width
+        v = (py + jy) / height
+        d_cam = jnp.stack(
+            [(1.0 - 2.0 * u) * cam.tan_half[0],
+             (1.0 - 2.0 * v) * cam.tan_half[1],
+             jnp.ones_like(u)], axis=-1)
+        d = normalize(d_cam @ cam.R.T)
+        o = jnp.broadcast_to(cam.origin, (n, 3))
+        return o, d
+
+    o0, d0 = gen_ray(row)
+
+    state = dict(
+        o=o0, d=d0,
+        beta=jnp.ones((n, C), jnp.float32),
+        L=jnp.zeros((n, C), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        distance=jnp.zeros((n,), jnp.float32),
+        depth=jnp.zeros((n,), jnp.uint32),
+        sample_idx=row,  # current sample index per lane
+        lane_live=row < jnp.uint32(spp_total),  # lanes beyond budget are dead
+        path_active=row < jnp.uint32(spp_total),
+        prev_p=o0,
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_delta=jnp.ones((n,), bool),
+        steady=jnp.zeros((n, C), jnp.float32),
+        film=film,
+        n_rays=jnp.zeros((), jnp.float32),
+        it=jnp.uint32(0),
+    )
+
+    max_iters = ((spp_total + L - 1) // L) * icfg.max_depth + icfg.max_depth
+
+    def cond(st):
+        return jnp.any(st["lane_live"]) & (st["it"] < max_iters)
+
+    def body(st):
+        active = st["path_active"] & st["lane_live"]
+        depth = st["depth"]
+        sid = st["sample_idx"] * jnp.uint32(hw) + pix.astype(jnp.uint32)
+
+        def rnd1(k):
+            return hash_uniform(
+                seed_u, sid,
+                jnp.uint32(2) + depth * jnp.uint32(DIMS_PER_BOUNCE)
+                + jnp.uint32(k))
+
+        def rnd2(k):
+            return jnp.stack([rnd1(k), rnd1(k + 1)], axis=-1)
+
+        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
+        hit = active & si.valid
+        distance = st["distance"] + jnp.where(hit, si.t, 0.0) * st["eta"]
+
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+
+        pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
+        pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
+        mis = mis_weight(st["prev_pdf"], pdf_em_hit)
+        Le = jnp.where(
+            (hit & ~jnp.bool_(icfg.discard_direct_light))[:, None],
+            st["beta"] * mis[:, None] * emitter_eval_hit(sd, si, st["d"]),
+            0.0,
+        )
+
+        cont = active & (depth + 1 < icfg.max_depth) & si.valid
+        active_em = cont & bsdf_api.is_smooth(lb)
+        ds, em_weight = sample_emitter_direction(sd, si.p, rnd2(0), True,
+                                                 active_em)
+        active_em = active_em & (ds.pdf > 0.0)
+        wo_em = si.frame.to_local(ds.d)
+        f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
+        Lr_dir = jnp.where(
+            active_em[:, None],
+            st["beta"] * mis_em[:, None] * f_em * em_weight, 0.0)
+
+        film_st = splat_pair_any(
+            st["film"], film_cfg, L,
+            distance, Le * splat_scale,
+            distance + ds.dist * st["eta"], Lr_dir * splat_scale,
+            active,
+            icfg.temporal_filter, icfg.gaussian_stddev,
+        )
+
+        bs = bsdf_api.sample(lb, si.wi, rnd1(2), rnd2(3), cont)
+        d_world = si.frame.to_world(bs.wo)
+        new_ray = si.spawn_ray(d_world)
+
+        L_acc = st["L"] + Le + Lr_dir
+        beta = jnp.where(cont[:, None], st["beta"] * bs.weight, st["beta"])
+        eta = jnp.where(cont, st["eta"] * bs.eta, st["eta"])
+
+        beta_max = jnp.max(beta, axis=-1)
+        cont = cont & (beta_max != 0.0)
+        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+        cont = cont & (rr_prob > 0.0)
+        rr_active = depth >= jnp.uint32(icfg.rr_depth)
+        rr_scale = jnp.where(rr_prob > 0.0,
+                             1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)
+        beta = jnp.where((rr_active & cont)[:, None],
+                         beta * rr_scale[:, None], beta)
+        cont = cont & (~rr_active | (rnd1(5) < rr_prob))
+
+        # ---- regeneration: finished paths bank their L and start the
+        # lane's next sample ------------------------------------------------
+        finished = active & ~cont
+        steady = st["steady"] + jnp.where(finished[:, None], L_acc, 0.0)
+        next_sample = st["sample_idx"] + jnp.uint32(L)
+        has_more = next_sample < jnp.uint32(spp_total)
+        regen = finished & has_more
+        lane_live = st["lane_live"] & ~(finished & ~has_more)
+        sample_idx = jnp.where(regen, next_sample, st["sample_idx"])
+        o_new, d_new = gen_ray(sample_idx)
+
+        out = dict(
+            o=jnp.where(regen[:, None], o_new, new_ray.o),
+            d=jnp.where(regen[:, None], d_new, d_world),
+            beta=jnp.where(regen[:, None], 1.0, beta),
+            L=jnp.where((finished | regen)[:, None], 0.0, L_acc),
+            eta=jnp.where(regen, 1.0, eta),
+            distance=jnp.where(regen, 0.0, distance),
+            depth=jnp.where(regen, 0, depth + 1).astype(jnp.uint32),
+            sample_idx=sample_idx,
+            lane_live=lane_live,
+            path_active=jnp.where(regen, True, cont) & lane_live,
+            prev_p=jnp.where(regen[:, None], o_new,
+                             jnp.where(hit[:, None], si.p, st["prev_p"])),
+            prev_pdf=jnp.where(regen, 1.0,
+                               jnp.where(cont, bs.pdf, st["prev_pdf"])),
+            prev_delta=jnp.where(regen, True,
+                                 jnp.where(cont, bs.delta,
+                                           st["prev_delta"])),
+            steady=steady,
+            film=film_st,
+            n_rays=st["n_rays"]
+            + jnp.sum(active.astype(jnp.float32))
+            + jnp.sum(active_em.astype(jnp.float32)),
+            it=st["it"] + 1,
+        )
+        return out
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["film"], final["steady"], final["n_rays"], final["it"]

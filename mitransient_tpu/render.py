@@ -76,6 +76,30 @@ def _perspective_pass(
     return film, n_rays
 
 
+@partial(
+    jax.jit,
+    static_argnames=("film_cfg", "icfg", "spp_total", "lanes_per_pixel"),
+    donate_argnames=("film",),
+)
+def _regen_render(sd, cam, film, seed, *, film_cfg, icfg, spp_total,
+                  lanes_per_pixel):
+    from .integrators.path_regen import sample_primal_regen
+
+    film, steady_lanes, n_rays, iters = sample_primal_regen(
+        sd, seed, cam, film, film_cfg, icfg, spp_total, lanes_per_pixel)
+    # steady_lanes holds per-lane SUMS of completed-sample radiances; every
+    # pixel completes exactly spp_total samples, so reduce the lane rows and
+    # count spp_total unit sample weights per pixel
+    hw = film.steady.shape[0]
+    C = steady_lanes.shape[-1]
+    s = steady_lanes.reshape(lanes_per_pixel, hw, C).sum(axis=0)
+    film = film._replace(
+        steady=film.steady + s,
+        steady_weight=film.steady_weight + jnp.float32(spp_total),
+    )
+    return film, n_rays, iters
+
+
 def render(
     scene: Scene,
     spp: int | None = None,
@@ -84,6 +108,7 @@ def render(
     max_lanes: int = DEFAULT_MAX_LANES,
     progress_callback=None,
     return_stats: bool = False,
+    regenerate: bool | None = None,
 ):
     """Render ``(steady, transient)`` for the scene's sensor.
 
@@ -105,6 +130,34 @@ def render(
     film_cfg = cfg.film
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
+
+    # Path-regeneration fast path: single while_loop consuming the whole spp
+    # budget at ~full occupancy (integrators/path_regen.py).  Used for plain
+    # primal transient_path renders on TPU-scale workloads.
+    polarized_v = scene.variant.polarized
+    if regenerate is None:
+        regenerate = (
+            icfg.kind == "transient_path"
+            and not icfg.camera_unwarp
+            and not polarized_v
+            and icfg.temporal_filter != "gaussian"
+            and spp >= 8
+        )
+    if regenerate:
+        lanes_per_pixel = max(1, min(spp, max_lanes // max(hw, 1)))
+        cam = build_camera(cfg)
+        film = film_init(film_cfg, scene.variant.color_channels)
+        film, n_rays, iters = _regen_render(
+            scene.data, cam, film, jnp.uint32(seed),
+            film_cfg=film_cfg, icfg=icfg, spp_total=spp,
+            lanes_per_pixel=lanes_per_pixel)
+        if progress_callback is not None:
+            progress_callback(1.0)
+        steady, transient = develop(film, film_cfg)
+        if return_stats:
+            return steady, transient, {"rays": n_rays, "spp": spp,
+                                       "iters": iters}
+        return steady, transient
 
     spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
     n_passes = (spp + spp_chunk - 1) // spp_chunk

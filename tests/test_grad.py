@@ -37,7 +37,9 @@ def scene():
 
 
 def _loss(scene, spp=SPP, seed=0):
-    _s, t = mitr.render(scene, spp=spp, seed=seed)
+    # regenerate=False: the PRB sweeps replay the fixed-depth sample stream,
+    # so exact consistency checks must use the same stream
+    _s, t = mitr.render(scene, spp=spp, seed=seed, regenerate=False)
     return float(jnp.sum(t))
 
 
@@ -102,10 +104,10 @@ def test_forward_mode_matches_fd_video(scene):
     base = np.asarray(params["white.reflectance.value"])
     params["white.reflectance.value"] = base + eps * v
     params.update()
-    _sp, tp = mitr.render(scene, spp=SPP, seed=0)
+    _sp, tp = mitr.render(scene, spp=SPP, seed=0, regenerate=False)
     params["white.reflectance.value"] = base - eps * v
     params.update()
-    _sm, tm = mitr.render(scene, spp=SPP, seed=0)
+    _sm, tm = mitr.render(scene, spp=SPP, seed=0, regenerate=False)
     params["white.reflectance.value"] = base
     params.update()
     fd = (np.asarray(tp) - np.asarray(tm)) / (2 * eps)
