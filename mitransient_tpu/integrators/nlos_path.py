@@ -260,10 +260,11 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
     cos_wl = dot(si2.n, -d1)
     active_e = active_e & (cos_wl > 0.0)
-    # area -> solid angle pdf conversion (:546-551)
-    pdf_ls = jnp.where(cos_wl > 0, dist1 * dist1 / jnp.maximum(cos_wl, 1e-9),
-                       jnp.inf)
-    f1 = f1 / jnp.maximum(pdf_ls, 1e-30)[:, None]
+    # area -> solid angle pdf conversion (:546-551); keep all values finite
+    # (an inf in a masked branch poisons reverse-mode AD through the mask)
+    pdf_ls = dist1 * dist1 / jnp.maximum(cos_wl, 1e-9)
+    f1 = jnp.where(active_e[:, None],
+                   f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
     lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id)
     beta2 = beta * f1
@@ -429,8 +430,10 @@ def sample_nlos_primal(
         f_hg, _ = bsdf_api.eval_pdf(lb, si.wi, wo_hg, hg_ok)
         pdf_hg = pdf_a * dist_h * dist_h / jnp.maximum(jnp.abs(cos_g), 1e-9)
         hg_ok = hg_ok & (pdf_hg > 1e-9)
-        w_hg = jnp.where(hg_ok[:, None],
-                         f_hg / jnp.maximum(pdf_hg, 1e-30)[:, None], 0.0)
+        # masked guarded reciprocal: no huge intermediates on dead lanes
+        # (they poison reverse-mode AD through the selects)
+        rcp_hg = jnp.where(hg_ok, 1.0 / jnp.maximum(pdf_hg, 1e-9), 0.0)
+        w_hg = f_hg * rcp_hg[:, None]
 
         # plain BSDF sample (dims 6-8)
         bs = bsdf_api.sample(lb, si.wi, rnd1(6), rnd2(7),
@@ -453,17 +456,17 @@ def sample_nlos_primal(
         )
         eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
 
-        beta_max = jnp.max(beta, axis=-1)
+        # RR is a detached sampling decision (reference detached PRB):
+        # stop_gradient keeps full-loop AD from differentiating the
+        # acceptance probability
+        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
-        beta = jnp.where(
-            (rr_active & active_next)[:, None],
-            beta * jnp.where(rr_prob > 0.0,
-                             1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)[:, None],
-            beta,
-        )
+        rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
+                             1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
+        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
         rr_continue = rnd1(9) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 

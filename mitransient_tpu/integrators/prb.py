@@ -65,12 +65,14 @@ class DiffParams(NamedTuple):
 
     bsdf_reflectance: jnp.ndarray  # (B, C)
     emitter_radiance: jnp.ndarray  # (E, C)
+    medium_albedo: jnp.ndarray  # (M, C)
 
 
 def extract_params(sd: SceneData) -> DiffParams:
     return DiffParams(
         bsdf_reflectance=sd.bsdf.reflectance,
         emitter_radiance=sd.emitter.radiance,
+        medium_albedo=sd.medium.albedo,
     )
 
 
@@ -78,6 +80,7 @@ def insert_params(sd: SceneData, p: DiffParams) -> SceneData:
     return sd._replace(
         bsdf=sd.bsdf._replace(reflectance=p.bsdf_reflectance),
         emitter=sd.emitter._replace(radiance=p.emitter_radiance),
+        medium=sd.medium._replace(albedo=p.medium_albedo),
     )
 
 

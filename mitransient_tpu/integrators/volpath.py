@@ -269,18 +269,15 @@ def sample_volpath_primal(
         beta = jnp.where(active_next[:, None], beta * w_step, beta)
         eta = jnp.where(active_next, st["eta"] * eta_step, st["eta"])
 
-        # ---- RR -----------------------------------------------------------
-        beta_max = jnp.max(beta, axis=-1)
+        # ---- RR (detached sampling decision; keeps full-loop AD sane) -----
+        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
-        beta = jnp.where(
-            (rr_active & active_next)[:, None],
-            beta * jnp.where(rr_prob > 0.0,
-                             1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)[:, None],
-            beta,
-        )
+        rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
+                             1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
+        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
         rr_continue = rnd1(7) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 

@@ -192,9 +192,6 @@ def render(
 
 def _prb_setup(scene: Scene, spp, seed, sensor):
     cfg = scene.sensors[sensor]
-    if cfg.kind != "perspective":
-        raise NotImplementedError(
-            "differentiable NLOS rendering lands with the NLOS integrator")
     icfg = scene.integrator
     film_cfg = cfg.film
     spp = spp if spp is not None else cfg.spp
@@ -242,7 +239,20 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
     (H, W, T, C) | None).  Returns a dict mapping traversal paths (see
     ``traverse``) to gradient arrays, plus the raw table grads under
     ``'__tables__'``.
+
+    Dispatch: ``transient_path`` uses the PRB two-sweep replay
+    (integrators/prb.py, reference semantics).  ``transient_nlos_path`` and
+    ``transient_prbvolpath`` use full reverse-mode AD through the wavefront
+    loop with detached sampling decisions — exact per-bin time attribution
+    (the reference's NLOS/volumetric AD reads the adjoint at the vertex
+    distance instead; see PARITY.md).
     """
+    if scene.integrator.kind in ("transient_nlos_path",
+                                 "transient_prbvolpath"):
+        from .integrators.fullad import render_backward_fullad
+
+        return render_backward_fullad(scene, grad_in, spp=spp, seed=seed,
+                                      sensor=sensor)
     cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
     C = scene.variant.color_channels
     T = film_cfg.temporal_bins
@@ -264,6 +274,8 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
             out[path] = grads.bsdf_reflectance[idx]
         elif table == "emitter.radiance":
             out[path] = grads.emitter_radiance[idx]
+        elif table == "medium.albedo":
+            out[path] = grads.medium_albedo[idx]
     return out
 
 
@@ -334,7 +346,9 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
                 tb = tb.at[idx].set(jnp.asarray(val, jnp.float32))
             elif table == "emitter.radiance":
                 te = te.at[idx].set(jnp.asarray(val, jnp.float32))
-    tangents = DiffParams(bsdf_reflectance=tb, emitter_radiance=te)
+    tangents = DiffParams(bsdf_reflectance=tb, emitter_radiance=te,
+                          medium_albedo=jnp.zeros_like(
+                              scene.data.medium.albedo))
 
     cam = build_camera(cfg)
     return _forward_pass(
