@@ -10,6 +10,26 @@ Unlike the reference (which refuses to import without a Mitsuba variant set,
 reference __init__.py:3-13), variants here are plain values — see
 ``set_variant`` / ``variant`` — defaulting to ``rgb``.
 """
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA/Mosaic compilation cache: the BVH pass-loop kernels take
+# minutes to compile; caching amortizes that to once per machine.  Users can
+# override via JAX_COMPILATION_CACHE_DIR or disable with
+# MITR_NO_COMPILE_CACHE=1.
+if not _os.environ.get("MITR_NO_COMPILE_CACHE"):
+    try:
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            _cache = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "mitransient_tpu",
+                "jax_cache")
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
 from . import nlos, vis, vis_polarized  # noqa: F401
 from .core.spectrum import (  # noqa: F401
     is_monochromatic,

@@ -1,0 +1,167 @@
+"""Large-scene ray-tracing acceleration structure (host-side build).
+
+TPU-native replacement for Embree/OptiX BVHs (the native layer behind
+``mi.Scene.ray_intersect`` — SURVEY.md §2.2 row 1) for scenes too large for
+the single-level SMEM triangle sweep (ops/intersect_pallas.py caps at 4096
+triangles; the reference's staircase scene has ~263k).
+
+Design — *binned rays + dense chunk sweeps*, chosen for the TPU execution
+model rather than translated from the reference's CUDA/Embree patterns.
+Classic per-ray BVH descent needs per-lane gathers and divergent stacks
+(TPU-hostile), and tile-packet traversal (AND over a ray tile) collapses on
+incoherent bounce wavefronts (measured 0.2-0.4 Mrays/s).  Instead:
+
+- Triangles are globally reordered by a median-split BVH (native C++
+  builder, native/mitr_native.cpp) so consecutive triangles are spatially
+  compact, then cut into fixed-size *chunks* (`CHUNK_TRIS` each).  Each
+  chunk is a padded SMEM-sized page (triangle table + original prim ids)
+  plus one AABB.
+- A query runs a few *passes* (lax.while_loop).  Per pass every ray picks
+  its next chunk front-to-back: a dense, fully-vectorized slab test against
+  all C chunk AABBs with an (entry-t, chunk-id) lexicographic gate — pure
+  VPU work, no divergence.  Rays are then sorted by chunk id (one
+  ``lax.sort``, ~3 ms for 2M rays on v5e) and a Pallas kernel sweeps each
+  ray tile against its bound chunk page: the page is selected per tile via
+  scalar prefetch, so XLA streams pages HBM->SMEM double-buffered, and
+  consecutive tiles bound to the same chunk reuse the resident page.
+- A ray is finished when its best hit is closer than every remaining
+  chunk's entry distance (front-to-back order makes this typically 1-3
+  passes); finished rays sort into a sentinel bin whose tiles the kernel
+  skips in O(1).
+
+All integers ride in f32 lanes (< 2^24, exact).  See ops/bvh_pallas.py for
+the kernels and the pass loop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import native
+
+CHUNK_TRIS = 512   # triangles per chunk page (SMEM block = 12*512*4 = 24 KB)
+# Threshold above which scenes get an accel structure (matches the
+# single-level Pallas sweep's SMEM cap, intersect_pallas.MAX_SMEM_TRIS).
+ACCEL_MIN_TRIS = 4096
+
+
+SUPER_CHUNKS = 8   # chunks per super-chunk (selection-kernel pruning level)
+
+
+class Accel(NamedTuple):
+    """Device-side pytree. Shapes are static per scene."""
+
+    aabb_min: jnp.ndarray  # (C, 3) f32 chunk bounds
+    aabb_max: jnp.ndarray  # (C, 3) f32
+    sup_min: jnp.ndarray   # (ceil(C/8), 3) f32 super-chunk bounds
+    sup_max: jnp.ndarray   # (ceil(C/8), 3) f32
+    pages: jnp.ndarray     # (C, CHUNK_TRIS // 8, 128) f32 chunk pages:
+    #   each 128-lane row holds 8 triangles x 16 fields: v0 xyz, e1 xyz,
+    #   e2 xyz, original prim id (-1 pad), 6 spare.  Exactly-128 rows keep
+    #   DMA slices tile-aligned and all lane extracts static (Mosaic).
+
+
+def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
+    """Build chunk pages + AABBs from a triangle soup (host, numpy)."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    m = v0.shape[0]
+
+    # Global spatial ordering (reuse the median-split builder): consecutive
+    # triangles in `order` are spatially compact, so equal-size cuts give
+    # tight chunk AABBs.
+    glob = native.build_bvh(v0, e1, e2, leaf_size=8)
+    order = np.asarray(glob["prim_order"], np.int64)
+    gv0, ge1, ge2 = v0[order], e1[order], e2[order]
+
+    c = (m + CHUNK_TRIS - 1) // CHUNK_TRIS
+    tri16 = np.zeros((c * CHUNK_TRIS, 16), np.float32)
+    tri16[:, 9] = -1.0
+    tri16[:m, 0:3] = gv0
+    tri16[:m, 3:6] = ge1
+    tri16[:m, 6:9] = ge2
+    tri16[:m, 9] = order.astype(np.float32)
+    pages = tri16.reshape(c, CHUNK_TRIS // 8, 128)
+    aabb_min = np.zeros((c, 3), np.float32)
+    aabb_max = np.zeros((c, 3), np.float32)
+    for ci in range(c):
+        lo = ci * CHUNK_TRIS
+        hi = min(lo + CHUNK_TRIS, m)
+        pts = np.concatenate([
+            gv0[lo:hi], gv0[lo:hi] + ge1[lo:hi], gv0[lo:hi] + ge2[lo:hi]
+        ])
+        aabb_min[ci] = pts.min(axis=0)
+        aabb_max[ci] = pts.max(axis=0)
+
+    spad = (-c) % SUPER_CHUNKS
+    smin = np.concatenate([aabb_min, np.full((spad, 3), 1.0, np.float32)])
+    smax = np.concatenate([aabb_max, np.full((spad, 3), -1.0, np.float32)])
+    sup_min = smin.reshape(-1, SUPER_CHUNKS, 3).min(axis=1)
+    sup_max = smax.reshape(-1, SUPER_CHUNKS, 3).max(axis=1)
+
+    return Accel(
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        sup_min=jnp.asarray(sup_min),
+        sup_max=jnp.asarray(sup_max),
+        pages=jnp.asarray(pages),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference traversal (numpy, for builder/kernel unit tests)
+# ---------------------------------------------------------------------------
+
+def closest_hit_reference(accel: Accel, ray_o, ray_d, maxt):
+    """Scalar numpy emulation of the binned-pass algorithm — validates the
+    chunk structure independently of both the brute-force sweep and the
+    Pallas kernels."""
+    amin = np.asarray(accel.aabb_min)
+    amax = np.asarray(accel.aabb_max)
+    pages = np.asarray(accel.pages)
+    c = amin.shape[0]
+    n_rays = ray_o.shape[0]
+    out_t = np.full(n_rays, np.inf, np.float32)
+    out_prim = np.full(n_rays, -1, np.int32)
+
+    for r in range(n_rays):
+        o = np.asarray(ray_o[r], np.float64)
+        d = np.asarray(ray_d[r], np.float64)
+        inv_d = 1.0 / np.where(np.abs(d) < 1e-12,
+                               np.where(d < 0, -1e-12, 1e-12), d)
+        best_t = float(maxt[r])
+        best_p = -1
+        t0 = (amin - o) * inv_d
+        t1 = (amax - o) * inv_d
+        tn = np.maximum(np.minimum(t0, t1).max(axis=1), 1e-4)
+        tf = np.minimum(np.maximum(t0, t1).min(axis=1), best_t)
+        hits = [(tn[ci], ci) for ci in range(c) if tn[ci] <= tf[ci]]
+        for entry, ci in sorted(hits):
+            if entry >= best_t:
+                break
+            tris = pages[ci].reshape(CHUNK_TRIS, 16)
+            for k in range(CHUNK_TRIS):
+                tv0 = tris[k, 0:3]
+                te1 = tris[k, 3:6]
+                te2 = tris[k, 6:9]
+                pvec = np.cross(d, te2)
+                det = float(te1 @ pvec)
+                if abs(det) < 1e-12:
+                    continue
+                inv = 1.0 / det
+                tvec = o - tv0
+                u = float(tvec @ pvec) * inv
+                qvec = np.cross(tvec, te1)
+                v = float(d @ qvec) * inv
+                tt = float(te2 @ qvec) * inv
+                if (u >= 0.0 and v >= 0.0 and u + v <= 1.0
+                        and tt > 1e-4 and tt < best_t):
+                    best_t = tt
+                    best_p = int(tris[k, 9])
+        if best_p >= 0:
+            out_t[r] = best_t
+            out_prim[r] = best_p
+    return out_t, out_prim

@@ -1,0 +1,511 @@
+"""Pallas TPU kernels + pass loop for large-scene ray queries.
+
+Companion to ops/accel.py (see its docstring for the algorithm).  Replaces
+the Embree/OptiX closest-hit / any-hit queries of the reference stack
+(``scene.ray_intersect`` transientpath.py:149, ``scene.ray_test``
+transientnlospath.py:442) for scenes beyond the single-level sweep's
+4096-triangle SMEM cap.
+
+Pipeline per pass (driven by ``lax.while_loop`` in :func:`closest_hit_bvh`):
+
+1. ``_select_next`` (pure XLA, fully vectorized): every ray picks the
+   chunk with the smallest AABB entry distance that is (a) closer than its
+   current best hit and (b) lexicographically after its (entry, chunk)
+   gate — i.e. front-to-back enumeration without any per-ray stack.
+2. One ``lax.sort`` bins the wavefront by chosen chunk id.
+3. ``_sweep_kernel``: one grid program per (SUBLANES, LANES) ray tile.
+   The tile walks its *distinct* chunk ids (a handful, thanks to the sort)
+   with a scalar while-loop; each page is DMA'd HBM->VMEM double-buffered
+   and swept 8 triangles per 128-lane row — dynamic indices only ever touch
+   the sublane dimension (Mosaic allows that; dynamic lane indices are
+   rejected), and every triangle extract is static-lane.
+
+Divergence is absorbed by binning + masked tile updates; all hot math is
+dense VPU work on full tiles.  Tiles whose rays are all finished bin into a
+sentinel id and cost one reduction.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .accel import Accel, CHUNK_TRIS, SUPER_CHUNKS
+
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES
+RAY_EPS = 1e-4
+BIG = 3.0e38
+TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
+
+
+def _pad_reshape(x, fill):
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, LANES)
+
+
+def _ray_spec():
+    return pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _safe_inv(d):
+    tiny = jnp.where(d < 0.0, -1e-12, 1e-12)
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
+
+
+def _moller_update(tri9, prim, rox, roy, roz, rdx, rdy, rdz, mask,
+                   best_t, best_p):
+    (cv0x, cv0y, cv0z, ce1x, ce1y, ce1z, ce2x, ce2y, ce2z) = tri9
+    px = rdy * ce2z - rdz * ce2y
+    py = rdz * ce2x - rdx * ce2z
+    pz = rdx * ce2y - rdy * ce2x
+    det = ce1x * px + ce1y * py + ce1z * pz
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvx = rox - cv0x
+    tvy = roy - cv0y
+    tvz = roz - cv0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * ce1z - tvz * ce1y
+    qy = tvz * ce1x - tvx * ce1z
+    qz = tvx * ce1y - tvy * ce1x
+    v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+    tt = (ce2x * qx + ce2y * qy + ce2z * qz) * inv_det
+    hit = (
+        mask & det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (tt > RAY_EPS) & (tt < best_t)
+    )
+    best_p = jnp.where(hit, prim, best_p)
+    best_t = jnp.where(hit, tt, best_t)
+    return best_t, best_p
+
+
+def _sweep_kernel(
+    aabb_ref,                       # (8, C) SMEM chunk bounds (+2 pad rows)
+    pages_ref,                      # (C, TRI_ROWS, 128) ANY (HBM)
+    cid, ox, oy, oz, dx, dy, dz, limit,  # (SUBLANES, LANES) VMEM tiles
+    best_t_ref, best_p_ref,         # VMEM out
+    page_scr,                       # VMEM scratch (2, TRI_ROWS, 128)
+    sem,                            # DMA semaphores (2,)
+    *, n_chunks: int,
+):
+    c = cid[...]
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    lim = limit[...]
+    sent = jnp.int32(n_chunks)
+
+    best_t_ref[...] = lim
+    best_p_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    def fetch(chunk, slot):
+        return pltpu.make_async_copy(
+            pages_ref.at[jnp.minimum(chunk, sent - 1)],
+            page_scr.at[slot], sem.at[slot],
+        )
+
+    first = jnp.min(c)
+
+    @pl.when(first < sent)
+    def _():
+        fetch(first, 0).start()
+
+    def body(carry):
+        cur, slot = carry
+        nxt = jnp.min(jnp.where(c > cur, c, sent))
+
+        @pl.when(nxt < sent)
+        def _():
+            fetch(nxt, 1 - slot).start()
+
+        fetch(cur, slot).wait()
+        bt = best_t_ref[...]
+        bp = best_p_ref[...]
+        # Opportunistic mask: sweep EVERY ray in the tile that can improve
+        # against this resident chunk (exact per-ray slab test), not just
+        # the rays whose selection bound it.  Duplicate work is idempotent
+        # (min-reduce) and the wider mask slashes the number of passes the
+        # outer loop needs.
+        t0x = (aabb_ref[0, cur] - rox) * ix
+        t0y = (aabb_ref[1, cur] - roy) * iy
+        t0z = (aabb_ref[2, cur] - roz) * iz
+        t1x = (aabb_ref[3, cur] - rox) * ix
+        t1y = (aabb_ref[4, cur] - roy) * iy
+        t1z = (aabb_ref[5, cur] - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        mask = (c == cur) | ((tn <= tf) & (tn < bt))
+
+        def row(g, carry):
+            bt, bp = carry
+            blk = page_scr[slot, pl.ds(g, 1), :]
+            for kk in range(8):
+                base = 16 * kk
+                tri9 = tuple(blk[0, base + r] for r in range(9))
+                prim = blk[0, base + 9].astype(jnp.int32)
+                bt, bp = _moller_update(
+                    tri9, prim, rox, roy, roz, rdx, rdy, rdz, mask, bt, bp
+                )
+            return bt, bp
+
+        bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp))
+        best_t_ref[...] = bt
+        best_p_ref[...] = bp
+        return nxt, 1 - slot
+
+    jax.lax.while_loop(lambda s: s[0] < sent, body, (first, 0))
+
+
+def _sweep_pass(accel: Accel, cid, ray_o, ray_d, best_t, interpret):
+    """Run the sweep kernel over a (sorted) wavefront: each ray is tested
+    against its bound chunk; returns improved (t, prim) candidates."""
+    n = ray_o.shape[0]
+    n_chunks = accel.pages.shape[0]
+    tiles = (
+        _pad_reshape(jnp.where(cid >= 0, cid, n_chunks), n_chunks),
+        _pad_reshape(ray_o[:, 0], 0.0),
+        _pad_reshape(ray_o[:, 1], 0.0),
+        _pad_reshape(ray_o[:, 2], 0.0),
+        _pad_reshape(ray_d[:, 0], 0.0),
+        _pad_reshape(ray_d[:, 1], 0.0),
+        _pad_reshape(ray_d[:, 2], 1.0),
+        _pad_reshape(jnp.minimum(best_t, BIG), -BIG),
+    )
+    rows = tiles[0].shape[0]
+    grid = (rows // SUBLANES,)
+    aabb_smem = jnp.concatenate(
+        [accel.aabb_min.T, accel.aabb_max.T,
+         jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
+    kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks)
+    best, prim = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)] + [_ray_spec()] * 8,
+        out_specs=(_ray_spec(), _ray_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TRI_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(aabb_smem, accel.pages, *tiles)
+    return best.reshape(-1)[:n], prim.reshape(-1)[:n]
+
+
+def _select_kernel(
+    sup_ref,                      # (8, S) SMEM super bounds (6 rows + pad)
+    chk_ref,                      # (8, C_pad) SMEM chunk bounds
+    ox, oy, oz, dx, dy, dz, bt_in, ge_in, gc_in,   # VMEM tiles
+    e_out, c_out,                 # VMEM out
+    *, n_supers: int, n_chunks: int,
+):
+    """Per-ray front-to-back chunk pick (exact), with super-chunk packet
+    pruning: a super is skipped only when NO ray in the tile can beat its
+    own best-t inside it — a gate-independent, always-safe cull."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    bt = bt_in[...]
+    ge = ge_in[...]
+    gc = gc_in[...]
+
+    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+        t0x = (bminx - rox) * ix
+        t1x = (bmaxx - rox) * ix
+        t0y = (bminy - roy) * iy
+        t1y = (bmaxy - roy) * iy
+        t0z = (bminz - roz) * iz
+        t1z = (bmaxz - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return tn, tf
+
+    bigi = jnp.int32(1 << 30)
+
+    def sup_body(si, carry):
+        be, bc = carry
+        tn, tf = slab(sup_ref[0, si], sup_ref[1, si], sup_ref[2, si],
+                      sup_ref[3, si], sup_ref[4, si], sup_ref[5, si])
+        hit = jnp.any((tn <= tf) & (tn < jnp.minimum(bt, be)))
+
+        def scan8(carry):
+            be, bc = carry
+            for k in range(SUPER_CHUNKS):
+                ci = si * SUPER_CHUNKS + k
+                tn, tf = slab(chk_ref[0, ci], chk_ref[1, ci],
+                              chk_ref[2, ci], chk_ref[3, ci],
+                              chk_ref[4, ci], chk_ref[5, ci])
+                cif = ci.astype(jnp.float32)
+                after = (tn > ge) | ((tn == ge) & (cif > gc))
+                valid = (tn <= tf) & (tn < bt) & after
+                e = jnp.where(valid, tn, jnp.inf)
+                better = (e < be) | ((e == be) & (cif < bc))
+                be = jnp.where(better, e, be)
+                bc = jnp.where(better, cif, bc)
+            return be, bc
+
+        return jax.lax.cond(hit, scan8, lambda c: c, (be, bc))
+
+    shape = (SUBLANES, LANES)
+    init = (jnp.full(shape, jnp.inf, jnp.float32),
+            jnp.full(shape, 1.0e30, jnp.float32))
+    be, bc = jax.lax.fori_loop(0, n_supers, sup_body, init)
+    found = jnp.isfinite(be)
+    e_out[...] = jnp.where(found, be, -jnp.inf)
+    c_out[...] = jnp.where(found & (bc < jnp.float32(n_chunks)),
+                           bc.astype(jnp.int32), -1)
+
+
+def _select_next_pallas(accel: Accel, ray_o, ray_d, best_t, gate_e, gate_c,
+                        interpret=False):
+    n = ray_o.shape[0]
+    c = accel.aabb_min.shape[0]
+    s_n = accel.sup_min.shape[0]
+    c_pad = s_n * SUPER_CHUNKS
+    chk = jnp.concatenate([
+        accel.aabb_min.T,
+        accel.aabb_max.T,
+        jnp.zeros((2, c), jnp.float32),
+    ], axis=0)
+    if c_pad > c:
+        fill = jnp.concatenate([
+            jnp.ones((3, c_pad - c), jnp.float32),
+            -jnp.ones((3, c_pad - c), jnp.float32),
+            jnp.zeros((2, c_pad - c), jnp.float32),
+        ], axis=0)
+        chk = jnp.concatenate([chk, fill], axis=1)
+    sup = jnp.concatenate([
+        accel.sup_min.T, accel.sup_max.T,
+        jnp.zeros((2, s_n), jnp.float32),
+    ], axis=0)
+    tiles = (
+        _pad_reshape(ray_o[:, 0], 0.0),
+        _pad_reshape(ray_o[:, 1], 0.0),
+        _pad_reshape(ray_o[:, 2], 0.0),
+        _pad_reshape(ray_d[:, 0], 0.0),
+        _pad_reshape(ray_d[:, 1], 0.0),
+        _pad_reshape(ray_d[:, 2], 1.0),
+        _pad_reshape(best_t, -BIG),
+        _pad_reshape(gate_e, jnp.inf),
+        _pad_reshape(gate_c.astype(jnp.float32), 0.0),
+    )
+    rows = tiles[0].shape[0]
+    grid = (rows // SUBLANES,)
+    kernel = functools.partial(_select_kernel, n_supers=s_n, n_chunks=c)
+    e, cid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [_ray_spec()] * 9,
+        out_specs=(_ray_spec(), _ray_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(sup, chk, *tiles)
+    return e.reshape(-1)[:n], cid.reshape(-1)[:n]
+
+
+_SEL_BLOCK = 8
+
+
+def _select_next(accel: Accel, ray_o, ray_d, inv_d, best_t, gate_e, gate_c,
+                 alive):
+    """Per ray: (entry, chunk) of the nearest chunk strictly after the
+    (gate_e, gate_c) lex gate whose AABB entry beats best_t; (-inf, -1) if
+    none.  Dense slab tests over chunk blocks under lax.scan — regular VPU
+    work, no gathers."""
+    c = accel.aabb_min.shape[0]
+    pad = (-c) % _SEL_BLOCK
+    amin = jnp.concatenate(
+        [accel.aabb_min, jnp.full((pad, 3), 1.0, jnp.float32)])
+    amax = jnp.concatenate(
+        [accel.aabb_max, jnp.full((pad, 3), -1.0, jnp.float32)])
+    nb = amin.shape[0] // _SEL_BLOCK
+    amin_b = amin.reshape(nb, _SEL_BLOCK, 3)
+    amax_b = amax.reshape(nb, _SEL_BLOCK, 3)
+    bases = (jnp.arange(nb) * _SEL_BLOCK).astype(jnp.int32)
+
+    o = ray_o[:, None, :]
+    inv = inv_d[:, None, :]
+
+    def body(carry, blk):
+        be, bc = carry
+        bmin, bmax, base = blk
+        t0 = (bmin[None] - o) * inv
+        t1 = (bmax[None] - o) * inv
+        tn = jnp.maximum(
+            jnp.max(jnp.minimum(t0, t1), axis=-1), RAY_EPS)
+        tf = jnp.minimum(
+            jnp.min(jnp.maximum(t0, t1), axis=-1), best_t[:, None])
+        cids = base + jnp.arange(_SEL_BLOCK, dtype=jnp.int32)[None, :]
+        after_gate = (tn > gate_e[:, None]) | (
+            (tn == gate_e[:, None]) & (cids > gate_c[:, None]))
+        valid = (tn <= tf) & after_gate & alive[:, None]
+        e = jnp.where(valid, tn, jnp.inf)
+        ej = jnp.min(e, axis=-1)
+        # ties -> smallest chunk id (pure reductions; no gathers)
+        cj = jnp.min(jnp.where(e == ej[:, None], cids, jnp.int32(1 << 30)),
+                     axis=-1)
+        better = ej < be  # ties keep the earlier (smaller-cid) block
+        return (jnp.where(better, ej, be),
+                jnp.where(better, cj, bc)), None
+
+    init = (jnp.full(ray_o.shape[0], jnp.inf, jnp.float32),
+            jnp.full(ray_o.shape[0], -1, jnp.int32))
+    (e, cid), _ = jax.lax.scan(body, init, (amin_b, amax_b, bases))
+    none = ~jnp.isfinite(e)
+    return jnp.where(none, -jnp.inf, e), jnp.where(none, -1, cid)
+
+
+def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
+           interpret: bool):
+    n = ray_o.shape[0]
+    idx0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    state = (
+        ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+        ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
+        jnp.where(active, jnp.minimum(maxt, BIG), -BIG),  # best_t
+        jnp.full(n, -1, jnp.int32),                       # best_p
+        jnp.full(n, -jnp.inf, jnp.float32),               # gate_e
+        jnp.full(n, -1, jnp.int32),                       # gate_c
+        idx0,
+    )
+
+    def pick(st):
+        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        if interpret:
+            inv = _safe_inv(d)
+            return _select_next(accel, o, d, inv, bt, ge, gc, bt > 0)
+        return _select_next_pallas(accel, o, d, bt, ge, gc)
+
+    def body(carry):
+        st, e, cid = carry
+        key = jnp.where(cid >= 0, cid, jnp.int32(accel.pages.shape[0]))
+        sorted_ = jax.lax.sort((key, e) + st, num_keys=1)
+        e = sorted_[1]
+        st = sorted_[2:]
+        cid = jnp.where(e > -jnp.inf, sorted_[0], -1)
+        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        t_new, p_new = _sweep_pass(accel, cid, o, d, bt, interpret)
+        improved = p_new >= 0
+        bt = jnp.where(improved, t_new, bt)
+        bp = jnp.where(improved, p_new, bp)
+        if occlusion:
+            # any hit resolves the ray: collapse best_t so no chunk's
+            # entry distance can beat it again
+            bt = jnp.where(bp >= 0, -BIG, bt)
+        ge = jnp.where(cid >= 0, e, ge)
+        gc = jnp.where(cid >= 0, cid, gc)
+        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
+        e2, cid2 = pick(st)
+        return st, e2, cid2
+
+    e, cid = pick(state)
+    if interpret:
+        # interpreter path (CPU tests): bounded unrolled loop (small C)
+        st = (state, e, cid)
+        for _ in range(int(accel.pages.shape[0])):
+            st = body(st)
+        st, e, cid = st
+    else:
+        # Cascade: the alive count shrinks geometrically with passes, so
+        # late passes run on statically-sliced prefixes.  Sorting by chunk
+        # id puts finished rays (sentinel key) last, preserving the
+        # invariant "alive rays live in the prefix".
+        st, e, cid = (state, e, cid)
+        size = n
+        sizes = []
+        while size > 4 * TILE:
+            sizes.append(size)
+            size = max(size // 4, 4 * TILE)
+            size -= size % TILE
+        sizes.append(size)
+        for i, sz in enumerate(sizes):
+            last = i == len(sizes) - 1
+            head = tuple(a[:sz] for a in st)
+            e_h, cid_h = e[:sz], cid[:sz]
+
+            if last:
+                def cond(c, sz=sz):
+                    return jnp.any(c[2] >= 0)
+            else:
+                def cond(c, sz=sz, nxt=sizes[i + 1]):
+                    return jnp.sum((c[2] >= 0).astype(jnp.int32)) > nxt
+
+            head, e_h, cid_h = jax.lax.while_loop(
+                cond, body, (head, e_h, cid_h))
+            if not last:
+                # compact alive rays into the next prefix
+                key = jnp.where(cid_h >= 0, cid_h,
+                                jnp.int32(accel.pages.shape[0]))
+                sorted_ = jax.lax.sort((key, e_h) + head, num_keys=1)
+                e_h = sorted_[1]
+                head = sorted_[2:]
+                cid_h = jnp.where(e_h > -jnp.inf, sorted_[0], -1)
+            st = tuple(
+                jax.lax.dynamic_update_slice(a, h, (0,))
+                for a, h in zip(st, head)
+            )
+            e = jax.lax.dynamic_update_slice(e, e_h, (0,))
+            cid = jax.lax.dynamic_update_slice(cid, cid_h, (0,))
+
+    (_, _, _, _, _, _, bt, bp, _, _, oidx) = st
+    res = jax.lax.sort((oidx, bt, bp), num_keys=1)
+    bt, bp = res[1], res[2]
+    t = jnp.where(bp < 0, jnp.inf, bt)
+    return t, bp
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_bvh(accel: Accel, ray_o, ray_d, maxt, active,
+                    interpret: bool = False):
+    """Closest-hit query through the chunked structure.
+
+    Returns (t (N,) f32 — +inf on miss, prim (N,) i32 — -1 on miss), with
+    ``prim`` in the scene's original triangle numbering."""
+    return _query(accel, ray_o, ray_d, maxt, active, occlusion=False,
+                  interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ray_test_bvh(accel: Accel, ray_o, ray_d, maxt, active,
+                 interpret: bool = False):
+    """Any-hit (occlusion) query through the chunked structure.
+
+    Same pass loop as closest-hit but a ray stops at its FIRST hit (its
+    best_t collapses so no remaining chunk passes the entry test)."""
+    _, prim = _query(accel, ray_o, ray_d, maxt, active, occlusion=True,
+                     interpret=interpret)
+    return prim >= 0

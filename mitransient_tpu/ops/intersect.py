@@ -50,13 +50,19 @@ def intersect(v0, e1, e2, ray_o, ray_d, maxt, active):
     return intersect_soup(v0, e1, e2, ray_o, ray_d, maxt, active)
 
 
-def closest_hit(v0, e1, e2, ray_o, ray_d, maxt, active):
+def closest_hit(v0, e1, e2, ray_o, ray_d, maxt, active, accel=None):
     """Backend-dispatching closest-hit returning only (t, prim).
 
     The hot path: callers that reconstruct barycentrics themselves (via the
     one-hot attribute lookup in scene.ray_intersect) use this to skip the
-    gather-based post-processing entirely."""
+    gather-based post-processing entirely.  When the scene carries an accel
+    structure (built for > ``accel.ACCEL_MIN_TRIS`` triangles) and we're on
+    TPU, the chunked binned-sweep kernels take over."""
     if _use_pallas():
+        if accel is not None:
+            from .bvh_pallas import closest_hit_bvh
+
+            return closest_hit_bvh(accel, ray_o, ray_d, maxt, active)
         from .intersect_pallas import closest_hit_pallas
 
         return closest_hit_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)
@@ -64,9 +70,13 @@ def closest_hit(v0, e1, e2, ray_o, ray_d, maxt, active):
     return t, prim
 
 
-def ray_test(v0, e1, e2, ray_o, ray_d, maxt, active):
+def ray_test(v0, e1, e2, ray_o, ray_d, maxt, active, accel=None):
     """Backend-dispatching any-hit query."""
     if _use_pallas():
+        if accel is not None:
+            from .bvh_pallas import ray_test_bvh
+
+            return ray_test_bvh(accel, ray_o, ray_d, maxt, active)
         from .intersect_pallas import ray_test_soup_pallas
 
         return ray_test_soup_pallas(v0, e1, e2, ray_o, ray_d, maxt, active)

@@ -95,6 +95,11 @@ class SceneData(NamedTuple):
     bsdf: BSDFParams
     emitter: EmitterParams
     medium: MediumParams
+    # Chunked acceleration structure (ops/accel.py) for scenes beyond the
+    # single-level sweep's SMEM cap; None for small scenes.  Derived data:
+    # NOT differentiated (hit distances re-attach through the barycentric
+    # reconstruction below, matching the detached-sampling PRB estimators).
+    accel: object = None
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +114,8 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
     the triangle table (ops/gather.py) and the barycentrics are reconstructed
     from the hit point — no XLA gathers anywhere on the hot path."""
     t, prim = _closest_hit_q(
-        sd.tri.v0, sd.tri.e1, sd.tri.e2, ray.o, ray.d, ray.maxt, active
+        sd.tri.v0, sd.tri.e1, sd.tri.e2, ray.o, ray.d, ray.maxt, active,
+        accel=sd.accel,
     )
     valid = prim >= 0
     prim_c = jnp.maximum(prim, 0)
@@ -173,7 +179,8 @@ def ray_test(sd: SceneData, o: jnp.ndarray, d_unit: jnp.ndarray, dist: jnp.ndarr
     """Occlusion query between ``o`` and ``o + d_unit * dist`` (shadow ray),
     with epsilon shortening at both ends; cf. ``mi.Scene.ray_test``."""
     maxt = dist * (1.0 - 1e-3)
-    return _ray_test_q(sd.tri.v0, sd.tri.e1, sd.tri.e2, o, d_unit, maxt, active)
+    return _ray_test_q(sd.tri.v0, sd.tri.e1, sd.tri.e2, o, d_unit, maxt,
+                       active, accel=sd.accel)
 
 
 # ---- emitters -------------------------------------------------------------

@@ -19,10 +19,13 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax.numpy as jnp
+import os
+
 import numpy as np
 
 from ..core.spectrum import Variant, variant
 from ..core.transform import Transform4, from_spec
+from ..ops.accel import ACCEL_MIN_TRIS as _ACCEL_MIN_TRIS
 from .scene import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
@@ -44,6 +47,30 @@ from .shapes import SHAPE_REGISTRY, Shape
 RGB_TO_LUMA = np.array([0.212671, 0.715160, 0.072169])
 
 
+def _texture_mean(spec: dict) -> np.ndarray:
+    fn = spec.get("filename")
+    if fn and os.path.exists(fn):
+        try:
+            import imageio.v3 as iio
+
+            img = np.asarray(iio.imread(fn), np.float64)
+            if img.dtype.kind in "ui" or img.max() > 1.5:
+                img = img / 255.0
+            if img.ndim == 2:
+                img = img[..., None]
+            return img.reshape(-1, img.shape[-1]).mean(axis=0)[:3]
+        except Exception:
+            pass
+    c0 = spec.get("color0", 0.4)
+    c1 = spec.get("color1", 0.2)
+    try:
+        a = parse_color(c0, 3)
+        b = parse_color(c1, 3)
+        return (0.5 * (np.asarray(a, np.float64) + np.asarray(b, np.float64)))
+    except Exception:
+        return np.full((3,), 0.5)
+
+
 def parse_color(spec: Any, channels: int) -> np.ndarray:
     """Parse an rgb/float/texture-ish spectrum value to (C,)."""
     if isinstance(spec, dict):
@@ -52,6 +79,10 @@ def parse_color(spec: Any, channels: int) -> np.ndarray:
             v = np.asarray(spec.get("value", 1.0), np.float64)
         elif t in ("spectrum", "uniform", "d65"):
             v = np.asarray(spec.get("value", 1.0), np.float64)
+        elif t in ("bitmap", "checkerboard"):
+            # Texture: collapse to its mean color (textured BSDF params are
+            # a known round-2 gap; keeps big example scenes loadable).
+            v = _texture_mean(spec)
         else:
             raise ValueError(f"unsupported spectrum type {t!r}")
     else:
@@ -221,11 +252,19 @@ CONDUCTOR_IOR = {
 def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
     t = d.get("type", "diffuse")
     two_sided = False
-    if t == "twosided":
-        two_sided = True
+    # unwrap adapter bsdfs down to the lobe that carries the response
+    for _ in range(4):
+        if t == "twosided":
+            two_sided = True
+        elif t not in ("bumpmap", "normalmap", "mask", "blendbsdf"):
+            break
         inner = d.get("bsdf") or next(
-            (v for v in d.values() if isinstance(v, dict) and "type" in v), None
+            (v for v in d.values() if isinstance(v, dict)
+             and v.get("type") not in (None, "bitmap", "checkerboard")
+             and "type" in v), None
         )
+        if inner is None:
+            break
         d = inner
         t = d.get("type", "diffuse")
 
@@ -239,6 +278,11 @@ def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
     if t == "diffuse":
         kind = BSDF_DIFFUSE
         two_sided = two_sided  # mitsuba diffuse is one-sided unless wrapped
+    elif t in ("plastic", "roughplastic"):
+        # Approximated by the diffuse substrate (coated-plastic specular
+        # lobe is a round-2 gap); cited so the gap is auditable.
+        kind = BSDF_DIFFUSE
+        refl = parse_color(d.get("diffuse_reflectance", 0.5), channels)
     elif t in ("conductor", "mirror"):
         kind = BSDF_CONDUCTOR
         mat = d.get("material", "none")
@@ -313,14 +357,31 @@ class Scene:
             self._param_paths[f"{key}.reflectance.value"] = ("bsdf.reflectance", idx)
             return idx
 
+        _BSDF_TYPES = (
+            "diffuse", "conductor", "mirror", "roughconductor",
+            "dielectric", "thindielectric", "null", "twosided",
+            "plastic", "roughplastic", "bumpmap", "normalmap", "mask",
+            "blendbsdf",
+        )
         # Pass 1: collect named top-level BSDFs first so refs resolve.
+        # Mitsuba allows an ``id`` on any nesting level (e.g. a twosided
+        # inside a bumpmap wrapper, staircase scene.xml:101-106) — register
+        # every id-carrying bsdf subtree as referencable.
+        def register_nested_ids(val):
+            for cv in val.values():
+                if not isinstance(cv, dict):
+                    continue
+                if cv.get("type") in _BSDF_TYPES:
+                    nid = cv.get("id")
+                    if nid and nid not in self._bsdf_index:
+                        add_bsdf(nid, cv)
+                    register_nested_ids(cv)
+
         items = [(k, v) for k, v in desc.items() if k != "type"]
         for key, val in items:
-            if isinstance(val, dict) and val.get("type") in (
-                "diffuse", "conductor", "mirror", "roughconductor",
-                "dielectric", "thindielectric", "null", "twosided",
-            ):
+            if isinstance(val, dict) and val.get("type") in _BSDF_TYPES:
                 add_bsdf(key, val)
+                register_nested_ids(val)
 
         for key, val in items:
             if not isinstance(val, dict):
@@ -340,10 +401,7 @@ class Scene:
                     if not isinstance(cv, dict):
                         continue
                     ct = cv.get("type")
-                    if ct in ("ref",) or ct in (
-                        "diffuse", "conductor", "mirror", "roughconductor",
-                        "dielectric", "thindielectric", "null", "twosided",
-                    ):
+                    if ct in ("ref",) or ct in _BSDF_TYPES:
                         bsdf_idx = add_bsdf(f"{key}.{ck}", cv)
                     elif ct in ("area", "angulararea"):
                         em_idx = len(self._emitters)
@@ -407,10 +465,7 @@ class Scene:
                 sensor_dicts.append((val, -1))
             elif t and (t in SHAPE_REGISTRY or False):
                 pass
-            elif t in (
-                "diffuse", "conductor", "mirror", "roughconductor",
-                "dielectric", "thindielectric", "null", "twosided",
-            ):
+            elif t in _BSDF_TYPES:
                 pass  # handled in pass 1
             elif t in ("transient_path", "transient_nlos_path",
                        "transient_prbvolpath", "path"):
@@ -622,8 +677,13 @@ class Scene:
                 [m["g"] for m in self._media] or [0.0], np.float32)),
         )
 
+        accel = None
+        if count > _ACCEL_MIN_TRIS:
+            from ..ops.accel import build_accel
+
+            accel = build_accel(v0, e1, e2)
         self.data = SceneData(tri=tri, bsdf=bsdf, emitter=emitter,
-                              medium=medium)
+                              medium=medium, accel=accel)
 
     # ------------------------------------------------------------------
     def emitter_index(self, key_or_idx) -> int:

@@ -278,9 +278,30 @@ def load_ply(path: str):
         return verts, faces, uvs
 
 
+class RawMesh(Shape):
+    """In-memory triangle mesh from ``vertices`` (V,3) / ``faces`` (F,3)
+    arrays — programmatic scene construction without a file round-trip."""
+
+    shape_type = "mesh"
+
+    def __init__(self, props: dict):
+        super().__init__(props)
+        self.vertices = np.asarray(props["vertices"], np.float64)
+        self.faces = np.asarray(props["faces"], np.int32)
+        uv = props.get("uvs")
+        self.uvs = None if uv is None else np.asarray(uv, np.float64)
+
+    def triangles(self) -> TriangleData:
+        uvs = self.uvs
+        if uvs is None:
+            uvs = np.zeros((self.vertices.shape[0], 2), np.float64)
+        return self._bake(self.vertices, self.faces, uvs)
+
+
 SHAPE_REGISTRY = {
     "rectangle": Rectangle,
     "cube": Cube,
     "obj": Mesh,
     "ply": Mesh,
+    "mesh": RawMesh,
 }

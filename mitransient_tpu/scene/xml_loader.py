@@ -136,7 +136,11 @@ def _element_to_dict(elem, defaults) -> dict:
                      "integrator", "texture"):
             key = child.get("name") or child.get("id") or f"{tag}{child_counter}"
             child_counter += 1
-            d[key] = _element_to_dict(child, defaults)
+            sub = _element_to_dict(child, defaults)
+            if child.get("id"):
+                # ids are referencable from any nesting level
+                sub.setdefault("id", child.get("id"))
+            d[key] = sub
         # comments / unknown tags are skipped
     # mitransient XML uses integer capture_type codes (nlos-z-simple.xml:38)
     if d.get("type") == "transient_nlos_path" and isinstance(
@@ -145,8 +149,9 @@ def _element_to_dict(elem, defaults) -> dict:
     return d
 
 
-def load_file(path: str):
-    """Entry point mirroring ``mi.load_file``."""
+def load_file(path: str, **overrides):
+    """Entry point mirroring ``mi.load_file`` (keyword args override XML
+    ``<default>`` parameters, e.g. ``load_file(p, resx=256)``)."""
     from .schema import Scene
 
     tree = ET.parse(path)
@@ -157,6 +162,17 @@ def load_file(path: str):
     for child in root:
         if child.tag == "default":
             defaults[child.get("name")] = child.get("value")
+    for k, v in overrides.items():
+        defaults[k] = str(v)
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    def absolutize(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                absolutize(v)
+            elif k == "filename" and isinstance(v, str) and not os.path.isabs(v):
+                d[k] = os.path.join(base_dir, v)
 
     scene_dict: dict = {"type": "scene"}
     counter = 0
@@ -169,4 +185,5 @@ def load_file(path: str):
             scene_dict["integrator"] = _element_to_dict(child, defaults)
         else:
             scene_dict[key] = _element_to_dict(child, defaults)
-    return Scene(scene_dict, base_dir=os.path.dirname(os.path.abspath(path)))
+    absolutize(scene_dict)
+    return Scene(scene_dict, base_dir=base_dir)
