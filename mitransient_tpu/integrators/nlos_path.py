@@ -238,10 +238,13 @@ def _sample_hidden_point(sd: SceneData, ctx: NLOSContext, u0, u1):
 
 
 def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
-               account_last: bool):
+               account_last: bool, wi_world=None, polarized: bool = False):
     """Two-segment laser NEE (emitter_laser_sample path,
     transientnlospath.py:511-635, single/confocal): returns
-    (Lr_dir (N, C), splat_distance (N,))."""
+    (Lr_dir (N, C) — or (N, 4C) Stokes when polarized, splat_distance (N,)).
+
+    ``wi_world``: world direction the path arrived along (for the Mueller
+    rotation chain); ``beta`` is (N, 4, 4, C) in polarized mode."""
     n = si.t.shape[0]
     # segment 1: path vertex -> illuminated wall point
     lt = jnp.broadcast_to(ctx.laser_target, si.p.shape)
@@ -252,6 +255,14 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     active_e = active_e & ~occ1
     wo1 = si.frame.to_local(d1)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
+    if polarized:
+        from ..bsdf.polarized import polarization_factor
+
+        m_h = si.wi + wo1
+        m_h = m_h / jnp.maximum(
+            jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+        cos_i1 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
+        P1 = polarization_factor(lb, -d1, -wi_world, cos_i1)
 
     # land on the wall point (re-intersect past the target like :537-539)
     si2 = ray_intersect(
@@ -267,19 +278,24 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
                    f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
     lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id)
-    beta2 = beta * f1
+    if polarized:
+        M1 = P1 * f1[:, None, None, :]
+        beta2 = jnp.einsum("nikc,nkjc->nijc", beta, M1)
+    else:
+        beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, si2.t, 0.0) * eta
 
     # segment 2: NEE from the wall point to the (delta) laser
     Lr, splat_dist = _plain_nee(
         sd, ctx, icfg, si2, lb2, beta2, dist_after1, eta,
         it_depth + 2, active_e, account_last,
+        wi_world=d1, polarized=polarized,
     )
     return Lr, splat_dist
 
 
 def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
-               account_last: bool):
+               account_last: bool, wi_world=None, polarized: bool = False):
     """Single-emitter NEE toward the projector/area emitter
     (emitter_nee_sample, transientnlospath.py:432-509)."""
     em_idx = jnp.broadcast_to(ctx.emitter_idx, si.t.shape)
@@ -305,7 +321,26 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     if icfg.discard_direct_paths:
         active_e = active_e & (it_depth > 2)
 
-    Lr = jnp.where(active_e[:, None], beta * f2 * em_val, 0.0)
+    if polarized:
+        from ..bsdf.polarized import polarization_factor
+
+        n_l = si.t.shape[0]
+        C = f2.shape[-1]
+        m_h = si.wi + wo2
+        m_h = m_h / jnp.maximum(
+            jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+        cos_i2 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
+        P2 = polarization_factor(lb, -d2, -wi_world, cos_i2)
+        M2 = P2 * f2[:, None, None, :]
+        A = jnp.einsum("nikc,nkjc->nijc", beta, M2)
+        # emission is unpolarized: Stokes = E * first Mueller column
+        Lr = jnp.where(
+            active_e[:, None],
+            (A[:, :, 0, :] * em_val[:, None, :]).reshape(n_l, 4 * C),
+            0.0,
+        )
+    else:
+        Lr = jnp.where(active_e[:, None], beta * f2 * em_val, 0.0)
     splat_dist = distance + (dist2 * eta if account_last else 0.0)
     return Lr, splat_dist
 
@@ -322,8 +357,14 @@ def sample_nlos_primal(
     sample_scale,
     base_dim: int,
     spp: int,
+    polarized: bool = False,
+    sensor_up=None,
 ):
-    """The NLOS wavefront loop (transientnlospath.py:672-927, primal)."""
+    """The NLOS wavefront loop (transientnlospath.py:672-927, primal).
+
+    ``polarized=True`` switches the throughput to a Mueller-matrix chain
+    (N, 4, 4, C) initialized by the sensor Stokes-frame alignment rotation
+    (reference utils.py:9-21) and L to packed Stokes (N, 4C)."""
     n = ray.o.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
@@ -333,10 +374,22 @@ def sample_nlos_primal(
     hg_rr = icfg.nlos_hidden_geometry_sampling_do_rroulette
     laser_on = icfg.nlos_laser_sampling
 
+    if polarized:
+        from ..bsdf.polarized import sensor_alignment_mueller
+
+        vert = sensor_up if sensor_up is not None else jnp.array(
+            [0.0, 1.0, 0.0])
+        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
+        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        L0 = jnp.zeros((n, 4 * C), jnp.float32)
+    else:
+        beta0 = jnp.ones((n, C), jnp.float32)
+        L0 = jnp.zeros((n, C), jnp.float32)
+
     state = dict(
         o=ray.o, d=ray.d,
-        beta=jnp.ones((n, C), jnp.float32),
-        L=jnp.zeros((n, C), jnp.float32),
+        beta=beta0,
+        L=L0,
         eta=jnp.ones((n,), jnp.float32),
         distance=jnp.zeros((n,), jnp.float32),  # = ray.time (:718)
         active=jnp.ones((n,), bool),
@@ -374,11 +427,18 @@ def sample_nlos_primal(
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
         mis = mis_weight(st["prev_pdf"], pdf_em_hit)
-        Le = jnp.where(
-            hit[:, None],
-            st["beta"] * mis[:, None] * emitter_eval_hit(sd, si, st["d"]),
-            0.0,
-        )
+        Le_raw = emitter_eval_hit(sd, si, st["d"])
+        if polarized:
+            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+            Le = jnp.where(
+                hit[:, None],
+                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
+                    n, 4 * C),
+                0.0,
+            )
+        else:
+            Le = jnp.where(hit[:, None], st["beta"] * mis[:, None] * Le_raw,
+                           0.0)
 
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
         active_em = active_next & bsdf_api.is_smooth(lb)
@@ -391,11 +451,13 @@ def sample_nlos_primal(
             Lr_dir, nee_dist = _laser_nee(
                 sd, ctx, icfg, si, lb, st["beta"], distance, st["eta"],
                 it, active_em, account_last=account,
+                wi_world=st["d"], polarized=polarized,
             )
         else:
             Lr_dir, nee_dist = _plain_nee(
                 sd, ctx, icfg, si, lb, st["beta"], distance, st["eta"],
                 it, active_em, account_last=account,
+                wi_world=st["d"], polarized=polarized,
             )
 
         film_st = splat_transient_pair(
@@ -449,24 +511,49 @@ def sample_nlos_primal(
         new_ray = si.spawn_ray(d_world)
 
         L = st["L"] + Le + Lr_dir
-        beta = jnp.where(
-            active_next[:, None],
-            st["beta"] * weight / pdf_method[:, None],
-            st["beta"],
-        )
+        if polarized:
+            from ..bsdf.polarized import polarization_factor
+
+            m_h = si.wi + wo
+            m_h = m_h / jnp.maximum(
+                jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+            cos_i_s = jnp.where(
+                delta, jnp.abs(si.wi[:, 2]),
+                jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
+            P_s = polarization_factor(lb, -d_world, -st["d"], cos_i_s)
+            M_w = P_s * (weight / pdf_method[:, None])[:, None, None, :]
+            beta = jnp.where(
+                active_next[:, None, None, None],
+                jnp.einsum("nikc,nkjc->nijc", st["beta"], M_w),
+                st["beta"],
+            )
+        else:
+            beta = jnp.where(
+                active_next[:, None],
+                st["beta"] * weight / pdf_method[:, None],
+                st["beta"],
+            )
         eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
 
         # RR is a detached sampling decision (reference detached PRB):
         # stop_gradient keeps full-loop AD from differentiating the
         # acceptance probability
-        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
+        if polarized:
+            beta_max = jax.lax.stop_gradient(jnp.max(beta[:, 0, 0, :],
+                                                     axis=-1))
+        else:
+            beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
         rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
                              1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
-        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
+        rr_scale = jax.lax.stop_gradient(rr_scale)
+        if polarized:
+            beta = beta * rr_scale[:, None, None, None]
+        else:
+            beta = beta * rr_scale[:, None]
         rr_continue = rnd1(9) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 
@@ -506,8 +593,12 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
                          "(transientnlospath.py:725-727)")
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
+    polarized = scene.variant.polarized
 
     if icfg.capture_type == "exhaustive":
+        if polarized:
+            raise NotImplementedError(
+                "polarized exhaustive NLOS capture is not supported")
         return render_nlos_exhaustive(
             scene, spp=spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
             progress_callback=progress_callback, return_stats=return_stats)
@@ -529,12 +620,13 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
         ray, ray_weight = sample_nlos_rays(ctx_, spp_, hw_)
         film, L, valid, n_rays = sample_nlos_primal(
             sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
-            inv_total, base_dim=2, spp=spp_,
+            inv_total, base_dim=2, spp=spp_, polarized=polarized,
         )
         film = splat_steady(film, spp_, L, ray_weight)
         return film, n_rays
 
-    film = film_init(film_cfg, scene.variant.color_channels, scan_pixels=hw)
+    film_channels = scene.variant.color_channels * (4 if polarized else 1)
+    film = film_init(film_cfg, film_channels, scan_pixels=hw)
     total_rays = 0.0
     for p in range(n_passes):
         film, n_rays = one_pass(

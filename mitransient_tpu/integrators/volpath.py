@@ -49,6 +49,116 @@ from ..scene.schema import FilmConfig, IntegratorConfig
 
 VOL_DIMS_PER_BOUNCE = 8
 TRANSMITTANCE_STEPS = 4  # max null-boundary crossings along a shadow ray
+DELTA_STEPS = 32  # majorant-sampled candidates per heterogeneous free-flight
+RATIO_STEPS = 16  # ratio-tracking taps per heterogeneous shadow segment
+GRID_STREAM_TAG = 0x6D50  # rng sub-stream for the tracking loops
+
+
+def _has_grids(sd: SceneData) -> bool:
+    """Static (shape-level) test: does any medium carry a density grid?"""
+    return sd.medium.grid.shape[1:] != (1, 1, 1)
+
+
+def _density(sd: SceneData, med_id, p):
+    """Trilinear density lookup for each lane's medium at world point p.
+    Homogeneous media (constant-1 grids) return 1."""
+    m = jnp.maximum(med_id, 0)
+    w2l = sd.medium.grid_w2l[m]  # (N, 3, 4); M is tiny so gather is cheap
+    local = jnp.einsum("nij,nj->ni", w2l[:, :, :3], p) + w2l[:, :, 3]
+    grid = sd.medium.grid
+    gz, gy, gx = grid.shape[1:]
+    # local (x, y, z) in [0,1] -> voxel coords
+    fx = jnp.clip(local[:, 0], 0.0, 1.0) * (gx - 1)
+    fy = jnp.clip(local[:, 1], 0.0, 1.0) * (gy - 1)
+    fz = jnp.clip(local[:, 2], 0.0, 1.0) * (gz - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, max(gx - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, max(gy - 2, 0))
+    z0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, max(gz - 2, 0))
+    tx = fx - x0
+    ty = fy - y0
+    tz = fz - z0
+    x1 = jnp.minimum(x0 + 1, gx - 1)
+    y1 = jnp.minimum(y0 + 1, gy - 1)
+    z1 = jnp.minimum(z0 + 1, gz - 1)
+
+    def tap(z, y, x):
+        return grid[m, z, y, x]
+
+    c00 = tap(z0, y0, x0) * (1 - tx) + tap(z0, y0, x1) * tx
+    c01 = tap(z0, y1, x0) * (1 - tx) + tap(z0, y1, x1) * tx
+    c10 = tap(z1, y0, x0) * (1 - tx) + tap(z1, y0, x1) * tx
+    c11 = tap(z1, y1, x0) * (1 - tx) + tap(z1, y1, x1) * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def _delta_track_flight(sd, key, tag, med_id, in_medium, o, d, t_surf,
+                        active):
+    """Heterogeneous free-flight via delta (Woodcock) tracking against the
+    per-medium majorant (reference transient_prbvolpath.py:186-239 null
+    scattering reformulated as a fixed-trip masked loop).  Returns
+    (t_fly (N,), did_scatter mask is t_fly < t_surf)."""
+    n = med_id.shape[0]
+    m = jnp.maximum(med_id, 0)
+    maj = jnp.where(in_medium, sd.medium.majorant[m], 0.0)
+    scale = sd.medium.sigma_t[m]
+    k = jax.random.fold_in(key, jnp.uint32(GRID_STREAM_TAG) + tag)
+    u = jax.random.uniform(k, (n, DELTA_STEPS, 2))
+
+    def step(i, carry):
+        t, done = carry
+        tt = t - jnp.log(jnp.maximum(1.0 - u[:, i, 0], 1e-30)) / jnp.maximum(
+            maj, 1e-30)
+        escaped = tt >= t_surf
+        dens = _density(sd, med_id, o + d * tt[:, None])
+        real = u[:, i, 1] * maj < scale * dens
+        new_done = done | escaped | real
+        t = jnp.where(done, t, tt)
+        return t, new_done
+
+    walk = active & in_medium & (maj > 0.0)
+    t0 = jnp.zeros((n,), jnp.float32)
+    t_fly, done = jax.lax.fori_loop(
+        0, DELTA_STEPS, step, (t0, ~walk))
+    # unresolved lanes after DELTA_STEPS majorant flights: treat as escaped
+    # (probability ~(1-min_density)^32, and the bias is toward transparency)
+    t_fly = jnp.where(walk, jnp.where(done, t_fly, jnp.inf), jnp.inf)
+    return t_fly
+
+
+def _segment_transmittance(sd, key, tag, med_id, o, d, seg, active):
+    """Transmittance across one medium segment: analytic for homogeneous
+    scenes, single-sample ratio tracking for grid media (reference
+    sample_emitter's ratio-tracking loop, transient_prbvolpath.py:459-481)."""
+    m = jnp.maximum(med_id, 0)
+    in_medium = med_id >= 0
+    if not _has_grids(sd):
+        sigma_t = jnp.where(in_medium, sd.medium.sigma_t[m], 0.0)
+        return jnp.exp(-sigma_t * jnp.where(active, seg, 0.0))
+    assert key is not None, "grid media need an rng key for ratio tracking"
+    n = med_id.shape[0]
+    maj = jnp.where(in_medium, sd.medium.majorant[m], 0.0)
+    scale = sd.medium.sigma_t[m]
+    k = jax.random.fold_in(key, jnp.uint32(GRID_STREAM_TAG) + tag)
+    u = jax.random.uniform(k, (n, RATIO_STEPS))
+
+    def step(i, carry):
+        t, T = carry
+        tt = t - jnp.log(jnp.maximum(1.0 - u[:, i], 1e-30)) / jnp.maximum(
+            maj, 1e-30)
+        inside = tt < seg
+        dens = _density(sd, med_id, o + d * tt[:, None])
+        ratio = jnp.clip(1.0 - scale * dens / jnp.maximum(maj, 1e-30),
+                         0.0, 1.0)
+        T = T * jnp.where(inside & (maj > 0.0), ratio, 1.0)
+        return jnp.where(inside, tt, t), T
+
+    _, T = jax.lax.fori_loop(
+        0, RATIO_STEPS, step,
+        (jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32)))
+    return jnp.where(active & in_medium & (maj > 0.0), T,
+                     jnp.where(active, 1.0, 1.0))
 
 
 def _medium_lookup(sd: SceneData, med_id):
@@ -75,17 +185,20 @@ def _transition(sd: SceneData, si, d, current_med):
     return jnp.where(entering, tri_med, -1)
 
 
-def transmittance(sd: SceneData, o, d_unit, dist, start_med, active):
-    """Analytic transmittance along a shadow ray crossing up to
-    TRANSMITTANCE_STEPS null boundaries; returns (T (N,), occluded (N,))."""
+def transmittance(sd: SceneData, o, d_unit, dist, start_med, active,
+                  key=None, tag=0):
+    """Transmittance along a shadow ray crossing up to TRANSMITTANCE_STEPS
+    null boundaries; analytic exp(-sigma_t*seg) per homogeneous segment,
+    ratio tracking per grid segment (needs ``key``).  Returns
+    (T (N,), occluded (N,))."""
     n = dist.shape[0]
-    tau = jnp.zeros((n,), jnp.float32)
+    T = jnp.ones((n,), jnp.float32)
     med = start_med
     t_done = jnp.zeros((n,), jnp.float32)
     occluded = jnp.zeros((n,), bool)
     walking = active
 
-    for _ in range(TRANSMITTANCE_STEPS):
+    for step in range(TRANSMITTANCE_STEPS):
         o_cur = o + d_unit * t_done[:, None]
         remaining = dist - t_done
         si = ray_intersect(
@@ -94,8 +207,10 @@ def transmittance(sd: SceneData, o, d_unit, dist, start_med, active):
             walking,
         )
         seg = jnp.where(si.valid, si.t, jnp.maximum(remaining, 0.0))
-        sigma_t, _alb, _g, _in = _medium_lookup(sd, med)
-        tau = tau + jnp.where(walking, sigma_t * seg, 0.0)
+        T_seg = _segment_transmittance(
+            sd, key, 1000 + tag * TRANSMITTANCE_STEPS + step,
+            med, o_cur, d_unit, seg, walking)
+        T = T * jnp.where(walking, T_seg, 1.0)
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
         is_null = bsdf_api.is_null(lb)
         blocked = walking & si.valid & ~is_null
@@ -107,7 +222,7 @@ def transmittance(sd: SceneData, o, d_unit, dist, start_med, active):
         walking = walking & si.valid & is_null
     # any remaining unresolved walkers treated as occluded (very deep nesting)
     occluded = occluded | walking
-    return jnp.exp(-tau), occluded
+    return T, occluded
 
 
 def sample_volpath_primal(
@@ -164,13 +279,19 @@ def sample_volpath_primal(
         # ---- free-flight sampling in the current medium (dim 0) ----------
         sigma_t, med_albedo, med_g, in_medium = _medium_lookup(
             sd, st["medium"])
-        u_ff = rnd1(0)
-        t_fly = jnp.where(
-            in_medium & (sigma_t > 0.0),
-            -jnp.log(jnp.maximum(1.0 - u_ff, 1e-30))
-            / jnp.maximum(sigma_t, 1e-30),
-            jnp.inf,
-        )
+        if _has_grids(sd):
+            # heterogeneous: delta tracking against the majorant
+            t_fly = _delta_track_flight(
+                sd, key, it, st["medium"], in_medium, st["o"], st["d"],
+                jnp.where(hit, si.t, jnp.inf), active)
+        else:
+            u_ff = rnd1(0)
+            t_fly = jnp.where(
+                in_medium & (sigma_t > 0.0),
+                -jnp.log(jnp.maximum(1.0 - u_ff, 1e-30))
+                / jnp.maximum(sigma_t, 1e-30),
+                jnp.inf,
+            )
         medium_scatter = hit & in_medium & (t_fly < si.t)
 
         # event position + OPL
@@ -207,7 +328,8 @@ def sample_volpath_primal(
         )                                            # transmittance below
         active_em = active_em & (ds.pdf > 0.0)
         trans, occ = transmittance(
-            sd, p_event, ds.d, ds.dist, st["medium"], active_em)
+            sd, p_event, ds.d, ds.dist, st["medium"], active_em,
+            key=key, tag=it)
         active_em = active_em & ~occ
 
         # scatter kernel toward the light: phase (medium) or BSDF (surface)

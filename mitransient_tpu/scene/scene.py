@@ -81,13 +81,19 @@ class EmitterParams(NamedTuple):
 
 
 class MediumParams(NamedTuple):
-    """Homogeneous participating media (mi.Medium equivalents consumed by
+    """Participating media (mi.Medium equivalents consumed by
     transient_prbvolpath; cf. cbox_volumetric.xml:99-120): extinction
-    sigma_t, single-scattering albedo, HG phase anisotropy g."""
+    sigma_t (scale for heterogeneous), single-scattering albedo, HG phase
+    anisotropy g, plus an optional density grid (constant (1,1,1) for
+    homogeneous media) with a world->[0,1]^3 affine and the delta/ratio
+    tracking majorant (sigma_t * max density)."""
 
     sigma_t: jnp.ndarray  # (M,)
     albedo: jnp.ndarray  # (M, C)
     g: jnp.ndarray  # (M,)
+    grid: jnp.ndarray  # (M, GZ, GY, GX) f32 density
+    grid_w2l: jnp.ndarray  # (M, 3, 4) affine: local = A @ [p; 1]
+    majorant: jnp.ndarray  # (M,)
 
 
 class SceneData(NamedTuple):

@@ -71,6 +71,53 @@ def _texture_mean(spec: dict) -> np.ndarray:
         return np.full((3,), 0.5)
 
 
+def _parse_density(dens, base_dir):
+    """Heterogeneous-medium density: inline (GZ, GY, GX) array or a
+    gridvolume dict pointing at a Mitsuba .vol file.  Returns
+    (grid (GZ,GY,GX) f32, world->local affine (3,4) mapping world points
+    into [0,1]^3 grid coordinates)."""
+    to_world = None
+    if isinstance(dens, dict):
+        to_world = dens.get("to_world")
+        if dens.get("type") == "gridvolume" or "filename" in dens:
+            fn = dens["filename"]
+            if not os.path.isabs(fn):
+                fn = os.path.join(base_dir, fn)
+            grid = read_vol(fn)
+        else:
+            grid = np.asarray(dens.get("data", dens.get("value")),
+                              np.float32)
+    else:
+        grid = np.asarray(dens, np.float32)
+    if grid.ndim == 4:  # (Z, Y, X, 1) channel grids
+        grid = grid[..., 0]
+    if grid.ndim != 3:
+        raise ValueError("density grid must be 3-D (Z, Y, X)")
+    from ..core.transform import from_spec
+
+    t = from_spec(to_world)
+    inv = np.linalg.inv(np.asarray(t.m, np.float64))
+    w2l = inv[:3, :].astype(np.float32)  # local = A @ [p; 1] in [0,1]^3
+    return grid.astype(np.float32), w2l
+
+
+def read_vol(path: str) -> np.ndarray:
+    """Mitsuba binary gridvolume (.vol v3) reader -> (Z, Y, X) f32."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(48)
+        if head[:3] != b"VOL":
+            raise ValueError("not a Mitsuba .vol file")
+        version = head[3]
+        enc, gx, gy, gz, ch = struct.unpack_from("<iiiii", head, 4)
+        if enc != 1:
+            raise NotImplementedError("only float32 .vol grids supported")
+        data = np.fromfile(f, np.float32, gx * gy * gz * ch)
+    grid = data.reshape(gz, gy, gx, ch)
+    return grid[..., 0]
+
+
 def parse_color(spec: Any, channels: int) -> np.ndarray:
     """Parse an rgb/float/texture-ish spectrum value to (C,)."""
     if isinstance(spec, dict):
@@ -424,14 +471,27 @@ class Scene:
                         self._param_paths[f"{key}.{ck}.radiance.value"] = (
                             "emitter.radiance", em_idx)
                         shape.emitter_key = em_idx
-                    elif ct in ("homogeneous",):
+                    elif ct in ("homogeneous", "heterogeneous"):
                         med_idx = len(self._media)
                         phase = cv.get("phase", {})
-                        self._media.append({
-                            "sigma_t": float(cv.get("sigma_t", 1.0)),
+                        med = {
+                            "sigma_t": float(cv.get("sigma_t", 1.0))
+                            if not isinstance(cv.get("sigma_t"), dict)
+                            else float(cv.get("scale", 1.0)),
                             "albedo": parse_color(cv.get("albedo", 0.75), C),
                             "g": float(phase.get("g", 0.0)),
-                        })
+                            "grid": None,
+                        }
+                        if ct == "heterogeneous":
+                            # density: inline numpy grid or a gridvolume
+                            # child (Mitsuba .vol file); sigma_t may itself
+                            # be the gridvolume dict (mitsuba convention)
+                            med["scale"] = float(cv.get("scale", 1.0))
+                            dens = cv.get("density", cv.get("sigma_t"))
+                            grid, w2l = _parse_density(dens, base_dir)
+                            med["grid"] = grid
+                            med["grid_w2l"] = w2l
+                        self._media.append(med)
                         shape.medium_key = med_idx
                         self._param_paths[f"{key}.{ck}.albedo.value"] = (
                             "medium.albedo", med_idx)
@@ -665,8 +725,54 @@ class Scene:
             em_tri_cdf=jnp.asarray(em_tri_cdf),
         )
 
-        # Medium table (at least one row so lookups are well-formed)
+        # Medium table (at least one row so lookups are well-formed).
+        # Heterogeneous media carry a density grid; all grids are padded to
+        # a common shape (edge-padding preserves values at the boundary) and
+        # homogeneous media get a constant-1 (1,1,1) grid so one code path
+        # serves both.
         n_med = max(len(self._media), 1)
+        grids = [m.get("grid") for m in self._media]
+        if any(g is not None for g in grids):
+            gz = max(g.shape[0] for g in grids if g is not None)
+            gy = max(g.shape[1] for g in grids if g is not None)
+            gx = max(g.shape[2] for g in grids if g is not None)
+            packed = np.ones((len(self._media), gz, gy, gx), np.float32)
+            w2l = np.zeros((len(self._media), 3, 4), np.float32)
+            maj = np.zeros((len(self._media),), np.float32)
+            for i, m in enumerate(self._media):
+                g = m.get("grid")
+                if g is None:
+                    w2l[i, :, :3] = np.eye(3)
+                    maj[i] = m["sigma_t"]
+                else:
+                    packed[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
+                    # edge-pad so out-of-range trilinear taps stay clamped
+                    packed[i, g.shape[0]:, :, :] = packed[
+                        i, g.shape[0] - 1 : g.shape[0], :, :]
+                    packed[i, :, g.shape[1]:, :] = packed[
+                        i, :, g.shape[1] - 1 : g.shape[1], :]
+                    packed[i, :, :, g.shape[2]:] = packed[
+                        i, :, :, g.shape[2] - 1 : g.shape[2]]
+                    # rescale local coords for the padding
+                    sz = np.array([
+                        (g.shape[2] - 1) / max(gx - 1, 1),
+                        (g.shape[1] - 1) / max(gy - 1, 1),
+                        (g.shape[0] - 1) / max(gz - 1, 1),
+                    ])
+                    a = np.asarray(m["grid_w2l"], np.float64)
+                    w2l[i] = (a * np.array(
+                        [sz[0], sz[1], sz[2]])[:, None]).astype(np.float32)
+                    maj[i] = m["sigma_t"] * float(g.max())
+            grid_arr = jnp.asarray(packed)
+            w2l_arr = jnp.asarray(w2l)
+            maj_arr = jnp.asarray(maj)
+        else:
+            grid_arr = jnp.ones((n_med, 1, 1, 1), jnp.float32)
+            eye = np.zeros((n_med, 3, 4), np.float32)
+            eye[:, :, :3] = np.eye(3)
+            w2l_arr = jnp.asarray(eye)
+            maj_arr = jnp.asarray(np.array(
+                [m["sigma_t"] for m in self._media] or [0.0], np.float32))
         medium = MediumParams(
             sigma_t=jnp.asarray(np.array(
                 [m["sigma_t"] for m in self._media] or [0.0], np.float32)),
@@ -675,6 +781,9 @@ class Scene:
                 or [np.zeros(C, np.float32)])),
             g=jnp.asarray(np.array(
                 [m["g"] for m in self._media] or [0.0], np.float32)),
+            grid=grid_arr,
+            grid_w2l=w2l_arr,
+            majorant=maj_arr,
         )
 
         accel = None

@@ -32,15 +32,27 @@ def tonemap_grad_transient(grad, scale: float = 1.0):
     return np.stack([r, g, b], axis=-1)
 
 
-def save_frames(transient, folder: str, prefix: str = "frame"):
-    """Write one .npy per time bin (EXR writers are not in this image;
-    reference saves EXRs, unpolarized_visualization.py:65-76)."""
+def save_frames(transient, folder: str, prefix: str = "frame",
+                fmt: str = "exr"):
+    """Write one image per time bin (reference saves EXRs via mi.Bitmap,
+    unpolarized_visualization.py:65-76).  ``fmt``: 'exr' (built-in pure
+    numpy writer, io_exr.py) or 'npy'."""
     import os
 
     os.makedirs(folder, exist_ok=True)
     transient = np.asarray(transient)
-    for t in range(transient.shape[2]):
-        np.save(os.path.join(folder, f"{prefix}_{t:04d}.npy"), transient[:, :, t])
+    if fmt == "exr":
+        from .io_exr import write_exr
+
+        for t in range(transient.shape[2]):
+            write_exr(os.path.join(folder, f"{prefix}_{t:04d}.exr"),
+                      transient[:, :, t])
+    elif fmt == "npy":
+        for t in range(transient.shape[2]):
+            np.save(os.path.join(folder, f"{prefix}_{t:04d}.npy"),
+                    transient[:, :, t])
+    else:
+        raise ValueError(f"unknown frame format {fmt!r}")
 
 
 def save_video(transient, path: str, fps: int = 24, axis_video: int = 2):

@@ -105,3 +105,57 @@ def test_polarized_visualization_functions(mono_pol):
         assert np.all(np.isfinite(img)) and img.min() >= 0 and img.max() <= 1
     tm = vp.tonemap_transient(np.asarray(t))
     assert np.all(np.isfinite(tm))
+
+
+# ---------------------------------------------------------------------------
+# Polarized NLOS (reference: transient_nlos_polarization.ipynb — gold GGX
+# relay wall + hidden Z, mono_polarized, 4 Stokes channels)
+# ---------------------------------------------------------------------------
+
+def _nlos_pol_scene(wall_bsdf):
+    from tests.test_nlos import nlos_scene
+
+    d = nlos_scene(sx=4, sy=4, bins=200, spp=32)
+    d["relay_wall"]["bsdf"] = wall_bsdf
+    return d
+
+
+def test_polarized_nlos_stokes_validity(mono_pol):
+    scene = mitr.load_dict(_nlos_pol_scene({
+        "type": "roughconductor", "material": "Au", "alpha": 0.15,
+    }))
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], scene)
+    steady, transient = mitr.render(scene, spp=32, seed=0)
+    tr = np.asarray(transient)
+    assert tr.shape == (4, 4, 200, 4)
+    s0, s1, s2, s3 = [tr[..., k] for k in range(4)]
+    assert np.isfinite(tr).all()
+    assert float(s0.sum()) > 0.0
+    # physical Stokes vectors: I >= sqrt(Q^2 + U^2 + V^2) (tolerate MC noise)
+    lin = np.sqrt(s1 ** 2 + s2 ** 2 + s3 ** 2)
+    mask = s0 > 1e-6 * s0.max()
+    assert float((lin[mask] <= s0[mask] * 1.05 + 1e-9).mean()) > 0.99
+    # specular gold wall polarizes the NLOS return somewhere
+    assert float(lin[mask].max() / s0[mask].max()) > 1e-3
+
+
+def test_polarized_nlos_intensity_matches_unpolarized():
+    desc = _nlos_pol_scene({
+        "type": "diffuse", "reflectance": {"type": "rgb", "value": 1.0},
+    })
+    mitr.set_variant("mono")
+    sc_u = mitr.load_dict(desc)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], sc_u)
+    _, tr_u = mitr.render(sc_u, spp=48, seed=0)
+    mitr.set_variant("mono_polarized")
+    try:
+        sc_p = mitr.load_dict(desc)
+        mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], sc_p)
+        _, tr_p = mitr.render(sc_p, spp=48, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    a = np.asarray(tr_u)[..., 0]
+    b = np.asarray(tr_p)[..., 0]
+    # same sampler decisions -> intensity agrees tightly
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=5e-2)
+    np.testing.assert_allclose(a, b, rtol=0.35, atol=1e-4 * a.max())

@@ -86,3 +86,71 @@ def test_medium_albedo_is_traversable_param():
     params = mitr.traverse(scene)
     keys = [k for k in params.keys() if "albedo" in k]
     assert len(keys) == 1
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous (grid) media — delta tracking vs the analytic homogeneous
+# path (reference medium API: sample_interaction/transmittance_eval_pdf for
+# heterogeneous media, transient_prbvolpath.py:186-246)
+# ---------------------------------------------------------------------------
+
+def _hetero_cbox(density, to_world=None, scale=3.0, albedo=0.9, g=0.1):
+    d = vol_cbox()
+    d["small-box"]["bsdf"] = {"type": "null"}
+    med = {
+        "type": "heterogeneous",
+        "scale": scale,
+        "density": np.asarray(density, np.float32),
+        "albedo": {"type": "rgb", "value": [albedo] * 3},
+        "phase": {"type": "hg", "g": g},
+    }
+    if to_world is not None:
+        med["density"] = {"type": "gridvolume", "data": med["density"],
+                          "to_world": to_world}
+    d["small-box"]["medium"] = med
+    return d
+
+
+def test_constant_grid_matches_homogeneous():
+    """A constant-density grid must reproduce the homogeneous medium."""
+    s_hom, t_hom = mitr.render(
+        mitr.load_dict(vol_cbox(sigma_t=3.0, albedo=0.9, g=0.1)),
+        spp=160, seed=0)
+    s_het, t_het = mitr.render(
+        mitr.load_dict(_hetero_cbox(np.ones((4, 4, 4)), scale=3.0)),
+        spp=160, seed=1)
+    a, b = float(np.sum(s_hom)), float(np.sum(s_het))
+    assert abs(a - b) / max(a, 1e-9) < 0.08
+    p_hom = np.asarray(t_hom).sum(axis=(0, 1, 3)).reshape(15, 20).sum(1)
+    p_het = np.asarray(t_het).sum(axis=(0, 1, 3)).reshape(15, 20).sum(1)
+    assert np.abs(p_hom - p_het).sum() / max(p_hom.sum(), 1e-9) < 0.15
+
+
+def test_denser_grid_absorbs_more():
+    lo = mitr.render(mitr.load_dict(
+        _hetero_cbox(0.2 * np.ones((4, 4, 4)), scale=5.0, albedo=0.0)),
+        spp=32, seed=0)[0]
+    hi = mitr.render(mitr.load_dict(
+        _hetero_cbox(np.ones((4, 4, 4)), scale=5.0, albedo=0.0)),
+        spp=32, seed=0)[0]
+    assert float(np.sum(hi)) < float(np.sum(lo))
+    assert np.isfinite(np.asarray(hi)).all()
+
+
+def test_vol_file_roundtrip(tmp_path):
+    """Mitsuba .vol binary grids load (schema.read_vol)."""
+    import struct
+
+    from mitransient_tpu.scene.schema import read_vol
+
+    rng = np.random.RandomState(0)
+    grid = rng.rand(3, 4, 5).astype(np.float32)  # (Z, Y, X)
+    p = str(tmp_path / "d.vol")
+    with open(p, "wb") as f:
+        f.write(b"VOL")
+        f.write(bytes([3]))
+        f.write(struct.pack("<iiiii", 1, 5, 4, 3, 1))  # enc, gx, gy, gz, ch
+        f.write(struct.pack("<ffffff", 0, 0, 0, 1, 1, 1))  # bbox
+        f.write(grid.tobytes())
+    back = read_vol(p)
+    np.testing.assert_array_equal(back, grid)
