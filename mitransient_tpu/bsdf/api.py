@@ -34,6 +34,7 @@ from ..scene.scene import (
     BSDF_DIFFUSE,
     BSDF_NULL,
     BSDF_ROUGH_CONDUCTOR,
+    BSDF_ROUGH_PLASTIC,
     BSDFParams,
 )
 from .fresnel import fresnel_conductor, fresnel_dielectric
@@ -78,10 +79,18 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
     )
 
 
+def _fdr(eta):
+    """Average internal diffuse Fresnel reflectance (Egan & Hilgeman fit for
+    eta > 1; same approximation Mitsuba's plastic uses)."""
+    e2 = eta * eta
+    return -1.4399 / e2 + 0.7099 / eta + 0.6681 + 0.0636 * eta
+
+
 def is_smooth(lb: LaneBSDF) -> jnp.ndarray:
     """Lanes whose BSDF has a non-delta component (NEE applies);
     mi.BSDFFlags.Smooth check at transientpath.py:188-189."""
-    return (lb.kind == BSDF_DIFFUSE) | (lb.kind == BSDF_ROUGH_CONDUCTOR)
+    return ((lb.kind == BSDF_DIFFUSE) | (lb.kind == BSDF_ROUGH_CONDUCTOR)
+            | (lb.kind == BSDF_ROUGH_PLASTIC))
 
 
 def is_null(lb: LaneBSDF) -> jnp.ndarray:
@@ -176,15 +185,37 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
         _ggx_g1(wi_l, lb.alpha) * d_ndf, 4.0 * ci
     )  # VNDF pdf in wo measure: G1 * D * (wi.m) / wi.z / (4 wi.m)
 
+    # rough plastic (GGX dielectric coating over a diffuse substrate;
+    # Mitsuba roughplastic with nonlinear=false)
+    from .fresnel import fresnel_dielectric
+
+    Fi, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
+    Fo, _, _, _ = fresnel_dielectric(co, lb.eta_ratio)
+    F_sp = fresnel_dielectric(jnp.sum(wi_l * m, axis=-1), lb.eta_ratio)[0]
+    f_pl_spec = F_sp * safe_div(d_ndf * g, 4.0 * ci)
+    inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
+    fdr = _fdr(lb.eta_ratio)
+    f_pl_diff = (
+        lb.reflectance
+        * ((1.0 - Fi) * (1.0 - Fo) * inv_eta2
+           / (jnp.pi * (1.0 - fdr)) * co)[..., None]
+    )
+    f_plastic = f_pl_diff + f_pl_spec[..., None]
+    pdf_plastic = Fi * pdf_rough + (1.0 - Fi) * pdf_diff
+
     is_diff = lb.kind == BSDF_DIFFUSE
     is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
+    is_plast = lb.kind == BSDF_ROUGH_PLASTIC
     ok = active & both_up
     f = jnp.where(
         (ok & is_diff)[..., None], f_diff,
-        jnp.where((ok & is_rough)[..., None], f_rough, 0.0),
+        jnp.where((ok & is_rough)[..., None], f_rough,
+                  jnp.where((ok & is_plast)[..., None], f_plastic, 0.0)),
     )
     pdf = jnp.where(
-        ok & is_diff, pdf_diff, jnp.where(ok & is_rough, pdf_rough, 0.0)
+        ok & is_diff, pdf_diff,
+        jnp.where(ok & is_rough, pdf_rough,
+                  jnp.where(ok & is_plast, pdf_plastic, 0.0))
     )
     return f, pdf
 
@@ -252,13 +283,43 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     wo_null = -wi
     w_null = jnp.ones((n, C))
 
+    # ---- rough plastic: Fresnel-weighted lobe pick, weight = f*cos/pdf ----
+    Fi_pl, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
+    pick_spec = u1 < Fi_pl
+    wo_plast = jnp.where(pick_spec[..., None], wo_rough, wo_diff)
+    co_pl = wo_plast[..., 2]
+    m_pl = wi_l + wo_plast
+    m_pl = m_pl / jnp.maximum(
+        jnp.linalg.norm(m_pl, axis=-1, keepdims=True), 1e-12)
+    d_pl = _ggx_ndf(m_pl, lb.alpha)
+    g_pl = _ggx_g1(wi_l, lb.alpha) * _ggx_g1(wo_plast, lb.alpha)
+    F_sp_pl = fresnel_dielectric(
+        jnp.sum(wi_l * m_pl, axis=-1), lb.eta_ratio)[0]
+    Fo_pl, _, _, _ = fresnel_dielectric(co_pl, lb.eta_ratio)
+    inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
+    fdr = _fdr(lb.eta_ratio)
+    f_plast = (
+        lb.reflectance
+        * ((1.0 - Fi_pl) * (1.0 - Fo_pl) * inv_eta2
+           / (jnp.pi * (1.0 - fdr)) * co_pl)[..., None]
+        + (F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))[..., None]
+    )
+    pdf_vndf_pl = safe_div(_ggx_g1(wi_l, lb.alpha) * d_pl, 4.0 * ci)
+    pdf_plast = (Fi_pl * pdf_vndf_pl
+                 + (1.0 - Fi_pl) * square_to_cosine_hemisphere_pdf(wo_plast))
+    plast_ok = (co_pl > 0.0) & (pdf_plast > 1e-9)
+    w_plast = jnp.where(
+        plast_ok[..., None],
+        f_plast / jnp.maximum(pdf_plast, 1e-9)[..., None], 0.0)
+
     is_diff = lb.kind == BSDF_DIFFUSE
     is_mirr = lb.kind == BSDF_CONDUCTOR
     is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
     is_diel = lb.kind == BSDF_DIELECTRIC
     is_nullk = lb.kind == BSDF_NULL
+    is_plast = lb.kind == BSDF_ROUGH_PLASTIC
 
-    need_up = is_diff | is_mirr | is_rough
+    need_up = is_diff | is_mirr | is_rough | is_plast
     lane_ok = active & (~need_up | up)
 
     def sel(vals, default):
@@ -269,17 +330,17 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
 
     wo_l = sel(
         [(is_diff, wo_diff), (is_mirr, wo_mirr), (is_rough, wo_rough),
-         (is_diel, wo_diel), (is_nullk, wo_null)],
+         (is_diel, wo_diel), (is_nullk, wo_null), (is_plast, wo_plast)],
         jnp.zeros((n, 3)),
     )
     weight = sel(
         [(is_diff, w_diff), (is_mirr, w_mirr), (is_rough, w_rough),
-         (is_diel, w_diel), (is_nullk, w_null)],
+         (is_diel, w_diel), (is_nullk, w_null), (is_plast, w_plast)],
         jnp.zeros((n, C)),
     )
     pdf = sel(
         [(is_diff, pdf_diff), (is_mirr, jnp.ones(n)), (is_rough, pdf_rough),
-         (is_diel, pdf_diel), (is_nullk, jnp.ones(n))],
+         (is_diel, pdf_diel), (is_nullk, jnp.ones(n)), (is_plast, pdf_plast)],
         jnp.zeros(n),
     )
     eta = sel([(is_diel, eta_diel)], jnp.ones(n))
@@ -290,7 +351,7 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
 
     # un-flip wo for two-sided lanes (dielectric/null already in true frame)
     flip_back = sgn
-    needs_unflip = is_diff | is_mirr | is_rough
+    needs_unflip = is_diff | is_mirr | is_rough | is_plast
     z_sgn = jnp.where(needs_unflip, flip_back, 1.0)
     wo = wo_l * jnp.stack(
         [jnp.ones_like(z_sgn), jnp.ones_like(z_sgn), z_sgn], axis=-1

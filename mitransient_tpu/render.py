@@ -109,12 +109,22 @@ def render(
     progress_callback=None,
     return_stats: bool = False,
     regenerate: bool | None = None,
+    film_state=None,
+    checkpoint_callback=None,
 ):
     """Render ``(steady, transient)`` for the scene's sensor.
 
     Parity surface of ``mi.render`` on a transient scene (README.md:154-160
     of the reference): returns steady ``(H, W, C)`` and transient
     ``(H, W, T, C)`` jnp arrays.
+
+    Checkpoint/resume (the reference's per-pass accumulation,
+    common.py:61-85, made durable): ``checkpoint_callback(state)`` fires
+    after every accumulation pass with an opaque resumable state; pass it
+    back as ``film_state=`` to continue an interrupted multi-pass render —
+    pass splitting is deterministic in (seed, spp), so resumed output is
+    bit-identical to an uninterrupted run.  ``save_film_state`` /
+    ``load_film_state`` serialize it.
     """
     cfg = scene.sensors[sensor]
     if (cfg.kind == "nlos_capture_meter"
@@ -143,14 +153,17 @@ def render(
             and icfg.temporal_filter != "gaussian"
             and spp >= 8
         )
+    if film_state is not None:
+        regenerate = False  # resuming implies the multi-pass accumulator
     if regenerate:
         lanes_per_pixel = max(1, min(spp, max_lanes // max(hw, 1)))
         cam = build_camera(cfg)
         film = film_init(film_cfg, scene.variant.color_channels)
-        film, n_rays, iters = _regen_render(
-            scene.data, cam, film, jnp.uint32(seed),
-            film_cfg=film_cfg, icfg=icfg, spp_total=spp,
-            lanes_per_pixel=lanes_per_pixel)
+        with jax.profiler.TraceAnnotation("mitr:render_regen"):
+            film, n_rays, iters = _regen_render(
+                scene.data, cam, film, jnp.uint32(seed),
+                film_cfg=film_cfg, icfg=icfg, spp_total=spp,
+                lanes_per_pixel=lanes_per_pixel)
         if progress_callback is not None:
             progress_callback(1.0)
         steady, transient = develop(film, film_cfg)
@@ -168,22 +181,61 @@ def render(
     polarized = scene.variant.polarized
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
     film = film_init(film_cfg, film_channels)
-    total_rays = 0.0
-    for p in range(n_passes):
-        film, n_rays = _perspective_pass(
-            scene.data, cam, film, jnp.uint32(seed), jnp.uint32(p),
-            jnp.float32(1.0 / total_spp),
-            film_cfg=film_cfg, icfg=icfg,
-            width=film_cfg.width, height=film_cfg.height,
-            spp_chunk=spp_chunk, polarized=polarized,
-        )
+    if film_state is not None:
+        film, done_passes, total_rays = film_state
+        film = jax.tree_util.tree_map(jnp.asarray, film)
+        if film.steady.shape[-1] != film_channels:
+            raise ValueError("film_state does not match this scene/variant")
+    else:
+        done_passes, total_rays = 0, 0.0
+    for p in range(done_passes, n_passes):
+        with jax.profiler.TraceAnnotation("mitr:render_pass"):
+            film, n_rays = _perspective_pass(
+                scene.data, cam, film, jnp.uint32(seed), jnp.uint32(p),
+                jnp.float32(1.0 / total_spp),
+                film_cfg=film_cfg, icfg=icfg,
+                width=film_cfg.width, height=film_cfg.height,
+                spp_chunk=spp_chunk, polarized=polarized,
+            )
         total_rays = total_rays + n_rays
         if progress_callback is not None:
             progress_callback((p + 1) / n_passes)
+        if checkpoint_callback is not None:
+            # host copy: the device film is donated to the next pass
+            import numpy as _np
+
+            checkpoint_callback((
+                jax.tree_util.tree_map(_np.asarray, film), p + 1,
+                float(_np.asarray(total_rays))))
     steady, transient = develop(film, film_cfg)
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp}
     return steady, transient
+
+
+def save_film_state(path: str, state) -> None:
+    """Serialize a checkpoint_callback state to disk (numpy archive)."""
+    import numpy as np
+
+    film, done_passes, total_rays = state
+    arrays = {f"film_{i}": np.asarray(a)
+              for i, a in enumerate(jax.tree_util.tree_leaves(film))}
+    np.savez(path, done_passes=done_passes,
+             total_rays=np.asarray(total_rays), **arrays)
+
+
+def load_film_state(path: str):
+    """Load a film checkpoint saved by :func:`save_film_state`."""
+    import numpy as np
+
+    from .film.transient_film import TransientFilmState
+
+    z = np.load(path)
+    n = len([k for k in z.files if k.startswith("film_")])
+    leaves = [jnp.asarray(z[f"film_{i}"]) for i in range(n)]
+    film = TransientFilmState(*leaves)
+    assert n == len(TransientFilmState._fields)
+    return film, int(z["done_passes"]), float(z["total_rays"])
 
 
 # --------------------------------------------------------------------------

@@ -30,6 +30,7 @@ BSDF_CONDUCTOR = 1
 BSDF_ROUGH_CONDUCTOR = 2
 BSDF_DIELECTRIC = 3
 BSDF_NULL = 4
+BSDF_ROUGH_PLASTIC = 5
 
 # Emitter kind codes
 EM_AREA = 0

@@ -27,6 +27,7 @@ from ..core.spectrum import Variant, variant
 from ..core.transform import Transform4, from_spec
 from ..ops.accel import ACCEL_MIN_TRIS as _ACCEL_MIN_TRIS
 from .scene import (
+    BSDF_ROUGH_PLASTIC,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
@@ -326,10 +327,18 @@ def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
         kind = BSDF_DIFFUSE
         two_sided = two_sided  # mitsuba diffuse is one-sided unless wrapped
     elif t in ("plastic", "roughplastic"):
-        # Approximated by the diffuse substrate (coated-plastic specular
-        # lobe is a round-2 gap); cited so the gap is auditable.
-        kind = BSDF_DIFFUSE
+        # GGX dielectric coating over a diffuse substrate (reference stack's
+        # plastic/roughplastic).  Smooth plastic maps to a low-roughness
+        # coating (a delta coat lobe would complicate the dense
+        # evaluate-all-kinds dispatch for little visual gain).
+        kind = BSDF_ROUGH_PLASTIC
         refl = parse_color(d.get("diffuse_reflectance", 0.5), channels)
+        alpha = float(d.get("alpha", 0.1)) if t == "roughplastic" else 0.03
+        int_ior = d.get("int_ior", 1.49)
+        ext_ior = d.get("ext_ior", 1.000277)
+        eta_ratio = (float(int_ior) if not isinstance(int_ior, str)
+                     else 1.49) / (
+            float(ext_ior) if not isinstance(ext_ior, str) else 1.000277)
     elif t in ("conductor", "mirror"):
         kind = BSDF_CONDUCTOR
         mat = d.get("material", "none")

@@ -126,3 +126,71 @@ end_header
         verts, faces, uvs = load_ply(path)
         assert verts.shape == (3, 3)
         assert faces.shape == (1, 3)
+
+
+def test_rough_plastic_energy_and_estimator_consistency():
+    """roughplastic: sample-weight estimator must integrate to the same
+    albedo as eval/pdf importance weights (internal consistency), and the
+    BSDF must conserve energy."""
+    import jax
+    import jax.numpy as jnp
+    from mitransient_tpu.bsdf import api as bsdf_api
+    from mitransient_tpu.scene.scene import BSDF_ROUGH_PLASTIC, BSDFParams
+
+    n = 200_000
+    bp = BSDFParams(
+        kind=jnp.array([BSDF_ROUGH_PLASTIC]),
+        two_sided=jnp.array([False]),
+        reflectance=jnp.array([[0.6, 0.3, 0.1]]),
+        eta_re=jnp.zeros((1, 3)),
+        eta_im=jnp.zeros((1, 3)),
+        alpha=jnp.array([0.25]),
+        eta_ratio=jnp.array([1.49]),
+    )
+    lb = bsdf_api.gather_lane_bsdf(bp, jnp.zeros(n, jnp.int32))
+    wi = jnp.broadcast_to(
+        jnp.asarray(np.array([0.3, 0.1, 0.95]) / np.linalg.norm(
+            [0.3, 0.1, 0.95]), jnp.float32), (n, 3))
+    key = jax.random.PRNGKey(0)
+    u1 = jax.random.uniform(key, (n,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 2))
+    act = jnp.ones(n, bool)
+
+    bs = bsdf_api.sample(lb, wi, u1, u2, act)
+    albedo_sample = np.asarray(bs.weight).mean(axis=0)
+    # energy conservation: total reflected <= 1 per channel
+    assert (albedo_sample <= 1.0 + 1e-3).all()
+    assert (albedo_sample > 0.05).all()
+
+    # estimator consistency: E[f*cos/pdf] over cosine-sampled directions
+    wo = np.asarray(u2)
+    from mitransient_tpu.core.warp import (
+        square_to_cosine_hemisphere,
+        square_to_cosine_hemisphere_pdf,
+    )
+    wo_c = square_to_cosine_hemisphere(u2)
+    pdf_c = square_to_cosine_hemisphere_pdf(wo_c)
+    f, _pdf = bsdf_api.eval_pdf(lb, wi, wo_c, act)
+    albedo_eval = np.asarray(
+        (f / jnp.maximum(pdf_c, 1e-9)[:, None]).mean(axis=0))
+    np.testing.assert_allclose(albedo_eval, albedo_sample, rtol=0.05)
+
+    # pdf consistency: sample pdf matches eval_pdf at the sampled direction
+    f2, pdf2 = bsdf_api.eval_pdf(lb, wi, bs.wo, act)
+    m = np.asarray(bs.pdf) > 1e-3
+    np.testing.assert_allclose(np.asarray(pdf2)[m], np.asarray(bs.pdf)[m],
+                               rtol=1e-3)
+
+
+def test_plastic_scene_renders():
+    import mitransient_tpu as mitr
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 16
+    d["sensor"]["film"]["height"] = 16
+    d["small-box"]["bsdf"] = {"type": "roughplastic", "alpha": 0.2,
+                              "diffuse_reflectance":
+                              {"type": "rgb", "value": [0.2, 0.4, 0.7]}}
+    s, t = mitr.render(mitr.load_dict(d), spp=16, seed=0)
+    assert np.isfinite(np.asarray(s)).all()
+    assert float(np.asarray(s).sum()) > 0

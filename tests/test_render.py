@@ -113,3 +113,33 @@ def test_multi_pass_equals_single_pass_statistics():
     s2, _ = mitr.render(scene, spp=64, seed=0)  # single pass
     m1, m2 = float(jnp.mean(s1)), float(jnp.mean(s2))
     assert abs(m1 - m2) / max(m2, 1e-9) < 0.12
+
+
+def test_checkpoint_resume_bit_identical():
+    """Interrupted multi-pass render resumed from a checkpoint matches the
+    uninterrupted render exactly (pass splitting is deterministic;
+    common.py:61-85 made durable)."""
+    import mitransient_tpu as mitr
+    from mitransient_tpu.render import load_film_state, save_film_state
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 32
+    scene = mitr.load_dict(d)
+
+    # force multi-pass: tiny lane budget -> 4 passes of spp 4
+    kw = dict(spp=16, seed=3, max_lanes=8 * 8 * 4, regenerate=False)
+    s_full, t_full = mitr.render(scene, **kw)
+
+    states = []
+    mitr.render(scene, checkpoint_callback=states.append, **kw)
+    assert len(states) == 4
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ckpt.npz")
+        save_film_state(p, states[1])  # stop after pass 2
+        resumed = load_film_state(p)
+    s_res, t_res = mitr.render(scene, film_state=resumed, **kw)
+    np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_res))
+    np.testing.assert_array_equal(np.asarray(t_full), np.asarray(t_res))
