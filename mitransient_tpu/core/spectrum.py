@@ -25,11 +25,14 @@ import jax.numpy as jnp
 
 
 class Variant(NamedTuple):
-    color_channels: int = 3  # 1 = mono, 3 = rgb
+    color_channels: int = 3  # 1 = mono, 3 = rgb (film/table channels)
     polarized: bool = False
+    spectral: bool = False  # hero-wavelength sampling; film stays 3-channel
 
     @property
     def name(self) -> str:
+        if self.spectral:
+            return "spectral"
         base = "mono" if self.color_channels == 1 else "rgb"
         return base + ("_polarized" if self.polarized else "")
 
@@ -39,6 +42,10 @@ _KNOWN = {
     "rgb": Variant(3, False),
     "mono_polarized": Variant(1, True),
     "rgb_polarized": Variant(3, True),
+    # spectral: scene tables stay RGB; lanes carry N_WL hero wavelengths
+    # uplifted per bounce (core/spectra.py); splats convert to sRGB like
+    # the reference's spectrum_to_srgb packing
+    "spectral": Variant(3, False, True),
 }
 
 # Module-global default for API parity with mi.set_variant; compiled scenes
@@ -71,7 +78,11 @@ def is_monochromatic() -> bool:
 
 
 def is_rgb() -> bool:
-    return _current.color_channels == 3
+    return _current.color_channels == 3 and not _current.spectral
+
+
+def is_spectral() -> bool:
+    return _current.spectral
 
 
 # --------------------------------------------------------------------------

@@ -75,6 +75,7 @@ def sample_primal(
     enable_film: bool = True,
     polarized: bool = False,
     cam_vertical: jnp.ndarray | None = None,
+    spectral: bool = False,
 ):
     """Trace one wavefront; returns (film', L (N, C), valid (N,)).
 
@@ -90,10 +91,64 @@ def sample_primal(
     first vertex (reference utils.py:9-21); contributions become Stokes
     vectors and the film carries 4*C channels (transient_image_block.py:90-99
     channel packing).
+
+    ``spectral=True`` gives every lane N_WL hero wavelengths sampled from
+    the visible-range proposal (core/spectra.py; mirrors
+    mi.sample_rgb_spectrum + sample_shifted): the BSDF table is uplifted to
+    those wavelengths once per bounce so all C-channel code below runs
+    unchanged with C = N_WL, and contributions convert to sRGB at splat
+    time exactly like the reference's spectrum_to_srgb block packing
+    (transient_image_block.py:91).
     """
+    if spectral and polarized:
+        raise NotImplementedError("spectral_polarized is not supported")
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
+
+    if spectral:
+        from ..core import spectra as _sp
+
+        u_wl = jax.random.uniform(
+            jax.random.fold_in(key, jnp.uint32(0x57AC)), (n,))
+        wl, wl_pdf = _sp.sample_shifted(u_wl)  # (n, N_WL) each
+        C = _sp.N_WL
+
+        # conductor IORs stored per RGB channel; interpolate across the
+        # channels' anchor wavelengths for spectral lanes
+        _anchors = jnp.array([465.0, 549.0, 611.0])
+
+        def _interp3(vals3, wl):  # (n,3),(n,K)->(n,K)
+            v = vals3[:, ::-1]  # ascending wavelength order (B, G, R)
+            t = jnp.clip((wl - _anchors[0]) / (_anchors[2] - _anchors[0]),
+                         0.0, 1.0) * 2.0
+            i0 = jnp.clip(t.astype(jnp.int32), 0, 1)
+            frac = t - i0
+            lo = jnp.take_along_axis(v, i0, axis=1)
+            hi = jnp.take_along_axis(v, jnp.minimum(i0 + 1, 2), axis=1)
+            return lo * (1 - frac) + hi * frac
+
+        def _spectral_lb(lb):
+            rgb3 = lb.reflectance
+            if rgb3.shape[-1] == 1:
+                rgb3 = jnp.repeat(rgb3, 3, axis=-1)
+            eta3 = lb.eta_re if lb.eta_re.shape[-1] == 3 else jnp.repeat(
+                lb.eta_re, 3, axis=-1)
+            k3 = lb.eta_im if lb.eta_im.shape[-1] == 3 else jnp.repeat(
+                lb.eta_im, 3, axis=-1)
+            return lb._replace(
+                reflectance=_sp.srgb_uplift(rgb3, wl),
+                eta_re=_interp3(eta3, wl),
+                eta_im=_interp3(k3, wl),
+            )
+
+        def _spectral_emission(rgb):  # (n, 3 or 1) -> (n, N_WL)
+            if rgb.shape[-1] == 1:
+                rgb = jnp.repeat(rgb, 3, axis=-1)
+            return _sp.srgb_uplift(rgb, wl) * _sp.d65(wl)
+
+        def _to_film(vals):  # (n, N_WL) -> (n, 3) linear sRGB
+            return _sp.spectrum_to_srgb(vals, wl, wl_pdf)
 
     distance0 = (
         initial_distance
@@ -152,12 +207,16 @@ def sample_primal(
         distance = st.distance + jnp.where(hit, si.t, 0.0) * st.eta
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        if spectral:
+            lb = _spectral_lb(lb)
 
         # ---------------- direct emission (BSDF-sampled MIS) --------------
         pdf_em_hit = pdf_emitter_direction(sd, st.prev_p, si)
         pdf_em_hit = jnp.where(st.prev_delta, 0.0, pdf_em_hit)
         mis = mis_weight(st.prev_pdf, pdf_em_hit)
         Le_raw = emitter_eval_hit(sd, si, st.d)
+        if spectral:
+            Le_raw = _spectral_emission(Le_raw)
         le_mask = hit & ~jnp.bool_(icfg.discard_direct_light)
         if polarized:
             # emission is unpolarized: contribution Stokes = E * mis *
@@ -182,6 +241,10 @@ def sample_primal(
         ds, em_weight = sample_emitter_direction(
             sd, si.p, rnd2(0), True, active_em
         )
+        if spectral:
+            # uplift is positively homogeneous, so radiance/pdf converts
+            # directly
+            em_weight = _spectral_emission(em_weight)
         active_em = active_em & (ds.pdf > 0.0)
         wo_em = si.frame.to_local(ds.d)
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
@@ -214,10 +277,12 @@ def sample_primal(
         # one fused film update for both splat events of this bounce
         # (emitter hit at `distance`, NEE at `distance + ds.dist * eta`)
         if enable_film:
+            Le_f = _to_film(Le) if spectral else Le
+            Lr_f = _to_film(Lr_dir) if spectral else Lr_dir
             film_st = splat_pair_any(
                 st.film, film_cfg, spp,
-                distance, Le * splat_w[:, None],
-                distance + ds.dist * st.eta, Lr_dir * splat_w[:, None],
+                distance, Le_f * splat_w[:, None],
+                distance + ds.dist * st.eta, Lr_f * splat_w[:, None],
                 active,
                 icfg.temporal_filter, icfg.gaussian_stddev,
             )
@@ -292,4 +357,5 @@ def sample_primal(
         )
 
     state = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    return state.film, state.L, state.depth > 0, state.n_rays
+    L_out = _to_film(state.L) if spectral else state.L
+    return state.film, L_out, state.depth > 0, state.n_rays

@@ -34,7 +34,7 @@ DEFAULT_MAX_LANES = 1 << 21
 @partial(
     jax.jit,
     static_argnames=("film_cfg", "icfg", "width", "height", "spp_chunk",
-                     "polarized"),
+                     "polarized", "spectral"),
     donate_argnames=("film",),
 )
 def _perspective_pass(
@@ -51,6 +51,7 @@ def _perspective_pass(
     height: int,
     spp_chunk: int,
     polarized: bool = False,
+    spectral: bool = False,
 ):
     n = width * height * spp_chunk
     sampler = Sampler(seed, n, stream=pass_idx)
@@ -71,6 +72,7 @@ def _perspective_pass(
             sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
             sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
             polarized=polarized, cam_vertical=cam.R[:, 1],
+            spectral=spectral,
         )
     film = splat_steady(film, spp_chunk, L, ray_weight)
     return film, n_rays
@@ -150,6 +152,7 @@ def render(
             icfg.kind == "transient_path"
             and not icfg.camera_unwarp
             and not polarized_v
+            and not scene.variant.spectral
             and icfg.temporal_filter != "gaussian"
             and spp >= 8
         )
@@ -179,6 +182,7 @@ def render(
 
     cam = build_camera(cfg)
     polarized = scene.variant.polarized
+    spectral = scene.variant.spectral
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
     film = film_init(film_cfg, film_channels)
     if film_state is not None:
@@ -196,6 +200,7 @@ def render(
                 film_cfg=film_cfg, icfg=icfg,
                 width=film_cfg.width, height=film_cfg.height,
                 spp_chunk=spp_chunk, polarized=polarized,
+                spectral=spectral,
             )
         total_rays = total_rays + n_rays
         if progress_callback is not None:

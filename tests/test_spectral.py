@@ -1,0 +1,71 @@
+"""Spectral variant: hero-wavelength rendering (core/spectra.py).
+
+Parity surface: the reference's spectral Mitsuba variants —
+mi.sample_rgb_spectrum / sample_shifted (nloscapturemeter.py:169-175) and
+mi.spectrum_to_srgb splat conversion (transient_image_block.py:91)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+from mitransient_tpu.core import spectra as S
+
+
+def test_pdf_normalized_and_sampling_consistent():
+    wl = jnp.linspace(S.WL_MIN, S.WL_MAX, 2001)
+    pdf = np.asarray(S.pdf_rgb_spectrum(wl))
+    assert abs(np.trapezoid(pdf, np.asarray(wl)) - 1.0) < 1e-3
+    u = jnp.asarray(np.random.RandomState(0).rand(100000))
+    wls = S.sample_rgb_spectrum(u)
+    p = np.asarray(S.pdf_rgb_spectrum(wls))
+    est = (1.0 / p).mean()
+    assert abs(est - (S.WL_MAX - S.WL_MIN)) / (S.WL_MAX - S.WL_MIN) < 0.01
+
+
+@pytest.mark.parametrize("rgb,tol", [
+    ((1.0, 1.0, 1.0), 0.02),
+    ((0.2, 0.5, 0.8), 0.05),
+    ((0.7, 0.3, 0.1), 0.05),
+])
+def test_uplift_roundtrip(rgb, tol):
+    """uplift(rgb) under D65 -> spectrum_to_srgb recovers rgb (Smits
+    accuracy)."""
+    n = 50000
+    u = jnp.asarray(np.random.RandomState(1).rand(n))
+    wl, pdf = S.sample_shifted(u)
+    refl = S.srgb_uplift(jnp.broadcast_to(jnp.asarray(rgb), (n, 3)), wl)
+    out = np.asarray(S.spectrum_to_srgb(refl * S.d65(wl), wl, pdf)).mean(0)
+    np.testing.assert_allclose(out, rgb, atol=tol)
+
+
+def test_spectral_render_matches_rgb():
+    """The spectral cbox render must agree with the rgb render (same scene,
+    D65-uplifted colors) to Smits/MC tolerance."""
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 16
+    d["sensor"]["film"]["height"] = 16
+    d["sensor"]["film"]["temporal_bins"] = 64
+    d["integrator"]["max_depth"] = 4
+
+    mitr.set_variant("rgb")
+    s_rgb, t_rgb = mitr.render(mitr.load_dict(d), spp=96, seed=0,
+                               regenerate=False)
+    mitr.set_variant("spectral")
+    try:
+        sc = mitr.load_dict(d)
+        assert sc.variant.spectral
+        s_sp, t_sp = mitr.render(sc, spp=96, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    a, b = np.asarray(s_rgb), np.asarray(s_sp)
+    assert np.isfinite(b).all()
+    # luminance agreement
+    la = (a * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
+    lb = (b * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
+    assert abs(la - lb) / max(la, 1e-9) < 0.1
+    # chromatic agreement: red wall redder than green wall in both
+    assert b[:, :4, 0].mean() > b[:, :4, 1].mean()
+    assert b[:, -4:, 1].mean() > b[:, -4:, 0].mean()
+    # transient energy consistent too
+    ta, tb = np.asarray(t_rgb).sum(), np.asarray(t_sp).sum()
+    assert abs(ta - tb) / max(ta, 1e-9) < 0.12
