@@ -52,7 +52,11 @@ class LaneBSDF(NamedTuple):
     eta_ratio: jnp.ndarray  # (N,)
 
 
-def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
+def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
+                     uv: jnp.ndarray | None = None) -> LaneBSDF:
+    """Per-lane BSDF parameter gather.  Pass the hit ``uv`` to resolve
+    textured reflectance (bitmap/checkerboard parameters in the reference
+    stack); scenes without textures skip the lookup statically."""
     i = jnp.maximum(bsdf_id, 0)
     cols = columns_lookup(
         {
@@ -66,7 +70,7 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
         },
         i,
     )
-    return LaneBSDF(
+    lb = LaneBSDF(
         kind=jnp.where(
             bsdf_id >= 0, jnp.round(cols["kind"]).astype(jnp.int32), -1
         ),
@@ -77,6 +81,56 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray) -> LaneBSDF:
         alpha=cols["alpha"],
         eta_ratio=cols["eta_ratio"],
     )
+    if uv is not None and bp.textures is not None:
+        lb = _apply_texture(bp, i, lb, uv)
+    return lb
+
+
+def _apply_texture(bp: BSDFParams, idx: jnp.ndarray, lb: LaneBSDF,
+                   uv: jnp.ndarray) -> LaneBSDF:
+    """Override reflectance for textured lanes: bilinear 4-tap atlas lookup
+    with repeat wrapping (Mitsuba bitmap texture defaults: wrap_mode=repeat,
+    filter_type=bilinear)."""
+    cols = columns_lookup(
+        {
+            "tex_id": bp.tex_id.astype(jnp.float32),
+            "tex_hw": bp.tex_hw,
+            "tex_uv": bp.tex_uv,
+        },
+        idx,
+    )
+    tid = jnp.round(cols["tex_id"]).astype(jnp.int32)
+    h = jnp.maximum(cols["tex_hw"][:, 0], 1.0)
+    w = jnp.maximum(cols["tex_hw"][:, 1], 1.0)
+    tuv = cols["tex_uv"]
+    u = uv[:, 0] * tuv[:, 0] + tuv[:, 2]
+    v = uv[:, 1] * tuv[:, 1] + tuv[:, 3]
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    nt, th, tw, C = bp.textures.shape
+    flat = bp.textures.reshape(nt * th * tw, C)
+    tidc = jnp.maximum(tid, 0)
+
+    def tap(xi, yi):
+        xi = jnp.mod(xi, w).astype(jnp.int32)
+        yi = jnp.mod(yi, h).astype(jnp.int32)
+        return jnp.take(flat, (tidc * th + yi) * tw + xi, axis=0)
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1.0, y0)
+    c01 = tap(x0, y0 + 1.0)
+    c11 = tap(x0 + 1.0, y0 + 1.0)
+    val = (c00 * (1.0 - fx) + c10 * fx) * (1.0 - fy) + (
+        c01 * (1.0 - fx) + c11 * fx) * fy
+    refl = jnp.where((tid >= 0)[:, None], val, lb.reflectance)
+    return lb._replace(reflectance=refl)
 
 
 def _fdr(eta):

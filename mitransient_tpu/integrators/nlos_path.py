@@ -277,7 +277,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     f1 = jnp.where(active_e[:, None],
                    f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
-    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id)
+    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id, si2.uv)
     if polarized:
         M1 = P1 * f1[:, None, None, :]
         beta2 = jnp.einsum("nikc,nkjc->nijc", beta, M1)
@@ -421,7 +421,7 @@ def sample_nlos_primal(
         seg_ok = hit & (jnp.bool_(account) | (it > 0))
         distance = st["distance"] + jnp.where(seg_ok, si.t, 0.0) * st["eta"]
 
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
 
         # ---------------- direct emission -------------------------------
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)

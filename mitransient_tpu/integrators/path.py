@@ -206,7 +206,7 @@ def sample_primal(
 
         distance = st.distance + jnp.where(hit, si.t, 0.0) * st.eta
 
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         if spectral:
             lb = _spectral_lb(lb)
 

@@ -144,7 +144,7 @@ def sample_primal_regen(
         hit = active & si.valid
         distance = st["distance"] + jnp.where(hit, si.t, 0.0) * st["eta"]
 
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
 
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)

@@ -176,7 +176,7 @@ def sample_adjoint(
         hit = active & si.valid
         distance = st["distance"] + jnp.where(hit, si.t, 0.0) * st["eta"]
 
-        lb_det = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb_det = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
 
         # detached MIS weights / NEE sample (identical to primal)
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
@@ -205,7 +205,7 @@ def sample_adjoint(
 
         def contributions(theta: DiffParams):
             sdt = insert_params(sd, theta)
-            lb = bsdf_api.gather_lane_bsdf(sdt.bsdf, si.bsdf_id)
+            lb = bsdf_api.gather_lane_bsdf(sdt.bsdf, si.bsdf_id, si.uv)
             # Le: attached emitter radiance at the hit
             Le_raw = emitter_eval_hit(sdt, si, st["d"])
             Le = jnp.where(

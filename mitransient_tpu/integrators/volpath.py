@@ -211,7 +211,7 @@ def transmittance(sd: SceneData, o, d_unit, dist, start_med, active,
             sd, key, 1000 + tag * TRANSMITTANCE_STEPS + step,
             med, o_cur, d_unit, seg, walking)
         T = T * jnp.where(walking, T_seg, 1.0)
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         is_null = bsdf_api.is_null(lb)
         blocked = walking & si.valid & ~is_null
         occluded = occluded | blocked
@@ -299,7 +299,7 @@ def sample_volpath_primal(
         p_event = st["o"] + st["d"] * t_event[:, None]
         distance = st["distance"] + jnp.where(active, t_event, 0.0) * st["eta"]
 
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id)
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         is_null_srf = bsdf_api.is_null(lb) & ~medium_scatter
 
         # throughput update for scattering events: analog MC, beta *= albedo

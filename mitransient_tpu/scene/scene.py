@@ -62,6 +62,15 @@ class BSDFParams(NamedTuple):
     eta_im: jnp.ndarray  # (B, C) conductor IOR (imag); 0 => ideal mirror
     alpha: jnp.ndarray  # (B,) GGX roughness
     eta_ratio: jnp.ndarray  # (B,) dielectric int_ior/ext_ior
+    # Textured reflectance (bitmap/checkerboard textures in the reference
+    # stack, e.g. examples/diff-transient/staircase/scene.xml).  All scene
+    # textures are packed into ONE padded atlas so a lane's reflectance is a
+    # bilinear 4-tap gather keyed by (tex_id, uv); untextured scenes leave
+    # these as None and skip the lookup statically.
+    tex_id: jnp.ndarray | None = None  # (B,) int32, -1 = untextured
+    tex_hw: jnp.ndarray | None = None  # (B, 2) f32 actual (height, width)
+    tex_uv: jnp.ndarray | None = None  # (B, 4) f32 (su, sv, ou, ov) uv xform
+    textures: jnp.ndarray | None = None  # (NT, TH, TW, C) f32 atlas
 
 
 class EmitterParams(NamedTuple):

@@ -48,8 +48,10 @@ from .shapes import SHAPE_REGISTRY, Shape
 RGB_TO_LUMA = np.array([0.212671, 0.715160, 0.072169])
 
 
-def _texture_mean(spec: dict) -> np.ndarray:
+def _texture_mean(spec: dict, base_dir: str = ".") -> np.ndarray:
     fn = spec.get("filename")
+    if fn and not os.path.isabs(fn):
+        fn = os.path.join(base_dir, fn)
     if fn and os.path.exists(fn):
         try:
             import imageio.v3 as iio
@@ -70,6 +72,95 @@ def _texture_mean(spec: dict) -> np.ndarray:
         return (0.5 * (np.asarray(a, np.float64) + np.asarray(b, np.float64)))
     except Exception:
         return np.full((3,), 0.5)
+
+
+# --------------------------------------------------------------------------
+# Textured BSDF parameters (reference: Mitsuba `bitmap`/`checkerboard`
+# texture plugins driving e.g. roughplastic diffuse_reflectance in
+# examples/diff-transient/staircase/scene.xml).  All scene textures are
+# packed into ONE padded f32 atlas (device side: BSDFParams.textures) so the
+# shading-time lookup is a flat bilinear gather; images are capped at
+# TEXTURE_MAX_RES per side via box downsampling to bound HBM.
+# --------------------------------------------------------------------------
+
+TEXTURE_MAX_RES = 512
+
+
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _box_downsample(img: np.ndarray, cap: int) -> np.ndarray:
+    k = int(np.ceil(max(img.shape[0], img.shape[1]) / cap))
+    if k <= 1:
+        return img
+    h2 = (img.shape[0] // k) * k
+    w2 = (img.shape[1] // k) * k
+    img = img[:h2, :w2]
+    return img.reshape(h2 // k, k, w2 // k, k, img.shape[-1]).mean(axis=(1, 3))
+
+
+def _to_channels(img: np.ndarray, channels: int) -> np.ndarray:
+    if img.shape[-1] >= 3 and channels == 1:
+        return (img[..., :3] @ RGB_TO_LUMA)[..., None]
+    if img.shape[-1] == 1 and channels == 3:
+        return np.repeat(img, 3, axis=-1)
+    return img[..., :channels]
+
+
+def _uv_transform(spec) -> tuple[float, float, float, float]:
+    """(su, sv, ou, ov) from a Mitsuba ``to_uv`` transform (scale + offset
+    only; rotations in uv space are not used by the example corpus)."""
+    if spec is None:
+        return (1.0, 1.0, 0.0, 0.0)
+    t = spec if hasattr(spec, "m") else from_spec(spec)
+    m = np.asarray(t.m, np.float64)
+    return (float(m[0, 0]), float(m[1, 1]), float(m[0, 3]), float(m[1, 3]))
+
+
+def _load_texture(spec: dict, base_dir: str, channels: int, cache: dict):
+    """Texture spec -> (img (h, w, C) f32 linear, (su, sv, ou, ov)) or None."""
+    t = spec.get("type")
+    uv_t = _uv_transform(spec.get("to_uv"))
+    if t == "checkerboard":
+        c0 = parse_color(spec.get("color0", 0.4), channels)
+        c1 = parse_color(spec.get("color1", 0.2), channels)
+        key = ("checker", tuple(c0), tuple(c1))
+        if key not in cache:
+            res = 64
+            u = (np.arange(res) + 0.5) / res
+            mask = (u[None, :] > 0.5) ^ (u[:, None] > 0.5)  # (v, u)
+            cache[key] = np.where(
+                mask[..., None], c1, c0).astype(np.float32)
+        return cache[key], uv_t
+    if t == "bitmap":
+        fn = spec.get("filename")
+        if not fn:
+            return None
+        if not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
+        key = ("bitmap", fn, bool(spec.get("raw", False)))
+        if key not in cache:
+            if not os.path.exists(fn):
+                return None
+            try:
+                import imageio.v3 as iio
+
+                img = np.asarray(iio.imread(fn))
+            except Exception:
+                return None
+            was_int = img.dtype.kind in "ui"
+            img = img.astype(np.float64)
+            if was_int:
+                img = img / 255.0
+                if not spec.get("raw", False):
+                    img = _srgb_to_linear(img)
+            if img.ndim == 2:
+                img = img[..., None]
+            img = _box_downsample(img, TEXTURE_MAX_RES)
+            cache[key] = _to_channels(img, channels).astype(np.float32)
+        return cache[key], uv_t
+    return None
 
 
 def _parse_density(dens, base_dir):
@@ -119,7 +210,7 @@ def read_vol(path: str) -> np.ndarray:
     return grid[..., 0]
 
 
-def parse_color(spec: Any, channels: int) -> np.ndarray:
+def parse_color(spec: Any, channels: int, base_dir: str = ".") -> np.ndarray:
     """Parse an rgb/float/texture-ish spectrum value to (C,)."""
     if isinstance(spec, dict):
         t = spec.get("type")
@@ -128,9 +219,10 @@ def parse_color(spec: Any, channels: int) -> np.ndarray:
         elif t in ("spectrum", "uniform", "d65"):
             v = np.asarray(spec.get("value", 1.0), np.float64)
         elif t in ("bitmap", "checkerboard"):
-            # Texture: collapse to its mean color (textured BSDF params are
-            # a known round-2 gap; keeps big example scenes loadable).
-            v = _texture_mean(spec)
+            # Texture: the table entry holds the mean color (used as the
+            # differentiable fallback / param-map value); the full texture
+            # is packed into the atlas by _parse_bsdf.
+            v = _texture_mean(spec, base_dir)
         else:
             raise ValueError(f"unsupported spectrum type {t!r}")
     else:
@@ -285,6 +377,8 @@ class _BSDFEntry(NamedTuple):
     eta_im: np.ndarray
     alpha: float
     eta_ratio: float
+    tex: np.ndarray | None = None  # (h, w, C) reflectance texture
+    tex_uv: tuple = (1.0, 1.0, 0.0, 0.0)  # (su, sv, ou, ov)
 
 
 # A small complex-IOR table (550nm-ish) for named conductor materials.
@@ -297,7 +391,8 @@ CONDUCTOR_IOR = {
 }
 
 
-def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
+def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
+                tex_cache: dict | None = None) -> _BSDFEntry:
     t = d.get("type", "diffuse")
     two_sided = False
     # unwrap adapter bsdfs down to the lobe that carries the response
@@ -316,8 +411,8 @@ def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
         d = inner
         t = d.get("type", "diffuse")
 
-    refl = parse_color(d.get("reflectance", d.get("specular_reflectance", 1.0)),
-                       channels)
+    refl_spec = d.get("reflectance", d.get("specular_reflectance", 1.0))
+    refl = parse_color(refl_spec, channels, base_dir)
     eta_re = np.zeros(channels, np.float32)
     eta_im = np.zeros(channels, np.float32)
     alpha = 0.0
@@ -332,7 +427,8 @@ def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
         # coating (a delta coat lobe would complicate the dense
         # evaluate-all-kinds dispatch for little visual gain).
         kind = BSDF_ROUGH_PLASTIC
-        refl = parse_color(d.get("diffuse_reflectance", 0.5), channels)
+        refl_spec = d.get("diffuse_reflectance", 0.5)
+        refl = parse_color(refl_spec, channels, base_dir)
         alpha = float(d.get("alpha", 0.1)) if t == "roughplastic" else 0.03
         int_ior = d.get("int_ior", 1.49)
         ext_ior = d.get("ext_ior", 1.000277)
@@ -363,7 +459,18 @@ def _parse_bsdf(key: str, d: dict, channels: int) -> _BSDFEntry:
         kind = BSDF_NULL
     else:
         raise ValueError(f"unsupported bsdf type {t!r} (key {key!r})")
-    return _BSDFEntry(key, kind, two_sided, refl, eta_re, eta_im, alpha, eta_ratio)
+
+    tex = None
+    tex_uv = (1.0, 1.0, 0.0, 0.0)
+    if isinstance(refl_spec, dict) and refl_spec.get("type") in (
+            "bitmap", "checkerboard"):
+        loaded = _load_texture(
+            refl_spec, base_dir, channels,
+            tex_cache if tex_cache is not None else {})
+        if loaded is not None:
+            tex, tex_uv = loaded
+    return _BSDFEntry(key, kind, two_sided, refl, eta_re, eta_im, alpha,
+                      eta_ratio, tex, tex_uv)
 
 
 class _EmitterEntry(NamedTuple):
@@ -400,13 +507,15 @@ class Scene:
 
         sensor_dicts: list[tuple[dict, int]] = []  # (sensor dict, shape idx)
 
+        self._tex_cache: dict = {}
+
         def add_bsdf(key: str, d: dict) -> int:
             if d.get("type") == "ref":
                 ref = d["id"]
                 if ref not in self._bsdf_index:
                     raise KeyError(f"bsdf ref {ref!r} not found")
                 return self._bsdf_index[ref]
-            entry = _parse_bsdf(key, d, C)
+            entry = _parse_bsdf(key, d, C, base_dir, self._tex_cache)
             idx = len(self._bsdfs)
             self._bsdfs.append(entry)
             self._bsdf_index[key] = idx
@@ -667,6 +776,38 @@ class Scene:
                 np.array([b.eta_ratio for b in self._bsdfs] or [1.0],
                          np.float32)),
         )
+
+        # Texture atlas: pad every distinct reflectance texture to the max
+        # (h, w) and stack; per-BSDF tex_id/tex_hw drive the wrap so padding
+        # is never sampled.
+        if any(b.tex is not None for b in self._bsdfs):
+            slots: dict[int, int] = {}
+            uniq: list[np.ndarray] = []
+            tex_id = np.full(B, -1, np.int32)
+            tex_hw = np.ones((B, 2), np.float32)
+            tex_uv = np.tile(
+                np.array([1.0, 1.0, 0.0, 0.0], np.float32), (B, 1))
+            for bi, b in enumerate(self._bsdfs):
+                if b.tex is None:
+                    continue
+                kk = id(b.tex)
+                if kk not in slots:
+                    slots[kk] = len(uniq)
+                    uniq.append(b.tex)
+                tex_id[bi] = slots[kk]
+                tex_hw[bi] = (b.tex.shape[0], b.tex.shape[1])
+                tex_uv[bi] = b.tex_uv
+            th = max(t.shape[0] for t in uniq)
+            tw = max(t.shape[1] for t in uniq)
+            atlas = np.zeros((len(uniq), th, tw, C), np.float32)
+            for j, timg in enumerate(uniq):
+                atlas[j, : timg.shape[0], : timg.shape[1]] = timg
+            bsdf = bsdf._replace(
+                tex_id=jnp.asarray(tex_id),
+                tex_hw=jnp.asarray(tex_hw),
+                tex_uv=jnp.asarray(tex_uv),
+                textures=jnp.asarray(atlas),
+            )
 
         # Emitter table
         E = len(self._emitters)
