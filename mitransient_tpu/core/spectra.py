@@ -179,3 +179,72 @@ def spectrum_to_srgb(values, wl, pdf):
     w = jnp.where(pdf > 0.0, 1.0 / (jnp.maximum(pdf, 1e-12) * N_WL), 0.0)
     xyz = jnp.sum(cie_xyz(wl) * (values * w)[..., None], axis=-2) / _Y_INT
     return xyz @ _XYZ_TO_SRGB.T
+
+
+# --------------------------------------------------------------------------
+# Shared per-wavefront spectral context (used by every integrator that
+# supports the spectral variant: path, nlos_path, volpath)
+# --------------------------------------------------------------------------
+
+# ascending-wavelength anchors of the B/G/R channels used to interpolate
+# per-RGB-channel data (conductor IORs) to arbitrary wavelengths
+_ANCHORS = jnp.asarray(np.array([465.0, 549.0, 611.0], np.float32))
+
+
+def _interp_rgb(vals3, wl):
+    """Interpolate per-RGB-channel values to wavelengths: (n, 3) RGB-ordered
+    + (n, K) wl -> (n, K)."""
+    v = vals3[:, ::-1]  # B, G, R = ascending wavelength
+    t = jnp.clip(
+        (wl - _ANCHORS[0]) / (_ANCHORS[2] - _ANCHORS[0]), 0.0, 1.0) * 2.0
+    i0 = jnp.clip(t.astype(jnp.int32), 0, 1)
+    frac = t - i0
+    lo = jnp.take_along_axis(v, i0, axis=1)
+    hi = jnp.take_along_axis(v, jnp.minimum(i0 + 1, 2), axis=1)
+    return lo * (1 - frac) + hi * frac
+
+
+class SpectralCtx:
+    """Hero-wavelength set for one wavefront: N_WL wavelengths per lane.
+
+    Centralizes the three conversions every spectral integrator needs:
+    BSDF-table uplift, emission uplift (x D65 illuminant), and the
+    splat-time spectrum->sRGB conversion (transient_image_block.py:91)."""
+
+    __slots__ = ("wl", "wl_pdf")
+
+    def __init__(self, wl, wl_pdf):
+        self.wl = wl
+        self.wl_pdf = wl_pdf
+
+    @staticmethod
+    def make(key, n):
+        import jax
+
+        u_wl = jax.random.uniform(
+            jax.random.fold_in(key, jnp.uint32(0x57AC)), (n,))
+        wl, wl_pdf = sample_shifted(u_wl)
+        return SpectralCtx(wl, wl_pdf)
+
+    def _rgb3(self, x):
+        return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+    def uplift(self, rgb):
+        """Reflectance-like (n, C) RGB -> (n, N_WL)."""
+        return srgb_uplift(self._rgb3(rgb), self.wl)
+
+    def emission(self, rgb):
+        """Emitted-radiance (n, C) RGB -> (n, N_WL) with D65 shape."""
+        return srgb_uplift(self._rgb3(rgb), self.wl) * d65(self.wl)
+
+    def uplift_lb(self, lb):
+        """Lift a LaneBSDF's color data to the lane wavelengths."""
+        return lb._replace(
+            reflectance=self.uplift(lb.reflectance),
+            eta_re=_interp_rgb(self._rgb3(lb.eta_re), self.wl),
+            eta_im=_interp_rgb(self._rgb3(lb.eta_im), self.wl),
+        )
+
+    def to_film(self, vals):
+        """(n, N_WL) radiance -> (n, 3) linear sRGB for splatting."""
+        return spectrum_to_srgb(vals, self.wl, self.wl_pdf)

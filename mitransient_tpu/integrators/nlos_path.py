@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bsdf import api as bsdf_api
+from ..core import spectra as _sp
 from ..core.math import dot, mis_weight, normalize
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -238,7 +239,8 @@ def _sample_hidden_point(sd: SceneData, ctx: NLOSContext, u0, u1):
 
 
 def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
-               account_last: bool, wi_world=None, polarized: bool = False):
+               account_last: bool, wi_world=None, polarized: bool = False,
+               sctx=None):
     """Two-segment laser NEE (emitter_laser_sample path,
     transientnlospath.py:511-635, single/confocal): returns
     (Lr_dir (N, C) — or (N, 4C) Stokes when polarized, splat_distance (N,)).
@@ -278,6 +280,8 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
                    f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
     lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id, si2.uv)
+    if sctx is not None:
+        lb2 = sctx.uplift_lb(lb2)
     if polarized:
         M1 = P1 * f1[:, None, None, :]
         beta2 = jnp.einsum("nikc,nkjc->nijc", beta, M1)
@@ -289,13 +293,14 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     Lr, splat_dist = _plain_nee(
         sd, ctx, icfg, si2, lb2, beta2, dist_after1, eta,
         it_depth + 2, active_e, account_last,
-        wi_world=d1, polarized=polarized,
+        wi_world=d1, polarized=polarized, sctx=sctx,
     )
     return Lr, splat_dist
 
 
 def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
-               account_last: bool, wi_world=None, polarized: bool = False):
+               account_last: bool, wi_world=None, polarized: bool = False,
+               sctx=None):
     """Single-emitter NEE toward the projector/area emitter
     (emitter_nee_sample, transientnlospath.py:432-509)."""
     em_idx = jnp.broadcast_to(ctx.emitter_idx, si.t.shape)
@@ -312,6 +317,8 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         -jnp.broadcast_to(sd.emitter.direction[0], si.p.shape),
         d2, dist2, cos_em,
     )
+    if sctx is not None:
+        em_val = sctx.emission(em_val)
     wo2 = si.frame.to_local(d2)
     f2, _ = bsdf_api.eval_pdf(lb, si.wi, wo2, active_e)
 
@@ -359,15 +366,27 @@ def sample_nlos_primal(
     spp: int,
     polarized: bool = False,
     sensor_up=None,
+    spectral: bool = False,
 ):
     """The NLOS wavefront loop (transientnlospath.py:672-927, primal).
 
     ``polarized=True`` switches the throughput to a Mueller-matrix chain
     (N, 4, 4, C) initialized by the sensor Stokes-frame alignment rotation
-    (reference utils.py:9-21) and L to packed Stokes (N, 4C)."""
+    (reference utils.py:9-21) and L to packed Stokes (N, 4C).
+
+    ``spectral=True`` gives each lane N_WL hero wavelengths (the same
+    machinery as sample_primal's spectral path; splats convert to sRGB so
+    the film stays 3-channel)."""
+    if spectral and polarized:
+        raise NotImplementedError("spectral_polarized is not supported")
     n = ray.o.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
+
+    sctx = None
+    if spectral:
+        sctx = _sp.SpectralCtx.make(key, n)
+        C = _sp.N_WL
     account = icfg.account_first_and_last_bounces
     splat_w = ray_weight * sample_scale
     hg_on = icfg.nlos_hidden_geometry_sampling
@@ -422,12 +441,16 @@ def sample_nlos_primal(
         distance = st["distance"] + jnp.where(seg_ok, si.t, 0.0) * st["eta"]
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+        if sctx is not None:
+            lb = sctx.uplift_lb(lb)
 
         # ---------------- direct emission -------------------------------
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
         mis = mis_weight(st["prev_pdf"], pdf_em_hit)
         Le_raw = emitter_eval_hit(sd, si, st["d"])
+        if sctx is not None:
+            Le_raw = sctx.emission(Le_raw)
         if polarized:
             b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
             Le = jnp.where(
@@ -451,19 +474,21 @@ def sample_nlos_primal(
             Lr_dir, nee_dist = _laser_nee(
                 sd, ctx, icfg, si, lb, st["beta"], distance, st["eta"],
                 it, active_em, account_last=account,
-                wi_world=st["d"], polarized=polarized,
+                wi_world=st["d"], polarized=polarized, sctx=sctx,
             )
         else:
             Lr_dir, nee_dist = _plain_nee(
                 sd, ctx, icfg, si, lb, st["beta"], distance, st["eta"],
                 it, active_em, account_last=account,
-                wi_world=st["d"], polarized=polarized,
+                wi_world=st["d"], polarized=polarized, sctx=sctx,
             )
 
+        Le_f = sctx.to_film(Le) if sctx is not None else Le
+        Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
         film_st = splat_transient_pair(
             st["film"], film_cfg, spp,
-            distance, Le * splat_w[:, None],
-            nee_dist, Lr_dir * splat_w[:, None],
+            distance, Le_f * splat_w[:, None],
+            nee_dist, Lr_f * splat_w[:, None],
             active,
             icfg.temporal_filter, icfg.gaussian_stddev,
         )
@@ -570,7 +595,8 @@ def sample_nlos_primal(
         )
 
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    return final["film"], final["L"], final["depth"] > 0, final["n_rays"]
+    L_out = sctx.to_film(final["L"]) if sctx is not None else final["L"]
+    return final["film"], L_out, final["depth"] > 0, final["n_rays"]
 
 
 # --------------------------------------------------------------------------
@@ -596,9 +622,6 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     polarized = scene.variant.polarized
 
     if icfg.capture_type == "exhaustive":
-        if polarized:
-            raise NotImplementedError(
-                "polarized exhaustive NLOS capture is not supported")
         return render_nlos_exhaustive(
             scene, spp=spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
             progress_callback=progress_callback, return_stats=return_stats)
@@ -621,6 +644,7 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
         film, L, valid, n_rays = sample_nlos_primal(
             sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
             inv_total, base_dim=2, spp=spp_, polarized=polarized,
+            spectral=scene.variant.spectral,
         )
         film = splat_steady(film, spp_, L, ray_weight)
         return film, n_rays
@@ -680,7 +704,8 @@ def render_nlos_exhaustive(scene: Scene, spp, seed=0, sensor=0,
     laser_targets = wall_shape.position_from_uv(uv).astype(np.float32)
 
     h, w = film_cfg.height, film_cfg.width
-    C = scene.variant.color_channels
+    # channel count includes the 4 Stokes components in polarized variants
+    C = scene.variant.color_channels * (4 if scene.variant.polarized else 1)
     T = film_cfg.temporal_bins
     out = np.zeros((h, w, lh, lw, T, C), np.float32)
     steady_acc = np.zeros((h, w, C), np.float32)

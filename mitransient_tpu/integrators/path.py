@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bsdf import api as bsdf_api
+from ..core import spectra as _sp
 from ..core.math import mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -107,48 +108,11 @@ def sample_primal(
     key = sampler.key
 
     if spectral:
-        from ..core import spectra as _sp
-
-        u_wl = jax.random.uniform(
-            jax.random.fold_in(key, jnp.uint32(0x57AC)), (n,))
-        wl, wl_pdf = _sp.sample_shifted(u_wl)  # (n, N_WL) each
+        sctx = _sp.SpectralCtx.make(key, n)
         C = _sp.N_WL
-
-        # conductor IORs stored per RGB channel; interpolate across the
-        # channels' anchor wavelengths for spectral lanes
-        _anchors = jnp.array([465.0, 549.0, 611.0])
-
-        def _interp3(vals3, wl):  # (n,3),(n,K)->(n,K)
-            v = vals3[:, ::-1]  # ascending wavelength order (B, G, R)
-            t = jnp.clip((wl - _anchors[0]) / (_anchors[2] - _anchors[0]),
-                         0.0, 1.0) * 2.0
-            i0 = jnp.clip(t.astype(jnp.int32), 0, 1)
-            frac = t - i0
-            lo = jnp.take_along_axis(v, i0, axis=1)
-            hi = jnp.take_along_axis(v, jnp.minimum(i0 + 1, 2), axis=1)
-            return lo * (1 - frac) + hi * frac
-
-        def _spectral_lb(lb):
-            rgb3 = lb.reflectance
-            if rgb3.shape[-1] == 1:
-                rgb3 = jnp.repeat(rgb3, 3, axis=-1)
-            eta3 = lb.eta_re if lb.eta_re.shape[-1] == 3 else jnp.repeat(
-                lb.eta_re, 3, axis=-1)
-            k3 = lb.eta_im if lb.eta_im.shape[-1] == 3 else jnp.repeat(
-                lb.eta_im, 3, axis=-1)
-            return lb._replace(
-                reflectance=_sp.srgb_uplift(rgb3, wl),
-                eta_re=_interp3(eta3, wl),
-                eta_im=_interp3(k3, wl),
-            )
-
-        def _spectral_emission(rgb):  # (n, 3 or 1) -> (n, N_WL)
-            if rgb.shape[-1] == 1:
-                rgb = jnp.repeat(rgb, 3, axis=-1)
-            return _sp.srgb_uplift(rgb, wl) * _sp.d65(wl)
-
-        def _to_film(vals):  # (n, N_WL) -> (n, 3) linear sRGB
-            return _sp.spectrum_to_srgb(vals, wl, wl_pdf)
+        _spectral_lb = sctx.uplift_lb
+        _spectral_emission = sctx.emission
+        _to_film = sctx.to_film
 
     distance0 = (
         initial_distance

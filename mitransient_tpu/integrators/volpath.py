@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bsdf import api as bsdf_api
+from ..core import spectra as _sp
 from ..core.math import dot, mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -237,13 +238,24 @@ def sample_volpath_primal(
     sample_scale,
     base_dim: int,
     spp: int,
+    spectral: bool = False,
 ):
     """The volumetric wavefront loop (primal).  Returns
-    (film, L, valid, n_rays) like sample_primal."""
+    (film, L, valid, n_rays) like sample_primal.
+
+    ``spectral=True`` carries N_WL hero wavelengths per lane (same machinery
+    as sample_primal); medium albedo uplifts to the lane wavelengths while
+    sigma_t stays achromatic (density grids are scalar), and splats convert
+    to sRGB so the film stays 3-channel."""
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
     splat_w = ray_weight * sample_scale
+
+    sctx = None
+    if spectral:
+        sctx = _sp.SpectralCtx.make(key, n)
+        C = _sp.N_WL
 
     state = dict(
         o=ray.o, d=ray.d,
@@ -279,6 +291,8 @@ def sample_volpath_primal(
         # ---- free-flight sampling in the current medium (dim 0) ----------
         sigma_t, med_albedo, med_g, in_medium = _medium_lookup(
             sd, st["medium"])
+        if sctx is not None:
+            med_albedo = sctx.uplift(med_albedo)
         if _has_grids(sd):
             # heterogeneous: delta tracking against the majorant
             t_fly = _delta_track_flight(
@@ -300,6 +314,8 @@ def sample_volpath_primal(
         distance = st["distance"] + jnp.where(active, t_event, 0.0) * st["eta"]
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+        if sctx is not None:
+            lb = sctx.uplift_lb(lb)
         is_null_srf = bsdf_api.is_null(lb) & ~medium_scatter
 
         # throughput update for scattering events: analog MC, beta *= albedo
@@ -311,9 +327,12 @@ def sample_volpath_primal(
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
         mis = mis_weight(st["prev_pdf"], pdf_em_hit)
+        Le_raw = emitter_eval_hit(sd, si, st["d"])
+        if sctx is not None:
+            Le_raw = sctx.emission(Le_raw)
         Le = jnp.where(
             (hit & ~medium_scatter & ~jnp.bool_(icfg.discard_direct_light))[:, None],
-            st["beta"] * mis[:, None] * emitter_eval_hit(sd, si, st["d"]),
+            st["beta"] * mis[:, None] * Le_raw,
             0.0,
         )
 
@@ -326,6 +345,8 @@ def sample_volpath_primal(
         ds, em_weight = sample_emitter_direction(
             sd, p_event, rnd2(1), False, active_em  # visibility via
         )                                            # transmittance below
+        if sctx is not None:
+            em_weight = sctx.emission(em_weight)
         active_em = active_em & (ds.pdf > 0.0)
         trans, occ = transmittance(
             sd, p_event, ds.d, ds.dist, st["medium"], active_em,
@@ -347,10 +368,12 @@ def sample_volpath_primal(
             0.0,
         )
 
+        Le_f = sctx.to_film(Le) if sctx is not None else Le
+        Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
         film_st = splat_pair_any(
             st["film"], film_cfg, spp,
-            distance, Le * splat_w[:, None],
-            distance + ds.dist * st["eta"], Lr_dir * splat_w[:, None],
+            distance, Le_f * splat_w[:, None],
+            distance + ds.dist * st["eta"], Lr_f * splat_w[:, None],
             active,
             icfg.temporal_filter, icfg.gaussian_stddev,
         )
@@ -421,4 +444,5 @@ def sample_volpath_primal(
         )
 
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    return final["film"], final["L"], final["depth"] > 0, final["n_rays"]
+    L_out = sctx.to_film(final["L"]) if sctx is not None else final["L"]
+    return final["film"], L_out, final["depth"] > 0, final["n_rays"]

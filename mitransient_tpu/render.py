@@ -66,6 +66,7 @@ def _perspective_pass(
         film, L, valid, n_rays = sample_fn(
             sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
             sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
+            spectral=spectral,
         )
     else:
         film, L, valid, n_rays = sample_primal(

@@ -159,3 +159,27 @@ def test_polarized_nlos_intensity_matches_unpolarized():
     # same sampler decisions -> intensity agrees tightly
     np.testing.assert_allclose(a.sum(), b.sum(), rtol=5e-2)
     np.testing.assert_allclose(a, b, rtol=0.35, atol=1e-4 * a.max())
+
+
+def test_polarized_exhaustive_capture(mono_pol):
+    """Exhaustive capture in a polarized variant: 6-D film whose trailing
+    channel axis carries the 4 Stokes components (reference leaves polarized
+    exhaustive untested; shapes follow transient_image_block.py:63-68 with
+    the Stokes packing of :90-99)."""
+    from tests.test_nlos import nlos_scene
+
+    d = nlos_scene(sx=2, sy=2, bins=200, spp=8)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    scene = mitr.load_dict(d)
+    s, t = mitr.render(scene, spp=8, seed=0)
+    assert t.shape == (2, 2, 2, 2, 200, 4)
+    t = np.asarray(t)
+    assert np.all(np.isfinite(t)) and t[..., 0].sum() > 0
+    # Stokes physicality on the aggregated signal: I >= |Q|,|U|,|V|
+    agg = t.sum(axis=(0, 1, 2, 3, 4))
+    assert agg[0] >= abs(agg[1]) and agg[0] >= abs(agg[2])
+    # different laser points illuminate differently
+    assert not np.allclose(t[:, :, 0, 0], t[:, :, 1, 1])

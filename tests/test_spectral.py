@@ -69,3 +69,52 @@ def test_spectral_render_matches_rgb():
     # transient energy consistent too
     ta, tb = np.asarray(t_rgb).sum(), np.asarray(t_sp).sum()
     assert abs(ta - tb) / max(ta, 1e-9) < 0.12
+
+
+def test_spectral_nlos_render():
+    """Spectral NLOS capture: hero wavelengths through the laser-sampled
+    relay-wall estimator; film converts to sRGB at splat time so the output
+    stays 3-channel and agrees with the rgb render in arrival geometry."""
+    from tests.test_nlos import nlos_scene
+
+    d = nlos_scene(sx=4, sy=4, bins=200, spp=16)
+    mitr.set_variant("rgb")
+    s_rgb, t_rgb = mitr.render(mitr.load_dict(d), spp=16, seed=0)
+    mitr.set_variant("spectral")
+    try:
+        sc = mitr.load_dict(d)
+        s_sp, t_sp = mitr.render(sc, spp=16, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    tb = np.asarray(t_sp)
+    assert tb.shape == np.asarray(t_rgb).shape == (4, 4, 200, 3)
+    assert np.isfinite(tb).all() and tb.sum() > 0
+    # same arrival bins as the rgb render
+    pa = np.asarray(t_rgb).sum(axis=(0, 1, 3))
+    pb = tb.sum(axis=(0, 1, 3))
+    fa, fb = np.nonzero(pa)[0][0], np.nonzero(pb)[0][0]
+    assert abs(int(fa) - int(fb)) <= 2
+    # energy agreement to MC/Smits tolerance
+    assert abs(pa.sum() - pb.sum()) / max(pa.sum(), 1e-9) < 0.2
+
+
+def test_spectral_volumetric_render():
+    """Spectral volumetric path: uplifted medium albedo + achromatic
+    sigma_t; agrees with the rgb volumetric render in total energy."""
+    from tests.test_volumetric import vol_cbox
+
+    d = vol_cbox(sigma_t=1.5, albedo=0.9, g=0.2)
+    mitr.set_variant("rgb")
+    s_rgb, t_rgb = mitr.render(mitr.load_dict(d), spp=48, seed=0)
+    mitr.set_variant("spectral")
+    try:
+        sc = mitr.load_dict(d)
+        s_sp, t_sp = mitr.render(sc, spp=48, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    a, b = np.asarray(s_rgb), np.asarray(s_sp)
+    assert b.shape == a.shape
+    assert np.isfinite(b).all() and b.sum() > 0
+    la = (a * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
+    lb = (b * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
+    assert abs(la - lb) / max(la, 1e-9) < 0.15
