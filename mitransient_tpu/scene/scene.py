@@ -71,6 +71,16 @@ class BSDFParams(NamedTuple):
     tex_hw: jnp.ndarray | None = None  # (B, 2) f32 actual (height, width)
     tex_uv: jnp.ndarray | None = None  # (B, 4) f32 (su, sv, ou, ov) uv xform
     textures: jnp.ndarray | None = None  # (NT, TH, TW, C) f32 atlas
+    # Shading-frame perturbation (Mitsuba bumpmap/normalmap wrappers in the
+    # reference corpus, staircase scene.xml).  The 3-channel atlas packs
+    # (height, dh/dx, dh/dy) texel-unit gradients for bumpmaps or tangent-
+    # space normals for normalmaps; ray_intersect applies the perturbation.
+    bump_id: jnp.ndarray | None = None  # (B,) int32, -1 = unperturbed
+    bump_hw: jnp.ndarray | None = None  # (B, 2) f32 (height, width)
+    bump_uv: jnp.ndarray | None = None  # (B, 4) f32 uv transform
+    bump_scale: jnp.ndarray | None = None  # (B,) f32 bumpmap scale
+    bump_kind: jnp.ndarray | None = None  # (B,) int32 1=bump 2=normal
+    bump_textures: jnp.ndarray | None = None  # (NB, TH, TW, 3) f32
 
 
 class EmitterParams(NamedTuple):
@@ -122,6 +132,88 @@ class SceneData(NamedTuple):
 # Device-side queries
 # --------------------------------------------------------------------------
 
+def _perturbed_normal(bp: BSDFParams, bsdf_id, ng, uv, e1, e2, uv_e1, uv_e2):
+    """Bump/normal-mapped shading normal (Mitsuba bumpmap.cpp /
+    normalmap.cpp semantics; staircase scene.xml BrushedAluminium).
+
+    Tangents dp_du/dp_dv come from inverting the 2x2 uv-edge system of the
+    hit triangle; the atlas lookup is one bilinear 4-tap gather because the
+    height gradients were precomputed host-side in texel units."""
+    idx = jnp.maximum(bsdf_id, 0)
+    cols = columns_lookup(
+        {
+            "bump_id": bp.bump_id.astype(jnp.float32),
+            "bump_hw": bp.bump_hw,
+            "bump_uv": bp.bump_uv,
+            "bump_scale": bp.bump_scale,
+            "bump_kind": bp.bump_kind.astype(jnp.float32),
+        },
+        idx,
+    )
+    bid = jnp.round(cols["bump_id"]).astype(jnp.int32)
+    perturbed = bid >= 0
+    h = jnp.maximum(cols["bump_hw"][:, 0], 1.0)
+    w = jnp.maximum(cols["bump_hw"][:, 1], 1.0)
+    tuv = cols["bump_uv"]
+    up = uv[:, 0] * tuv[:, 0] + tuv[:, 2]
+    vp = uv[:, 1] * tuv[:, 1] + tuv[:, 3]
+    up = up - jnp.floor(up)
+    vp = vp - jnp.floor(vp)
+    x = up * w - 0.5
+    y = vp * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    nb, th, tw, _ = bp.bump_textures.shape
+    flat = bp.bump_textures.reshape(nb * th * tw, 3)
+    bidc = jnp.maximum(bid, 0)
+
+    def tap(xi, yi):
+        xi = jnp.mod(xi, w).astype(jnp.int32)
+        yi = jnp.mod(yi, h).astype(jnp.int32)
+        return jnp.take(flat, (bidc * th + yi) * tw + xi, axis=0)
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1.0, y0)
+    c01 = tap(x0, y0 + 1.0)
+    c11 = tap(x0 + 1.0, y0 + 1.0)
+    val = (c00 * (1.0 - fx) + c10 * fx) * (1.0 - fy) + (
+        c01 * (1.0 - fx) + c11 * fx) * fy
+
+    # uv-edge system -> world-space tangents
+    u1, v1 = uv_e1[:, 0], uv_e1[:, 1]
+    u2, v2 = uv_e2[:, 0], uv_e2[:, 1]
+    det = u1 * v2 - v1 * u2
+    ok_uv = jnp.abs(det) > 1e-12
+    inv = safe_div(1.0, det)[:, None]
+    dp_du = (v2[:, None] * e1 - v1[:, None] * e2) * inv
+    dp_dv = (u1[:, None] * e2 - u2[:, None] * e1) * inv
+    # project tangents into the surface plane (flat shading: sh n == ng)
+    t_u = dp_du - ng * dot(ng, dp_du)[:, None]
+    t_v = dp_dv - ng * dot(ng, dp_dv)[:, None]
+    ok_uv = ok_uv & (dot(t_u, t_u) > 1e-16) & (dot(t_v, t_v) > 1e-16)
+
+    is_normalmap = jnp.round(cols["bump_kind"]).astype(jnp.int32) == 2
+    # bumpmap: chain texel-unit gradients through the uv transform and the
+    # texture resolution to get dh/du, dh/dv, then tilt the tangents
+    scale = cols["bump_scale"]
+    dh_du = val[:, 1] * w * tuv[:, 0] * scale
+    dh_dv = val[:, 2] * h * tuv[:, 1] * scale
+    n_bump = jnp.cross(t_u + ng * dh_du[:, None], t_v + ng * dh_dv[:, None])
+    # normalmap: tangent-space normal in an orthonormalized (t_u, b, ng)
+    tang = normalize(t_u)
+    bitang = jnp.cross(ng, tang)
+    n_nm = (tang * val[:, 0:1] + bitang * val[:, 1:2] + ng * val[:, 2:3])
+    n_new = jnp.where(is_normalmap[:, None], n_nm, n_bump)
+    nn = dot(n_new, n_new)
+    # orient with the geometric normal; fall back to ng on degeneracy
+    n_new = normalize(
+        jnp.where((nn > 1e-16)[:, None], n_new, ng))
+    n_new = n_new * jnp.where(dot(n_new, ng) < 0.0, -1.0, 1.0)[:, None]
+    return jnp.where((perturbed & ok_uv)[:, None], n_new, ng)
+
+
 def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceInteraction:
     """Closest hit + shading record.  Equivalent of ``mi.Scene.ray_intersect``
     (used at transientpath.py:149).
@@ -168,7 +260,13 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
     # Shading normal == geometric normal (flat shading); orient the *shading
     # frame* toward the incident side like Mitsuba does for two-sided BSDFs at
     # the BSDF level, but keep ng fixed for consistent emitter sidedness.
-    frame = Frame.from_normal(ng)
+    bsdf_id_f = cols["bsdf_id"]
+    n_sh = ng
+    if sd.bsdf.bump_textures is not None:
+        n_sh = _perturbed_normal(
+            sd.bsdf, jnp.round(bsdf_id_f).astype(jnp.int32), ng, uv,
+            cols["e1"], cols["e2"], cols["uv_e1"], cols["uv_e2"])
+    frame = Frame.from_normal(n_sh)
     wi = frame.to_local(-ray.d)
 
     def _id(name):

@@ -125,7 +125,7 @@ def _load_texture(spec: dict, base_dir: str, channels: int, cache: dict):
     if t == "checkerboard":
         c0 = parse_color(spec.get("color0", 0.4), channels)
         c1 = parse_color(spec.get("color1", 0.2), channels)
-        key = ("checker", tuple(c0), tuple(c1))
+        key = ("checker", tuple(c0), tuple(c1), channels)
         if key not in cache:
             res = 64
             u = (np.arange(res) + 0.5) / res
@@ -139,7 +139,7 @@ def _load_texture(spec: dict, base_dir: str, channels: int, cache: dict):
             return None
         if not os.path.isabs(fn):
             fn = os.path.join(base_dir, fn)
-        key = ("bitmap", fn, bool(spec.get("raw", False)))
+        key = ("bitmap", fn, bool(spec.get("raw", False)), channels)
         if key not in cache:
             if not os.path.exists(fn):
                 return None
@@ -161,6 +161,46 @@ def _load_texture(spec: dict, base_dir: str, channels: int, cache: dict):
             cache[key] = _to_channels(img, channels).astype(np.float32)
         return cache[key], uv_t
     return None
+
+
+def _load_bump_texture(spec: dict, base_dir: str, cache: dict, kind: int):
+    """Bump/normal wrapper texture -> ((h, w, 3) f32, uv transform).
+
+    kind 1 (bumpmap): packs (height, dh/dx, dh/dy) with central-difference
+    gradients in TEXEL units precomputed here, so the device-side shading
+    perturbation is a single bilinear atlas lookup (no extra taps).
+    kind 2 (normalmap): packs the tangent-space normal 2*rgb - 1 (Mitsuba
+    normalmap.cpp expects raw linear data).
+    """
+    if kind == 2:
+        spec = dict(spec)
+        spec.setdefault("raw", True)  # normals are data, never sRGB
+    key = ("bump", kind, spec.get("filename"),
+           spec.get("type"), str(spec.get("to_uv")))
+    if key in cache:
+        return cache[key]
+    loaded = _load_texture(spec, base_dir, 3 if kind == 2 else 1, cache)
+    if loaded is None:
+        return None
+    img, uv_t = loaded
+    if kind == 2:
+        out = (2.0 * img[..., :3] - 1.0).astype(np.float32)
+    else:
+        hgt = img[..., 0]
+        # central differences, replicate-padded at the border (matches the
+        # clamped finite differencing Mitsuba's texture eval_1_grad does at
+        # texture edges closely enough for the example corpus)
+        gx = np.empty_like(hgt)
+        gy = np.empty_like(hgt)
+        gx[:, 1:-1] = 0.5 * (hgt[:, 2:] - hgt[:, :-2])
+        gx[:, :1] = hgt[:, 1:2] - hgt[:, :1]
+        gx[:, -1:] = hgt[:, -1:] - hgt[:, -2:-1]
+        gy[1:-1, :] = 0.5 * (hgt[2:, :] - hgt[:-2, :])
+        gy[:1, :] = hgt[1:2, :] - hgt[:1, :]
+        gy[-1:, :] = hgt[-1:, :] - hgt[-2:-1, :]
+        out = np.stack([hgt, gx, gy], axis=-1).astype(np.float32)
+    cache[key] = (out, uv_t)
+    return cache[key]
 
 
 def _parse_density(dens, base_dir):
@@ -379,6 +419,16 @@ class _BSDFEntry(NamedTuple):
     eta_ratio: float
     tex: np.ndarray | None = None  # (h, w, C) reflectance texture
     tex_uv: tuple = (1.0, 1.0, 0.0, 0.0)  # (su, sv, ou, ov)
+    # Shading-frame perturbation (Mitsuba bumpmap/normalmap wrappers,
+    # staircase scene.xml BrushedAluminium bumpmap).  bump_tex is always
+    # (h, w, 3): for bumpmap the channels are (height, dh/dx, dh/dy) with
+    # the gradients precomputed on host in TEXEL units so shading needs one
+    # bilinear lookup; for normalmap they are the tangent-space normal
+    # (2*rgb - 1).
+    bump_tex: np.ndarray | None = None
+    bump_uv: tuple = (1.0, 1.0, 0.0, 0.0)
+    bump_scale: float = 1.0
+    bump_kind: int = 0  # 0 none, 1 bumpmap, 2 normalmap
 
 
 # A small complex-IOR table (550nm-ish) for named conductor materials.
@@ -395,11 +445,28 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
                 tex_cache: dict | None = None) -> _BSDFEntry:
     t = d.get("type", "diffuse")
     two_sided = False
+    bump_tex = None
+    bump_uv = (1.0, 1.0, 0.0, 0.0)
+    bump_scale = 1.0
+    bump_kind = 0
     # unwrap adapter bsdfs down to the lobe that carries the response
     for _ in range(4):
         if t == "twosided":
             two_sided = True
-        elif t not in ("bumpmap", "normalmap", "mask", "blendbsdf"):
+        elif t in ("bumpmap", "normalmap"):
+            # capture the wrapper's texture before descending (staircase
+            # scene.xml: <bsdf type="bumpmap"><texture name="map" ...>)
+            spec = d.get("map") or d.get("normalmap") or next(
+                (v for v in d.values() if isinstance(v, dict)
+                 and v.get("type") in ("bitmap", "checkerboard")), None)
+            if spec is not None and tex_cache is not None:
+                kind = 1 if t == "bumpmap" else 2
+                loaded = _load_bump_texture(spec, base_dir, tex_cache, kind)
+                if loaded is not None:
+                    bump_tex, bump_uv = loaded
+                    bump_kind = kind
+                    bump_scale = float(d.get("scale", 1.0))
+        elif t not in ("mask", "blendbsdf"):
             break
         inner = d.get("bsdf") or next(
             (v for v in d.values() if isinstance(v, dict)
@@ -418,6 +485,19 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
     alpha = 0.0
     eta_ratio = 1.5046
 
+    def _alpha_of(default: float) -> float:
+        # Mitsuba's rough BSDFs accept either isotropic ``alpha`` or the
+        # anisotropic ``alpha_u``/``alpha_v`` pair (cbox_polarized.xml:53-54
+        # sets alpha_u = alpha_v = 0.3).  The reference corpus only uses
+        # alpha_u == alpha_v; collapse the pair to its mean.
+        if "alpha" in d:
+            return float(d["alpha"])
+        if "alpha_u" in d or "alpha_v" in d:
+            au = float(d.get("alpha_u", d.get("alpha_v", default)))
+            av = float(d.get("alpha_v", au))
+            return 0.5 * (au + av)
+        return default
+
     if t == "diffuse":
         kind = BSDF_DIFFUSE
         two_sided = two_sided  # mitsuba diffuse is one-sided unless wrapped
@@ -429,7 +509,7 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         kind = BSDF_ROUGH_PLASTIC
         refl_spec = d.get("diffuse_reflectance", 0.5)
         refl = parse_color(refl_spec, channels, base_dir)
-        alpha = float(d.get("alpha", 0.1)) if t == "roughplastic" else 0.03
+        alpha = _alpha_of(0.1) if t == "roughplastic" else 0.03
         int_ior = d.get("int_ior", 1.49)
         ext_ior = d.get("ext_ior", 1.000277)
         eta_ratio = (float(int_ior) if not isinstance(int_ior, str)
@@ -447,7 +527,7 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         er, ei = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["Au"])
         eta_re = parse_color(d.get("eta", list(er)), channels)
         eta_im = parse_color(d.get("k", list(ei)), channels)
-        alpha = float(d.get("alpha", 0.1))
+        alpha = _alpha_of(0.1)
     elif t in ("dielectric", "thindielectric"):
         kind = BSDF_DIELECTRIC
         int_ior = float(d.get("int_ior", 1.5046)) if not isinstance(
@@ -470,7 +550,8 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         if loaded is not None:
             tex, tex_uv = loaded
     return _BSDFEntry(key, kind, two_sided, refl, eta_re, eta_im, alpha,
-                      eta_ratio, tex, tex_uv)
+                      eta_ratio, tex, tex_uv,
+                      bump_tex, bump_uv, bump_scale, bump_kind)
 
 
 class _EmitterEntry(NamedTuple):
@@ -807,6 +888,45 @@ class Scene:
                 tex_hw=jnp.asarray(tex_hw),
                 tex_uv=jnp.asarray(tex_uv),
                 textures=jnp.asarray(atlas),
+            )
+
+        # Bump/normal-map atlas (shading-frame perturbation; Mitsuba
+        # bumpmap/normalmap wrappers, staircase scene.xml).  Same padded
+        # layout as the reflectance atlas but always 3 channels:
+        # (height, dh/dx, dh/dy) texel-unit gradients or tangent normals.
+        if any(b.bump_tex is not None for b in self._bsdfs):
+            slots = {}
+            uniq = []
+            bump_id = np.full(B, -1, np.int32)
+            bump_hw = np.ones((B, 2), np.float32)
+            bump_uvt = np.tile(
+                np.array([1.0, 1.0, 0.0, 0.0], np.float32), (B, 1))
+            bump_scale = np.zeros(B, np.float32)
+            bump_kind = np.zeros(B, np.int32)
+            for bi, b in enumerate(self._bsdfs):
+                if b.bump_tex is None:
+                    continue
+                kk = id(b.bump_tex)
+                if kk not in slots:
+                    slots[kk] = len(uniq)
+                    uniq.append(b.bump_tex)
+                bump_id[bi] = slots[kk]
+                bump_hw[bi] = (b.bump_tex.shape[0], b.bump_tex.shape[1])
+                bump_uvt[bi] = b.bump_uv
+                bump_scale[bi] = b.bump_scale
+                bump_kind[bi] = b.bump_kind
+            th = max(t.shape[0] for t in uniq)
+            tw = max(t.shape[1] for t in uniq)
+            atlas = np.zeros((len(uniq), th, tw, 3), np.float32)
+            for j, timg in enumerate(uniq):
+                atlas[j, : timg.shape[0], : timg.shape[1]] = timg
+            bsdf = bsdf._replace(
+                bump_id=jnp.asarray(bump_id),
+                bump_hw=jnp.asarray(bump_hw),
+                bump_uv=jnp.asarray(bump_uvt),
+                bump_scale=jnp.asarray(bump_scale),
+                bump_kind=jnp.asarray(bump_kind),
+                bump_textures=jnp.asarray(atlas),
             )
 
         # Emitter table

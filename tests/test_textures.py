@@ -160,3 +160,117 @@ def test_staircase_xml_loads_with_textures():
     assert bp.textures.shape[0] >= 5  # distinct texture files
     assert bp.textures.shape[1] <= 512 and bp.textures.shape[2] <= 512
     assert int(jnp.sum(bp.tex_id >= 0)) >= 5
+
+
+# ---------------------------------------------------------------------------
+# Bump / normal mapping (Mitsuba bumpmap/normalmap wrappers; the staircase
+# scene wraps BrushedAluminium roughconductor in a bumpmap)
+# ---------------------------------------------------------------------------
+
+def _rect_scene(bsdf_dict, tmp_path=None):
+    d = {
+        "type": "scene",
+        "rect": {"type": "rectangle", "bsdf": bsdf_dict},
+        "light": {
+            "type": "rectangle",
+            # face the floor: normal -z via a look_at from above
+            "to_world": {"look_at": {"origin": [0, 0, 5], "target": [0, 0, 0],
+                                     "up": [0, 1, 0]}},
+            "emitter": {"type": "area", "radiance": 1.0},
+        },
+        "sensor": {
+            "type": "perspective",
+            "to_world": {"look_at": {"origin": [0, 0, 3], "target": [0, 0, 0],
+                                     "up": [0, 1, 0]}},
+            "film": {"type": "transient_hdr_film", "width": 4, "height": 4,
+                     "temporal_bins": 16},
+        },
+    }
+    return mitr.load_dict(d, base_dir=str(tmp_path) if tmp_path else ".")
+
+
+def _write_ramp_png(tmp_path, w=64, h=16):
+    import imageio.v3 as iio
+
+    ramp = np.tile(np.round(np.linspace(0, 255, w)).astype(np.uint8), (h, 1))
+    fn = str(tmp_path / "ramp.png")
+    iio.imwrite(fn, ramp)
+    return fn
+
+
+def test_bumpmap_tilts_shading_normal(tmp_path):
+    """Linear height ramp h(u)=u on the unit rectangle: analytic tilt.
+
+    Rectangle spans x in [-1,1] with u in [0,1] -> |dp_du| = 2.  With
+    raw=True the loaded heights are exactly x/(w-1), so the texel-unit
+    gradient is 1/(w-1) and dh/du = w/(w-1).  Expected shading normal
+    is normalize((-dh_du, 0, |dp_du| * |dp_dv| / |dp_dv|)) ~ tan = dh_du/2.
+    """
+    from mitransient_tpu.core.records import Ray
+    from mitransient_tpu.scene.scene import ray_intersect
+
+    w = 64
+    fn = _write_ramp_png(tmp_path, w=w)
+    scene = _rect_scene({
+        "type": "bumpmap",
+        "map": {"type": "bitmap", "filename": fn, "raw": True},
+        "bsdf": {"type": "diffuse"},
+    }, tmp_path)
+    bp = scene.data.bsdf
+    assert bp.bump_textures is not None
+    assert int(np.sum(np.asarray(bp.bump_kind) == 1)) == 1
+
+    o = jnp.asarray(np.array([[0.1, 0.2, 1.0], [0.1, 0.2, 1.0]], np.float32))
+    dd = jnp.asarray(np.array([[0, 0, -1.0], [0, 0, -1.0]], np.float32))
+    si = ray_intersect(scene.data, Ray.make(o, dd),
+                       jnp.ones((2,), bool))
+    assert bool(si.valid[0])
+    n = np.asarray(si.frame.n)[0]
+    dh_du = w / (w - 1.0)
+    tan = dh_du / 2.0  # |dp_du| = 2
+    expect = np.array([-tan, 0.0, 1.0])
+    expect /= np.linalg.norm(expect)
+    assert np.allclose(n, expect, atol=5e-3), (n, expect)
+    # geometric normal stays +z
+    assert np.allclose(np.asarray(si.n)[0], [0, 0, 1], atol=1e-6)
+
+
+def test_normalmap_identity_keeps_normal(tmp_path):
+    """A constant (0.5, 0.5, 1) normal map encodes (0,0,1): no change."""
+    import imageio.v3 as iio
+
+    from mitransient_tpu.core.records import Ray
+    from mitransient_tpu.scene.scene import ray_intersect
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0] = 128
+    img[..., 1] = 128
+    img[..., 2] = 255
+    fn = str(tmp_path / "nm.png")
+    iio.imwrite(fn, img)
+    scene = _rect_scene({
+        "type": "normalmap",
+        "normalmap": {"type": "bitmap", "filename": fn, "raw": True},
+        "bsdf": {"type": "diffuse"},
+    }, tmp_path)
+    bp = scene.data.bsdf
+    assert int(np.sum(np.asarray(bp.bump_kind) == 2)) == 1
+
+    o = jnp.asarray(np.array([[0.3, -0.4, 1.0]], np.float32))
+    dd = jnp.asarray(np.array([[0, 0, -1.0]], np.float32))
+    si = ray_intersect(scene.data, Ray.make(o, dd), jnp.ones((1,), bool))
+    n = np.asarray(si.frame.n)[0]
+    assert np.allclose(n, [0, 0, 1], atol=2e-2), n
+
+
+def test_bumpmap_scene_renders(tmp_path):
+    fn = _write_ramp_png(tmp_path)
+    scene = _rect_scene({
+        "type": "bumpmap",
+        "map": {"type": "bitmap", "filename": fn},
+        "scale": 2.0,
+        "bsdf": {"type": "diffuse"},
+    }, tmp_path)
+    steady, transient = mitr.render(scene, spp=8, seed=0)
+    assert np.isfinite(np.asarray(steady)).all()
+    assert float(np.asarray(steady).sum()) > 0
