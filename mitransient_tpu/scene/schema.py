@@ -48,22 +48,45 @@ from .shapes import SHAPE_REGISTRY, Shape
 RGB_TO_LUMA = np.array([0.212671, 0.715160, 0.072169])
 
 
+_IMAGE_CACHE: dict = {}  # (path, mtime) -> decoded ndarray (as stored on disk)
+_IMAGE_CACHE_MAX = 64
+
+
+def _read_image(fn: str, cache: dict | None = None):
+    """Decode an image file once per process (textures are re-read by both
+    the atlas packer and the mean-color fallback)."""
+    try:
+        key = (fn, os.path.getmtime(fn))
+    except OSError:
+        return None
+    if key in _IMAGE_CACHE:
+        return _IMAGE_CACHE[key]
+    try:
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(fn))
+    except Exception:
+        return None
+    if len(_IMAGE_CACHE) >= _IMAGE_CACHE_MAX:
+        _IMAGE_CACHE.clear()
+    _IMAGE_CACHE[key] = img
+    return img
+
+
 def _texture_mean(spec: dict, base_dir: str = ".") -> np.ndarray:
     fn = spec.get("filename")
     if fn and not os.path.isabs(fn):
         fn = os.path.join(base_dir, fn)
     if fn and os.path.exists(fn):
-        try:
-            import imageio.v3 as iio
-
-            img = np.asarray(iio.imread(fn), np.float64)
-            if img.dtype.kind in "ui" or img.max() > 1.5:
+        img = _read_image(fn)
+        if img is not None:
+            was_int = img.dtype.kind in "ui"
+            img = np.asarray(img, np.float64)
+            if was_int or img.max() > 1.5:
                 img = img / 255.0
             if img.ndim == 2:
                 img = img[..., None]
             return img.reshape(-1, img.shape[-1]).mean(axis=0)[:3]
-        except Exception:
-            pass
     c0 = spec.get("color0", 0.4)
     c1 = spec.get("color1", 0.2)
     try:
@@ -88,6 +111,9 @@ TEXTURE_MAX_RES = 512
 
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
     return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+_SRGB_LUT8 = _srgb_to_linear(np.arange(256, dtype=np.float64) / 255.0)
 
 
 def _box_downsample(img: np.ndarray, cap: int) -> np.ndarray:
@@ -143,16 +169,18 @@ def _load_texture(spec: dict, base_dir: str, channels: int, cache: dict):
         if key not in cache:
             if not os.path.exists(fn):
                 return None
-            try:
-                import imageio.v3 as iio
-
-                img = np.asarray(iio.imread(fn))
-            except Exception:
+            img = _read_image(fn, cache)
+            if img is None:
                 return None
-            was_int = img.dtype.kind in "ui"
-            img = img.astype(np.float64)
-            if was_int:
-                img = img / 255.0
+            if img.dtype == np.uint8:
+                # exact 256-entry LUT beats the full-res power law ~50x
+                # (dominant cost of loading the staircase scene's 10 jpgs)
+                img = (_SRGB_LUT8[img] if not spec.get("raw", False)
+                       else img.astype(np.float64) / 255.0)
+            else:
+                img = img.astype(np.float64)
+                if img.max() > 1.5:
+                    img = img / 255.0
                 if not spec.get("raw", False):
                     img = _srgb_to_linear(img)
             if img.ndim == 2:
