@@ -48,8 +48,9 @@ class LaneBSDF(NamedTuple):
     reflectance: jnp.ndarray  # (N, C)
     eta_re: jnp.ndarray
     eta_im: jnp.ndarray
-    alpha: jnp.ndarray  # (N,)
+    alpha: jnp.ndarray  # (N,) GGX alpha_u (tangent)
     eta_ratio: jnp.ndarray  # (N,)
+    alpha_v: jnp.ndarray  # (N,) GGX alpha_v (bitangent); == alpha if isotropic
 
 
 def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
@@ -67,6 +68,7 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
             "eta_im": bp.eta_im,
             "alpha": bp.alpha,
             "eta_ratio": bp.eta_ratio,
+            "alpha_v": bp.alpha_v if bp.alpha_v is not None else bp.alpha,
         },
         i,
     )
@@ -80,6 +82,7 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
         eta_im=cols["eta_im"],
         alpha=cols["alpha"],
         eta_ratio=cols["eta_ratio"],
+        alpha_v=cols["alpha_v"],
     )
     if uv is not None and bp.textures is not None:
         lb = _apply_texture(bp, i, lb, uv)
@@ -159,27 +162,35 @@ def _maybe_flip(lb: LaneBSDF, wi: jnp.ndarray):
 
 
 # --------------------------------------------------------------------------
-# GGX microfacet helpers (isotropic, Smith separable, visible-normal sampling)
+# GGX microfacet helpers (anisotropic Trowbridge-Reitz, Smith separable,
+# visible-normal sampling).  alpha_u/alpha_v are the tangent/bitangent
+# roughnesses (Mitsuba roughconductor's alpha_u/alpha_v); the isotropic case
+# is alpha_u == alpha_v.
 # --------------------------------------------------------------------------
 
-def _ggx_ndf(m: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    a2 = alpha * alpha
+def _ggx_ndf(m: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
+    """D(m) = 1 / (pi au av ((x/au)^2 + (y/av)^2 + z^2)^2), m.z > 0."""
     cz = jnp.maximum(m[..., 2], 0.0)
-    denom = cz * cz * (a2 - 1.0) + 1.0
-    return safe_div(a2, jnp.pi * denom * denom) * (cz > 0.0)
+    sx = safe_div(m[..., 0], au)
+    sy = safe_div(m[..., 1], av)
+    denom = sx * sx + sy * sy + cz * cz
+    return safe_div(1.0, jnp.pi * au * av * denom * denom) * (cz > 0.0)
 
 
-def _ggx_g1(v: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+def _ggx_g1(v: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
+    """Smith masking with direction-dependent projected roughness:
+    G1 = 2 / (1 + sqrt(1 + (au^2 x^2 + av^2 y^2) / z^2))."""
     cz = v[..., 2]
-    t2 = safe_div(1.0 - cz * cz, cz * cz)
-    return safe_div(2.0, 1.0 + jnp.sqrt(1.0 + alpha * alpha * t2))
+    a2t2 = safe_div(
+        au * au * v[..., 0] ** 2 + av * av * v[..., 1] ** 2, cz * cz)
+    return safe_div(2.0, 1.0 + jnp.sqrt(1.0 + a2t2))
 
 
-def _ggx_sample_vndf(wi: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray):
+def _ggx_sample_vndf(wi: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray,
+                     u: jnp.ndarray):
     """Heitz 2018 visible-normal sampling; wi must have wi.z > 0."""
-    a = alpha[..., None]
     vh = jnp.stack(
-        [a[..., 0] * wi[..., 0], a[..., 0] * wi[..., 1], wi[..., 2]], axis=-1
+        [au * wi[..., 0], av * wi[..., 1], wi[..., 2]], axis=-1
     )
     vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-12)
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
@@ -200,7 +211,7 @@ def _ggx_sample_vndf(wi: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray):
     p3 = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
     nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
     m = jnp.stack(
-        [a[..., 0] * nh[..., 0], a[..., 0] * nh[..., 1],
+        [au * nh[..., 0], av * nh[..., 1],
          jnp.maximum(nh[..., 2], 1e-6)], axis=-1
     )
     return m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
@@ -231,12 +242,12 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
     # rough conductor
     m = wi_l + wo_l
     m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
-    d_ndf = _ggx_ndf(m, lb.alpha)
-    g = _ggx_g1(wi_l, lb.alpha) * _ggx_g1(wo_l, lb.alpha)
+    d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
+    g = _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * _ggx_g1(wo_l, lb.alpha, lb.alpha_v)
     F = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
     f_rough = lb.reflectance * F * safe_div(d_ndf * g, 4.0 * ci)[..., None]
     pdf_rough = safe_div(
-        _ggx_g1(wi_l, lb.alpha) * d_ndf, 4.0 * ci
+        _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_ndf, 4.0 * ci
     )  # VNDF pdf in wo measure: G1 * D * (wi.m) / wi.z / (4 wi.m)
 
     # rough plastic (GGX dielectric coating over a diffuse substrate;
@@ -302,15 +313,15 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     w_mirr = lb.reflectance * F_cond
 
     # ---- rough conductor: VNDF ------------------------------------------
-    m = _ggx_sample_vndf(wi_l, lb.alpha, u2)
+    m = _ggx_sample_vndf(wi_l, lb.alpha, lb.alpha_v, u2)
     wo_rough = _reflect(wi_l, m)
     co_r = wo_rough[..., 2]
-    d_ndf = _ggx_ndf(m, lb.alpha)
-    g1_i = _ggx_g1(wi_l, lb.alpha)
+    d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
+    g1_i = _ggx_g1(wi_l, lb.alpha, lb.alpha_v)
     pdf_rough = safe_div(g1_i * d_ndf, 4.0 * ci)
     F_r = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
     # weight = f*cos/pdf = F * G2/G1(wi)
-    g2 = g1_i * _ggx_g1(wo_rough, lb.alpha)
+    g2 = g1_i * _ggx_g1(wo_rough, lb.alpha, lb.alpha_v)
     w_rough = lb.reflectance * F_r * safe_div(g2, g1_i)[..., None]
     rough_ok = (co_r > 0.0) & (pdf_rough > 0.0)
     w_rough = jnp.where(rough_ok[..., None], w_rough, 0.0)
@@ -345,8 +356,8 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     m_pl = wi_l + wo_plast
     m_pl = m_pl / jnp.maximum(
         jnp.linalg.norm(m_pl, axis=-1, keepdims=True), 1e-12)
-    d_pl = _ggx_ndf(m_pl, lb.alpha)
-    g_pl = _ggx_g1(wi_l, lb.alpha) * _ggx_g1(wo_plast, lb.alpha)
+    d_pl = _ggx_ndf(m_pl, lb.alpha, lb.alpha_v)
+    g_pl = _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * _ggx_g1(wo_plast, lb.alpha, lb.alpha_v)
     F_sp_pl = fresnel_dielectric(
         jnp.sum(wi_l * m_pl, axis=-1), lb.eta_ratio)[0]
     Fo_pl, _, _, _ = fresnel_dielectric(co_pl, lb.eta_ratio)
@@ -358,7 +369,7 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
            / (jnp.pi * (1.0 - fdr)) * co_pl)[..., None]
         + (F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))[..., None]
     )
-    pdf_vndf_pl = safe_div(_ggx_g1(wi_l, lb.alpha) * d_pl, 4.0 * ci)
+    pdf_vndf_pl = safe_div(_ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_pl, 4.0 * ci)
     pdf_plast = (Fi_pl * pdf_vndf_pl
                  + (1.0 - Fi_pl) * square_to_cosine_hemisphere_pdf(wo_plast))
     plast_ok = (co_pl > 0.0) & (pdf_plast > 1e-9)

@@ -60,8 +60,11 @@ class BSDFParams(NamedTuple):
     reflectance: jnp.ndarray  # (B, C) diffuse albedo / specular tint
     eta_re: jnp.ndarray  # (B, C) conductor IOR (real)
     eta_im: jnp.ndarray  # (B, C) conductor IOR (imag); 0 => ideal mirror
-    alpha: jnp.ndarray  # (B,) GGX roughness
+    alpha: jnp.ndarray  # (B,) GGX roughness along the tangent (alpha_u)
     eta_ratio: jnp.ndarray  # (B,) dielectric int_ior/ext_ior
+    # GGX roughness along the bitangent (Mitsuba roughconductor's
+    # ``alpha_v``); None => isotropic (alpha_v == alpha)
+    alpha_v: jnp.ndarray | None = None
     # Textured reflectance (bitmap/checkerboard textures in the reference
     # stack, e.g. examples/diff-transient/staircase/scene.xml).  All scene
     # textures are packed into ONE padded atlas so a lane's reflectance is a

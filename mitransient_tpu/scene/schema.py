@@ -445,6 +445,7 @@ class _BSDFEntry(NamedTuple):
     eta_im: np.ndarray
     alpha: float
     eta_ratio: float
+    alpha_v: float = 0.0  # bitangent GGX roughness; == alpha when isotropic
     tex: np.ndarray | None = None  # (h, w, C) reflectance texture
     tex_uv: tuple = (1.0, 1.0, 0.0, 0.0)  # (su, sv, ou, ov)
     # Shading-frame perturbation (Mitsuba bumpmap/normalmap wrappers,
@@ -511,20 +512,22 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
     eta_re = np.zeros(channels, np.float32)
     eta_im = np.zeros(channels, np.float32)
     alpha = 0.0
+    alpha_v = 0.0
     eta_ratio = 1.5046
 
-    def _alpha_of(default: float) -> float:
+    def _alpha_of(default: float) -> tuple[float, float]:
         # Mitsuba's rough BSDFs accept either isotropic ``alpha`` or the
         # anisotropic ``alpha_u``/``alpha_v`` pair (cbox_polarized.xml:53-54
-        # sets alpha_u = alpha_v = 0.3).  The reference corpus only uses
-        # alpha_u == alpha_v; collapse the pair to its mean.
+        # sets alpha_u = alpha_v = 0.3).  Returns (alpha_u, alpha_v); the
+        # GGX kernels support full anisotropy.
         if "alpha" in d:
-            return float(d["alpha"])
+            a = float(d["alpha"])
+            return a, a
         if "alpha_u" in d or "alpha_v" in d:
             au = float(d.get("alpha_u", d.get("alpha_v", default)))
             av = float(d.get("alpha_v", au))
-            return 0.5 * (au + av)
-        return default
+            return au, av
+        return default, default
 
     if t == "diffuse":
         kind = BSDF_DIFFUSE
@@ -537,7 +540,8 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         kind = BSDF_ROUGH_PLASTIC
         refl_spec = d.get("diffuse_reflectance", 0.5)
         refl = parse_color(refl_spec, channels, base_dir)
-        alpha = _alpha_of(0.1) if t == "roughplastic" else 0.03
+        alpha, alpha_v = (_alpha_of(0.1) if t == "roughplastic"
+                          else (0.03, 0.03))
         int_ior = d.get("int_ior", 1.49)
         ext_ior = d.get("ext_ior", 1.000277)
         eta_ratio = (float(int_ior) if not isinstance(int_ior, str)
@@ -555,7 +559,7 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         er, ei = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["Au"])
         eta_re = parse_color(d.get("eta", list(er)), channels)
         eta_im = parse_color(d.get("k", list(ei)), channels)
-        alpha = _alpha_of(0.1)
+        alpha, alpha_v = _alpha_of(0.1)
     elif t in ("dielectric", "thindielectric"):
         kind = BSDF_DIELECTRIC
         int_ior = float(d.get("int_ior", 1.5046)) if not isinstance(
@@ -578,8 +582,9 @@ def _parse_bsdf(key: str, d: dict, channels: int, base_dir: str = ".",
         if loaded is not None:
             tex, tex_uv = loaded
     return _BSDFEntry(key, kind, two_sided, refl, eta_re, eta_im, alpha,
-                      eta_ratio, tex, tex_uv,
-                      bump_tex, bump_uv, bump_scale, bump_kind)
+                      eta_ratio, alpha_v=alpha_v, tex=tex, tex_uv=tex_uv,
+                      bump_tex=bump_tex, bump_uv=bump_uv,
+                      bump_scale=bump_scale, bump_kind=bump_kind)
 
 
 class _EmitterEntry(NamedTuple):
@@ -883,6 +888,9 @@ class Scene:
                 np.array([b.alpha for b in self._bsdfs] or [0.0], np.float32)),
             eta_ratio=jnp.asarray(
                 np.array([b.eta_ratio for b in self._bsdfs] or [1.0],
+                         np.float32)),
+            alpha_v=jnp.asarray(
+                np.array([b.alpha_v for b in self._bsdfs] or [0.0],
                          np.float32)),
         )
 

@@ -194,3 +194,74 @@ def test_plastic_scene_renders():
     s, t = mitr.render(mitr.load_dict(d), spp=16, seed=0)
     assert np.isfinite(np.asarray(s)).all()
     assert float(np.asarray(s).sum()) > 0
+
+
+def test_anisotropic_ggx_estimator_consistency():
+    """Anisotropic roughconductor (alpha_u != alpha_v): the sample-weight
+    estimator must agree with the eval/pdf importance estimator, both must
+    conserve energy, and the lobe must actually be anisotropic (reference
+    stack: Mitsuba roughconductor's alpha_u/alpha_v with sample_visible)."""
+    import jax
+    import jax.numpy as jnp
+    from mitransient_tpu.bsdf import api as bsdf_api
+    from mitransient_tpu.scene.scene import BSDF_ROUGH_CONDUCTOR, BSDFParams
+
+    n = 200_000
+    bp = BSDFParams(
+        kind=jnp.array([BSDF_ROUGH_CONDUCTOR]),
+        two_sided=jnp.array([False]),
+        reflectance=jnp.ones((1, 3)),
+        eta_re=jnp.zeros((1, 3)),   # eta=0 => Fresnel ~ 1 (furnace)
+        eta_im=jnp.array([[1e4, 1e4, 1e4]]),
+        alpha=jnp.array([0.5]),
+        eta_ratio=jnp.array([1.0]),
+        alpha_v=jnp.array([0.08]),
+    )
+    lb = bsdf_api.gather_lane_bsdf(bp, jnp.zeros(n, jnp.int32))
+    wi_dir = np.array([0.4, -0.2, 0.89])
+    wi = jnp.broadcast_to(
+        jnp.asarray(wi_dir / np.linalg.norm(wi_dir), jnp.float32), (n, 3))
+    u1 = jax.random.uniform(jax.random.PRNGKey(0), (n,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 2))
+    act = jnp.ones(n, bool)
+
+    bs = bsdf_api.sample(lb, wi, u1, u2, act)
+    w = np.asarray(bs.weight)
+    albedo_sample = w.mean(axis=0)
+    # VNDF weights are bounded by F * G2/G1 <= 1; energy conserved
+    assert np.all(w <= 1.0 + 1e-4)
+    assert np.all(albedo_sample > 0.5)  # high-k conductor reflects strongly
+
+    # cross-check: eval/pdf at the sampled directions reproduces the weight
+    f, pdf = bsdf_api.eval_pdf(lb, wi, bs.wo, act)
+    ok = np.asarray(pdf) > 1e-5
+    ratio = np.asarray(f)[ok] / np.asarray(pdf)[ok, None]
+    assert np.allclose(ratio, w[ok], rtol=2e-3, atol=2e-3)
+
+    # anisotropy: spread of wo.x (alpha_u=0.5 axis) >> spread of wo.y
+    wo = np.asarray(bs.wo)[ok]
+    assert wo[:, 0].std() > 2.0 * wo[:, 1].std()
+
+    # isotropic sanity: alpha_v == alpha must match the legacy isotropic path
+    bp_iso = bp._replace(alpha_v=jnp.array([0.5]))
+    lb_iso = bsdf_api.gather_lane_bsdf(bp_iso, jnp.zeros(n, jnp.int32))
+    bs_iso = bsdf_api.sample(lb_iso, wi, u1, u2, act)
+    f_i, pdf_i = bsdf_api.eval_pdf(lb_iso, wi, bs_iso.wo, act)
+    ok_i = np.asarray(pdf_i) > 1e-5
+    r_i = np.asarray(f_i)[ok_i] / np.asarray(pdf_i)[ok_i, None]
+    assert np.allclose(r_i, np.asarray(bs_iso.weight)[ok_i],
+                       rtol=2e-3, atol=2e-3)
+
+
+def test_anisotropic_ggx_scene_parse_and_render():
+    """alpha_u != alpha_v parses into distinct table columns and renders."""
+    d = cbox_with({"type": "roughconductor", "material": "Au",
+                   "alpha_u": 0.4, "alpha_v": 0.05})
+    scene = mitr.load_dict(d)
+    bp = scene.data.bsdf
+    au = np.asarray(bp.alpha)
+    av = np.asarray(bp.alpha_v)
+    i = int(np.argmax(np.abs(au - av)))
+    assert abs(au[i] - 0.4) < 1e-6 and abs(av[i] - 0.05) < 1e-6
+    s, t = _render(d, spp=8)
+    assert np.all(np.isfinite(s)) and s.sum() > 0
