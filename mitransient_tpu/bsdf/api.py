@@ -36,6 +36,7 @@ from ..scene.scene import (
     BSDF_ROUGH_CONDUCTOR,
     BSDF_ROUGH_PLASTIC,
     BSDFParams,
+    KindsStatic,
 )
 from .fresnel import fresnel_conductor, fresnel_dielectric
 
@@ -51,6 +52,9 @@ class LaneBSDF(NamedTuple):
     alpha: jnp.ndarray  # (N,) GGX alpha_u (tangent)
     eta_ratio: jnp.ndarray  # (N,)
     alpha_v: jnp.ndarray  # (N,) GGX alpha_v (bitangent); == alpha if isotropic
+    # static kind-presence metadata (trace-time lobe pruning); default ()
+    # means unknown -> evaluate every lobe
+    ks: KindsStatic = KindsStatic()
 
 
 def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
@@ -83,6 +87,7 @@ def gather_lane_bsdf(bp: BSDFParams, bsdf_id: jnp.ndarray,
         alpha=cols["alpha"],
         eta_ratio=cols["eta_ratio"],
         alpha_v=cols["alpha_v"],
+        ks=bp.ks,
     )
     if uv is not None and bp.textures is not None:
         lb = _apply_texture(bp, i, lb, uv)
@@ -155,7 +160,10 @@ def is_null(lb: LaneBSDF) -> jnp.ndarray:
 
 
 def _maybe_flip(lb: LaneBSDF, wi: jnp.ndarray):
-    """Two-sided handling: flip z for lanes with wi below the surface."""
+    """Two-sided handling: flip z for lanes with wi below the surface.
+    Statically a no-op when the scene has no two-sided BSDFs."""
+    if not lb.ks.any_two_sided:
+        return jnp.ones_like(wi[..., 2])
     flip = lb.two_sided & (wi[..., 2] < 0.0)
     sgn = jnp.where(flip, -1.0, 1.0)
     return sgn
@@ -227,61 +235,72 @@ def _reflect(wi: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 
 def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
              active: jnp.ndarray):
-    """Returns (f*cos (N, C), pdf (N,)) for the smooth component."""
+    """Returns (f*cos (N, C), pdf (N,)) for the smooth component.
+
+    Lobes whose kind is statically absent from the scene (``lb.ks``) are
+    pruned at trace time — the compiled kernel is scene-specialized, like
+    Dr.Jit's JIT specializing the megakernel on the loaded plugin set."""
+    ks = lb.ks
+    has_diff = ks.has(BSDF_DIFFUSE)
+    has_rough = ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_plast = ks.has(BSDF_ROUGH_PLASTIC)
+
     sgn = _maybe_flip(lb, wi)
     wi_l = wi * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
     wo_l = wo * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
     ci = wi_l[..., 2]
     co = wo_l[..., 2]
     both_up = (ci > 0.0) & (co > 0.0)
-
-    # diffuse
-    f_diff = lb.reflectance * (co / jnp.pi)[..., None]
-    pdf_diff = square_to_cosine_hemisphere_pdf(wo_l)
-
-    # rough conductor
-    m = wi_l + wo_l
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
-    d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
-    g = _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * _ggx_g1(wo_l, lb.alpha, lb.alpha_v)
-    F = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
-    f_rough = lb.reflectance * F * safe_div(d_ndf * g, 4.0 * ci)[..., None]
-    pdf_rough = safe_div(
-        _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_ndf, 4.0 * ci
-    )  # VNDF pdf in wo measure: G1 * D * (wi.m) / wi.z / (4 wi.m)
-
-    # rough plastic (GGX dielectric coating over a diffuse substrate;
-    # Mitsuba roughplastic with nonlinear=false)
-    from .fresnel import fresnel_dielectric
-
-    Fi, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
-    Fo, _, _, _ = fresnel_dielectric(co, lb.eta_ratio)
-    F_sp = fresnel_dielectric(jnp.sum(wi_l * m, axis=-1), lb.eta_ratio)[0]
-    f_pl_spec = F_sp * safe_div(d_ndf * g, 4.0 * ci)
-    inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
-    fdr = _fdr(lb.eta_ratio)
-    f_pl_diff = (
-        lb.reflectance
-        * ((1.0 - Fi) * (1.0 - Fo) * inv_eta2
-           / (jnp.pi * (1.0 - fdr)) * co)[..., None]
-    )
-    f_plastic = f_pl_diff + f_pl_spec[..., None]
-    pdf_plastic = Fi * pdf_rough + (1.0 - Fi) * pdf_diff
-
-    is_diff = lb.kind == BSDF_DIFFUSE
-    is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
-    is_plast = lb.kind == BSDF_ROUGH_PLASTIC
     ok = active & both_up
-    f = jnp.where(
-        (ok & is_diff)[..., None], f_diff,
-        jnp.where((ok & is_rough)[..., None], f_rough,
-                  jnp.where((ok & is_plast)[..., None], f_plastic, 0.0)),
-    )
-    pdf = jnp.where(
-        ok & is_diff, pdf_diff,
-        jnp.where(ok & is_rough, pdf_rough,
-                  jnp.where(ok & is_plast, pdf_plastic, 0.0))
-    )
+
+    lobes = []  # (mask, f, pdf) per present smooth kind
+
+    if has_diff or has_plast:
+        pdf_diff = square_to_cosine_hemisphere_pdf(wo_l)
+    if has_diff:
+        f_diff = lb.reflectance * (co / jnp.pi)[..., None]
+        lobes.append((lb.kind == BSDF_DIFFUSE, f_diff, pdf_diff))
+
+    if has_rough or has_plast:
+        m = wi_l + wo_l
+        m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+        d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
+        g1_i = _ggx_g1(wi_l, lb.alpha, lb.alpha_v)
+        g = g1_i * _ggx_g1(wo_l, lb.alpha, lb.alpha_v)
+        # VNDF pdf in wo measure: G1 * D * (wi.m) / wi.z / (4 wi.m)
+        pdf_rough = safe_div(g1_i * d_ndf, 4.0 * ci)
+
+    if has_rough:
+        F = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re,
+                              lb.eta_im)
+        f_rough = (lb.reflectance * F
+                   * safe_div(d_ndf * g, 4.0 * ci)[..., None])
+        lobes.append((lb.kind == BSDF_ROUGH_CONDUCTOR, f_rough, pdf_rough))
+
+    if has_plast:
+        # rough plastic (GGX dielectric coating over a diffuse substrate;
+        # Mitsuba roughplastic with nonlinear=false)
+        Fi, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
+        Fo, _, _, _ = fresnel_dielectric(co, lb.eta_ratio)
+        F_sp = fresnel_dielectric(jnp.sum(wi_l * m, axis=-1), lb.eta_ratio)[0]
+        f_pl_spec = F_sp * safe_div(d_ndf * g, 4.0 * ci)
+        inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
+        fdr = _fdr(lb.eta_ratio)
+        f_pl_diff = (
+            lb.reflectance
+            * ((1.0 - Fi) * (1.0 - Fo) * inv_eta2
+               / (jnp.pi * (1.0 - fdr)) * co)[..., None]
+        )
+        f_plastic = f_pl_diff + f_pl_spec[..., None]
+        pdf_plastic = Fi * pdf_rough + (1.0 - Fi) * pdf_diff
+        lobes.append((lb.kind == BSDF_ROUGH_PLASTIC, f_plastic, pdf_plastic))
+
+    n, C = lb.reflectance.shape
+    f = jnp.zeros((n, C), jnp.float32)
+    pdf = jnp.zeros((n,), jnp.float32)
+    for mask, f_k, pdf_k in lobes:
+        f = jnp.where((ok & mask)[..., None], f_k, f)
+        pdf = jnp.where(ok & mask, pdf_k, pdf)
     return f, pdf
 
 
@@ -291,6 +310,16 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
 
 def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
            active: jnp.ndarray) -> BSDFSample:
+    """Sample an outgoing direction per lane.  Statically absent kinds
+    (``lb.ks``) are pruned at trace time."""
+    ks = lb.ks
+    has_diff = ks.has(BSDF_DIFFUSE)
+    has_mirr = ks.has(BSDF_CONDUCTOR)
+    has_rough = ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_diel = ks.has(BSDF_DIELECTRIC)
+    has_null = ks.has(BSDF_NULL)
+    has_plast = ks.has(BSDF_ROUGH_PLASTIC)
+
     n = wi.shape[0]
     C = lb.reflectance.shape[-1]
     sgn = _maybe_flip(lb, wi)
@@ -298,128 +327,149 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     ci = wi_l[..., 2]
     up = ci > 0.0
 
-    # ---- diffuse: cosine hemisphere -------------------------------------
-    wo_diff = square_to_cosine_hemisphere(u2)
-    pdf_diff = square_to_cosine_hemisphere_pdf(wo_diff)
-    w_diff = jnp.broadcast_to(lb.reflectance, (n, C))
+    # (mask, wo, weight, pdf) per present kind; eta/delta handled separately
+    lobes = []
 
-    # ---- smooth conductor: mirror ---------------------------------------
-    wo_mirr = jnp.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]], axis=-1)
-    F_cond = jnp.where(
-        (lb.eta_im > 0.0) | (lb.eta_re > 0.0),
-        fresnel_conductor(ci, lb.eta_re, lb.eta_im),
-        1.0,
-    )
-    w_mirr = lb.reflectance * F_cond
+    if has_diff or has_plast:
+        # ---- diffuse: cosine hemisphere ----------------------------------
+        wo_diff = square_to_cosine_hemisphere(u2)
+        pdf_diff = square_to_cosine_hemisphere_pdf(wo_diff)
+    if has_diff:
+        w_diff = jnp.broadcast_to(lb.reflectance, (n, C))
+        lobes.append((lb.kind == BSDF_DIFFUSE, wo_diff, w_diff, pdf_diff))
 
-    # ---- rough conductor: VNDF ------------------------------------------
-    m = _ggx_sample_vndf(wi_l, lb.alpha, lb.alpha_v, u2)
-    wo_rough = _reflect(wi_l, m)
-    co_r = wo_rough[..., 2]
-    d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
-    g1_i = _ggx_g1(wi_l, lb.alpha, lb.alpha_v)
-    pdf_rough = safe_div(g1_i * d_ndf, 4.0 * ci)
-    F_r = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re, lb.eta_im)
-    # weight = f*cos/pdf = F * G2/G1(wi)
-    g2 = g1_i * _ggx_g1(wo_rough, lb.alpha, lb.alpha_v)
-    w_rough = lb.reflectance * F_r * safe_div(g2, g1_i)[..., None]
-    rough_ok = (co_r > 0.0) & (pdf_rough > 0.0)
-    w_rough = jnp.where(rough_ok[..., None], w_rough, 0.0)
+    if has_mirr:
+        # ---- smooth conductor: mirror -------------------------------------
+        wo_mirr = jnp.stack(
+            [-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]], axis=-1)
+        F_cond = jnp.where(
+            (lb.eta_im > 0.0) | (lb.eta_re > 0.0),
+            fresnel_conductor(ci, lb.eta_re, lb.eta_im),
+            1.0,
+        )
+        w_mirr = lb.reflectance * F_cond
+        lobes.append((lb.kind == BSDF_CONDUCTOR, wo_mirr, w_mirr,
+                      jnp.ones(n)))
 
-    # ---- dielectric: Fresnel-weighted reflect/refract --------------------
-    ci_signed = wi[..., 2]  # dielectric is intrinsically two-sided, use true z
-    Fd, cos_t, eta_it, eta_ti = fresnel_dielectric(ci_signed, lb.eta_ratio)
-    refl = u1 < Fd
-    wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
-    wo_refr = jnp.stack(
-        [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], axis=-1
-    )
-    wo_diel = jnp.where(refl[..., None], wo_refl, wo_refr)
-    # transmission carries radiance scale 1/eta_it^2 (solid-angle compression)
-    w_diel = jnp.where(
-        refl[..., None],
-        jnp.ones((n, C)),
-        (eta_ti * eta_ti)[..., None] * jnp.ones((n, C)),
-    )
-    eta_diel = jnp.where(refl, 1.0, eta_it)
-    pdf_diel = jnp.where(refl, Fd, 1.0 - Fd)
+    if has_rough or has_plast:
+        # ---- GGX VNDF microfacet sample (shared rough/plastic) ------------
+        m = _ggx_sample_vndf(wi_l, lb.alpha, lb.alpha_v, u2)
+        wo_rough = _reflect(wi_l, m)
+        co_r = wo_rough[..., 2]
+        d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
+        g1_i = _ggx_g1(wi_l, lb.alpha, lb.alpha_v)
+        pdf_rough = safe_div(g1_i * d_ndf, 4.0 * ci)
 
-    # ---- null: pass-through ----------------------------------------------
-    wo_null = -wi
-    w_null = jnp.ones((n, C))
+    if has_rough:
+        F_r = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re,
+                                lb.eta_im)
+        # weight = f*cos/pdf = F * G2/G1(wi)
+        g2 = g1_i * _ggx_g1(wo_rough, lb.alpha, lb.alpha_v)
+        w_rough = lb.reflectance * F_r * safe_div(g2, g1_i)[..., None]
+        rough_ok = (co_r > 0.0) & (pdf_rough > 0.0)
+        w_rough = jnp.where(rough_ok[..., None], w_rough, 0.0)
+        lobes.append((lb.kind == BSDF_ROUGH_CONDUCTOR, wo_rough, w_rough,
+                      pdf_rough))
 
-    # ---- rough plastic: Fresnel-weighted lobe pick, weight = f*cos/pdf ----
-    Fi_pl, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
-    pick_spec = u1 < Fi_pl
-    wo_plast = jnp.where(pick_spec[..., None], wo_rough, wo_diff)
-    co_pl = wo_plast[..., 2]
-    m_pl = wi_l + wo_plast
-    m_pl = m_pl / jnp.maximum(
-        jnp.linalg.norm(m_pl, axis=-1, keepdims=True), 1e-12)
-    d_pl = _ggx_ndf(m_pl, lb.alpha, lb.alpha_v)
-    g_pl = _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * _ggx_g1(wo_plast, lb.alpha, lb.alpha_v)
-    F_sp_pl = fresnel_dielectric(
-        jnp.sum(wi_l * m_pl, axis=-1), lb.eta_ratio)[0]
-    Fo_pl, _, _, _ = fresnel_dielectric(co_pl, lb.eta_ratio)
-    inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
-    fdr = _fdr(lb.eta_ratio)
-    f_plast = (
-        lb.reflectance
-        * ((1.0 - Fi_pl) * (1.0 - Fo_pl) * inv_eta2
-           / (jnp.pi * (1.0 - fdr)) * co_pl)[..., None]
-        + (F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))[..., None]
-    )
-    pdf_vndf_pl = safe_div(_ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_pl, 4.0 * ci)
-    pdf_plast = (Fi_pl * pdf_vndf_pl
-                 + (1.0 - Fi_pl) * square_to_cosine_hemisphere_pdf(wo_plast))
-    plast_ok = (co_pl > 0.0) & (pdf_plast > 1e-9)
-    w_plast = jnp.where(
-        plast_ok[..., None],
-        f_plast / jnp.maximum(pdf_plast, 1e-9)[..., None], 0.0)
-
-    is_diff = lb.kind == BSDF_DIFFUSE
-    is_mirr = lb.kind == BSDF_CONDUCTOR
-    is_rough = lb.kind == BSDF_ROUGH_CONDUCTOR
     is_diel = lb.kind == BSDF_DIELECTRIC
-    is_nullk = lb.kind == BSDF_NULL
-    is_plast = lb.kind == BSDF_ROUGH_PLASTIC
+    if has_diel:
+        # ---- dielectric: Fresnel-weighted reflect/refract ------------------
+        ci_signed = wi[..., 2]  # intrinsically two-sided, use true z
+        Fd, cos_t, eta_it, eta_ti = fresnel_dielectric(ci_signed,
+                                                       lb.eta_ratio)
+        refl = u1 < Fd
+        wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+        wo_refr = jnp.stack(
+            [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], axis=-1
+        )
+        wo_diel = jnp.where(refl[..., None], wo_refl, wo_refr)
+        # transmission carries radiance scale 1/eta_it^2 (solid-angle
+        # compression)
+        w_diel = jnp.where(
+            refl[..., None],
+            jnp.ones((n, C)),
+            (eta_ti * eta_ti)[..., None] * jnp.ones((n, C)),
+        )
+        eta_diel = jnp.where(refl, 1.0, eta_it)
+        pdf_diel = jnp.where(refl, Fd, 1.0 - Fd)
+        lobes.append((is_diel, wo_diel, w_diel, pdf_diel))
 
-    need_up = is_diff | is_mirr | is_rough | is_plast
-    lane_ok = active & (~need_up | up)
+    if has_null:
+        # ---- null: pass-through --------------------------------------------
+        lobes.append((lb.kind == BSDF_NULL, -wi, jnp.ones((n, C)),
+                      jnp.ones(n)))
 
-    def sel(vals, default):
-        out = default
-        for mask, v in vals:
-            out = jnp.where(mask[..., None] if out.ndim == 2 else mask, v, out)
-        return out
+    if has_plast:
+        # ---- rough plastic: Fresnel-weighted lobe pick, weight = f*cos/pdf
+        Fi_pl, _, _, _ = fresnel_dielectric(ci, lb.eta_ratio)
+        pick_spec = u1 < Fi_pl
+        wo_plast = jnp.where(pick_spec[..., None], wo_rough, wo_diff)
+        co_pl = wo_plast[..., 2]
+        m_pl = wi_l + wo_plast
+        m_pl = m_pl / jnp.maximum(
+            jnp.linalg.norm(m_pl, axis=-1, keepdims=True), 1e-12)
+        d_pl = _ggx_ndf(m_pl, lb.alpha, lb.alpha_v)
+        g_pl = (_ggx_g1(wi_l, lb.alpha, lb.alpha_v)
+                * _ggx_g1(wo_plast, lb.alpha, lb.alpha_v))
+        F_sp_pl = fresnel_dielectric(
+            jnp.sum(wi_l * m_pl, axis=-1), lb.eta_ratio)[0]
+        Fo_pl, _, _, _ = fresnel_dielectric(co_pl, lb.eta_ratio)
+        inv_eta2 = 1.0 / (lb.eta_ratio * lb.eta_ratio)
+        fdr = _fdr(lb.eta_ratio)
+        f_plast = (
+            lb.reflectance
+            * ((1.0 - Fi_pl) * (1.0 - Fo_pl) * inv_eta2
+               / (jnp.pi * (1.0 - fdr)) * co_pl)[..., None]
+            + (F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))[..., None]
+        )
+        pdf_vndf_pl = safe_div(
+            _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_pl, 4.0 * ci)
+        pdf_plast = (
+            Fi_pl * pdf_vndf_pl
+            + (1.0 - Fi_pl) * square_to_cosine_hemisphere_pdf(wo_plast))
+        plast_ok = (co_pl > 0.0) & (pdf_plast > 1e-9)
+        w_plast = jnp.where(
+            plast_ok[..., None],
+            f_plast / jnp.maximum(pdf_plast, 1e-9)[..., None], 0.0)
+        lobes.append((lb.kind == BSDF_ROUGH_PLASTIC, wo_plast, w_plast,
+                      pdf_plast))
 
-    wo_l = sel(
-        [(is_diff, wo_diff), (is_mirr, wo_mirr), (is_rough, wo_rough),
-         (is_diel, wo_diel), (is_nullk, wo_null), (is_plast, wo_plast)],
-        jnp.zeros((n, 3)),
-    )
-    weight = sel(
-        [(is_diff, w_diff), (is_mirr, w_mirr), (is_rough, w_rough),
-         (is_diel, w_diel), (is_nullk, w_null), (is_plast, w_plast)],
-        jnp.zeros((n, C)),
-    )
-    pdf = sel(
-        [(is_diff, pdf_diff), (is_mirr, jnp.ones(n)), (is_rough, pdf_rough),
-         (is_diel, pdf_diel), (is_nullk, jnp.ones(n)), (is_plast, pdf_plast)],
-        jnp.zeros(n),
-    )
-    eta = sel([(is_diel, eta_diel)], jnp.ones(n))
-    delta = is_mirr | is_diel | is_nullk
+    # kinds that sample in the (possibly flipped) local upper hemisphere
+    up_mask = jnp.zeros((n,), bool)
+    for code, present in ((BSDF_DIFFUSE, has_diff), (BSDF_CONDUCTOR, has_mirr),
+                          (BSDF_ROUGH_CONDUCTOR, has_rough),
+                          (BSDF_ROUGH_PLASTIC, has_plast)):
+        if present:
+            up_mask = up_mask | (lb.kind == code)
+    lane_ok = active & (~up_mask | up)
+
+    wo_l = jnp.zeros((n, 3))
+    weight = jnp.zeros((n, C))
+    pdf = jnp.zeros(n)
+    for mask, wo_k, w_k, pdf_k in lobes:
+        wo_l = jnp.where(mask[..., None], wo_k, wo_l)
+        weight = jnp.where(mask[..., None], w_k, weight)
+        pdf = jnp.where(mask, pdf_k, pdf)
+
+    eta = (jnp.where(is_diel, eta_diel, 1.0) if has_diel
+           else jnp.ones(n))
+    delta = jnp.zeros((n,), bool)
+    for code, present in ((BSDF_CONDUCTOR, has_mirr),
+                          (BSDF_DIELECTRIC, has_diel),
+                          (BSDF_NULL, has_null)):
+        if present:
+            delta = delta | (lb.kind == code)
 
     ok = lane_ok & (pdf > 0.0) & jnp.any(weight != 0.0, axis=-1)
     weight = jnp.where(ok[..., None], weight, 0.0)
 
     # un-flip wo for two-sided lanes (dielectric/null already in true frame)
-    flip_back = sgn
-    needs_unflip = is_diff | is_mirr | is_rough | is_plast
-    z_sgn = jnp.where(needs_unflip, flip_back, 1.0)
-    wo = wo_l * jnp.stack(
-        [jnp.ones_like(z_sgn), jnp.ones_like(z_sgn), z_sgn], axis=-1
-    )
+    if ks.any_two_sided:
+        z_sgn = jnp.where(up_mask, sgn, 1.0)
+        wo = wo_l * jnp.stack(
+            [jnp.ones_like(z_sgn), jnp.ones_like(z_sgn), z_sgn], axis=-1
+        )
+    else:
+        wo = wo_l
     return BSDFSample(wo=wo, pdf=jnp.where(ok, pdf, 0.0), eta=eta,
                       delta=delta, weight=weight)

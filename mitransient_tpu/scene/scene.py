@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,22 @@ EM_AREA = 0
 EM_PROJECTOR = 1
 EM_ANGULAR_AREA = 2
 EM_POINT = 3
+
+
+@jax.tree_util.register_static
+class KindsStatic(NamedTuple):
+    """Static (trace-time) scene metadata: which BSDF/emitter kind codes are
+    actually present.  Registered as a *static* pytree node so it rides
+    along inside SceneData/BSDFParams/EmitterParams through jit without
+    becoming a tracer — the dense evaluate-all-kinds dispatch then prunes
+    absent lobes at trace time (a scene-specialized kernel, the XLA
+    equivalent of Dr.Jit's JIT specializing on the scene's plugin set)."""
+
+    kinds: tuple = ()
+    any_two_sided: bool = True
+
+    def has(self, code: int) -> bool:
+        return (not self.kinds) or code in self.kinds
 
 
 class Triangles(NamedTuple):
@@ -84,6 +101,9 @@ class BSDFParams(NamedTuple):
     bump_scale: jnp.ndarray | None = None  # (B,) f32 bumpmap scale
     bump_kind: jnp.ndarray | None = None  # (B,) int32 1=bump 2=normal
     bump_textures: jnp.ndarray | None = None  # (NB, TH, TW, 3) f32
+    # static set of BSDF kind codes present (trace-time lobe pruning);
+    # default () = unknown = evaluate everything
+    ks: KindsStatic = KindsStatic()
 
 
 class EmitterParams(NamedTuple):
@@ -101,6 +121,8 @@ class EmitterParams(NamedTuple):
     tri_count: jnp.ndarray  # (E,) int32
     em_tri_idx: jnp.ndarray  # (K,) int32 triangle-soup index
     em_tri_cdf: jnp.ndarray  # (K,) float32 CDF within each emitter's range
+    # static set of emitter kind codes present (trace-time branch pruning)
+    ks: KindsStatic = KindsStatic()
 
 
 class MediumParams(NamedTuple):
@@ -374,6 +396,10 @@ def sample_emitter_direction(
         )
         return ds, jnp.zeros((n, sd.emitter.radiance.shape[-1]))
 
+    ks = sd.emitter.ks
+    has_delta = ks.has(EM_PROJECTOR) or ks.has(EM_POINT)
+    has_shape = ks.has(EM_AREA) or ks.has(EM_ANGULAR_AREA)
+
     u_sel = sample2[:, 0]
     em_idx = jnp.minimum((u_sel * E).astype(jnp.int32), E - 1)
     u0 = jnp.clip(u_sel * E - em_idx.astype(jnp.float32), 0.0, 1.0 - 1e-7)
@@ -389,16 +415,23 @@ def sample_emitter_direction(
         em_idx,
     )
     kind = jnp.round(ecols["kind"]).astype(jnp.int32)
-    is_delta = kind == EM_PROJECTOR
+    is_delta = ((kind == EM_PROJECTOR) | (kind == EM_POINT) if has_delta
+                else jnp.zeros((n,), bool))
 
-    # --- area-like emitters: sample a point on the shape ------------------
-    tri, u0b = _sample_emitter_triangle(sd, em_idx, u0)
-    p_area, n_area = _uniform_triangle_point(sd, tri, u0b, sample2[:, 1])
+    if has_shape:
+        # --- area-like emitters: sample a point on the shape ---------------
+        tri, u0b = _sample_emitter_triangle(sd, em_idx, u0)
+        p_area, n_area = _uniform_triangle_point(sd, tri, u0b, sample2[:, 1])
     area = jnp.maximum(ecols["area"], 1e-30)
 
     # --- delta emitters: fixed position ------------------------------------
-    p = jnp.where(is_delta[:, None], ecols["position"], p_area)
-    n_em = jnp.where(is_delta[:, None], -ecols["direction"], n_area)
+    if has_delta and has_shape:
+        p = jnp.where(is_delta[:, None], ecols["position"], p_area)
+        n_em = jnp.where(is_delta[:, None], -ecols["direction"], n_area)
+    elif has_delta:
+        p, n_em = ecols["position"], -ecols["direction"]
+    else:
+        p, n_em = p_area, n_area
 
     d_vec = p - ref_p
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d_vec * d_vec, axis=-1), 1e-20))
@@ -407,8 +440,12 @@ def sample_emitter_direction(
     cos_em = dot(n_em, -d)
 
     # pdf (solid angle at ref): area emitters dist^2/(cos*A); delta: 1
-    pdf_area_sa = safe_div(dist * dist, jnp.maximum(cos_em, 0.0) * area)
-    pdf = jnp.where(is_delta, 1.0, pdf_area_sa) * sel_pdf
+    if has_shape:
+        pdf_area_sa = safe_div(dist * dist, jnp.maximum(cos_em, 0.0) * area)
+        pdf = (jnp.where(is_delta, 1.0, pdf_area_sa) if has_delta
+               else pdf_area_sa) * sel_pdf
+    else:
+        pdf = jnp.full((n,), sel_pdf, jnp.float32)
 
     # emitted radiance toward ref
     spec = emitter_eval_direction(sd, em_idx, p, n_em, d, dist, cos_em)
@@ -432,54 +469,76 @@ def sample_emitter_direction(
 def emitter_eval_direction(sd: SceneData, em_idx, p, n_em, d, dist, cos_em):
     """Radiance leaving emitter point ``p`` toward ``-d``... i.e. toward the
     reference point (direction of travel is ``-d`` from the emitter's view).
-    For projector emitters this returns irradiance/dist^2-style intensity."""
-    ecols = columns_lookup(
-        {
-            "kind": sd.emitter.kind.astype(jnp.float32),
-            "radiance": sd.emitter.radiance,
-            "direction": sd.emitter.direction,
-            "frame_s": sd.emitter.frame_s,
-            "frame_t": sd.emitter.frame_t,
-            "tan_half_fov": sd.emitter.tan_half_fov,
-            "cos_beam": sd.emitter.cos_beam,
-            "cos_cutoff": sd.emitter.cos_cutoff,
-        },
-        em_idx,
-    )
+    For projector/point emitters this returns intensity/dist^2.  Branches
+    for statically-absent emitter kinds are pruned at trace time."""
+    ks = sd.emitter.ks
+    has_area = ks.has(EM_AREA)
+    has_ang = ks.has(EM_ANGULAR_AREA)
+    has_proj = ks.has(EM_PROJECTOR)
+    has_point = ks.has(EM_POINT)
+
+    cols = {
+        "kind": sd.emitter.kind.astype(jnp.float32),
+        "radiance": sd.emitter.radiance,
+    }
+    if has_ang:
+        cols["cos_beam"] = sd.emitter.cos_beam
+        cols["cos_cutoff"] = sd.emitter.cos_cutoff
+    if has_proj:
+        cols["direction"] = sd.emitter.direction
+        cols["frame_s"] = sd.emitter.frame_s
+        cols["frame_t"] = sd.emitter.frame_t
+        cols["tan_half_fov"] = sd.emitter.tan_half_fov
+    ecols = columns_lookup(cols, em_idx)
     kind = jnp.round(ecols["kind"]).astype(jnp.int32)
     rad = ecols["radiance"]
     front = cos_em > 0.0
 
-    # area: constant radiance from the front side
-    val_area = jnp.where(front[:, None], rad, 0.0)
+    branches = []  # (mask, value)
+    if has_area:
+        # area: constant radiance from the front side
+        branches.append((kind == EM_AREA, jnp.where(front[:, None], rad, 0.0)))
 
-    # angulararea: radiance * falloff(angle between -d and emitter normal)
-    # (reference mitransient/emitters/angulararea.py:74-102: full radiance
-    # within beam_width, linear falloff to cutoff_angle, zero outside).
-    cos_ang = cos_em  # angle between emission dir (-d) and normal
-    cb = ecols["cos_beam"]
-    cc = ecols["cos_cutoff"]
-    t_lin = safe_div(cos_ang - cc, jnp.maximum(cb - cc, 1e-9))
-    falloff = jnp.clip(t_lin, 0.0, 1.0)
-    val_ang = jnp.where(front[:, None], rad * falloff[:, None], 0.0)
+    if has_ang:
+        # angulararea: radiance * falloff(angle between -d and emitter normal)
+        # (reference mitransient/emitters/angulararea.py:74-102: full radiance
+        # within beam_width, linear falloff to cutoff_angle, zero outside).
+        cos_ang = cos_em  # angle between emission dir (-d) and normal
+        cb = ecols["cos_beam"]
+        cc = ecols["cos_cutoff"]
+        t_lin = safe_div(cos_ang - cc, jnp.maximum(cb - cc, 1e-9))
+        falloff = jnp.clip(t_lin, 0.0, 1.0)
+        branches.append(
+            (kind == EM_ANGULAR_AREA,
+             jnp.where(front[:, None], rad * falloff[:, None], 0.0)))
 
-    # projector: inside frustum -> irradiance / dist^2
-    dirn = ecols["direction"]
-    fs = ecols["frame_s"]
-    ft = ecols["frame_t"]
-    # direction from projector position to ref point:
-    v = -d
-    z = dot(v, dirn)
-    x = dot(v, fs)
-    y = dot(v, ft)
-    thf = ecols["tan_half_fov"]
-    inside = (z > 0) & (jnp.abs(x) <= z * thf) & (jnp.abs(y) <= z * thf)
-    val_proj = jnp.where(inside[:, None], rad, 0.0) / jnp.maximum(dist * dist, 1e-20)[:, None]
+    inv_d2 = None
+    if has_proj or has_point:
+        inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
+    if has_proj:
+        # projector: inside frustum -> irradiance / dist^2
+        dirn = ecols["direction"]
+        fs = ecols["frame_s"]
+        ft = ecols["frame_t"]
+        # direction from projector position to ref point:
+        v = -d
+        z = dot(v, dirn)
+        x = dot(v, fs)
+        y = dot(v, ft)
+        thf = ecols["tan_half_fov"]
+        inside = (z > 0) & (jnp.abs(x) <= z * thf) & (jnp.abs(y) <= z * thf)
+        branches.append(
+            (kind == EM_PROJECTOR,
+             jnp.where(inside[:, None], rad, 0.0) * inv_d2[:, None]))
+    if has_point:
+        # point: isotropic intensity / dist^2
+        branches.append((kind == EM_POINT, rad * inv_d2[:, None]))
 
-    val = jnp.where(
-        (kind == EM_AREA)[:, None], val_area,
-        jnp.where((kind == EM_ANGULAR_AREA)[:, None], val_ang, val_proj),
-    )
+    if len(branches) == 1:
+        return branches[0][1]
+    val = jnp.zeros_like(rad)
+    for mask, v_k in branches:
+        val = jnp.where(mask[:, None], v_k, val)
     return val
 
 
@@ -489,17 +548,23 @@ def pdf_emitter_direction(sd: SceneData, ref_p: jnp.ndarray,
     (for MIS at emitter hits, transientpath.py:168-171).  Zero for
     non-emitter hits, back faces and delta emitters."""
     E = sd.emitter.kind.shape[0]
-    if E == 0:
+    ks = sd.emitter.ks
+    has_shape = ks.has(EM_AREA) or ks.has(EM_ANGULAR_AREA)
+    only_shape = not (ks.has(EM_PROJECTOR) or ks.has(EM_POINT))
+    if E == 0 or not has_shape:
         return jnp.zeros(ref_p.shape[:-1], jnp.float32)
     em = si.emitter_id
     has_em = em >= 0
     em_c = jnp.maximum(em, 0)
-    ecols = columns_lookup(
-        {"kind": sd.emitter.kind.astype(jnp.float32), "area": sd.emitter.area},
-        em_c,
-    )
-    kind = jnp.round(ecols["kind"]).astype(jnp.int32)
-    area_like = (kind == EM_AREA) | (kind == EM_ANGULAR_AREA)
+    cols = {"area": sd.emitter.area}
+    if not only_shape:
+        cols["kind"] = sd.emitter.kind.astype(jnp.float32)
+    ecols = columns_lookup(cols, em_c)
+    if only_shape:
+        area_like = jnp.ones_like(has_em)
+    else:
+        kind = jnp.round(ecols["kind"]).astype(jnp.int32)
+        area_like = (kind == EM_AREA) | (kind == EM_ANGULAR_AREA)
     d_vec = si.p - ref_p
     dist2 = jnp.sum(d_vec * d_vec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
@@ -526,12 +591,15 @@ def emitter_eval_hit(sd: SceneData, si: SurfaceInteraction,
     val = emitter_eval_direction(
         sd, em_c, si.p, si.n, -(-ray_d), jnp.ones_like(cos_em), cos_em
     )
-    # emitter_eval_direction's projector branch is meaningless here (delta
-    # emitters are never hit); area/angular branches only use cos_em.
-    kind = jnp.round(
-        columns_lookup(
-            {"kind": sd.emitter.kind.astype(jnp.float32)}, em_c
-        )["kind"]
-    ).astype(jnp.int32)
-    val = jnp.where((kind == EM_PROJECTOR)[:, None], 0.0, val)
+    # emitter_eval_direction's projector/point branches are meaningless here
+    # (delta emitters are never hit); area/angular branches only use cos_em.
+    ks = sd.emitter.ks
+    if ks.has(EM_PROJECTOR) or ks.has(EM_POINT):
+        kind = jnp.round(
+            columns_lookup(
+                {"kind": sd.emitter.kind.astype(jnp.float32)}, em_c
+            )["kind"]
+        ).astype(jnp.int32)
+        val = jnp.where(
+            ((kind == EM_PROJECTOR) | (kind == EM_POINT))[:, None], 0.0, val)
     return jnp.where(has_em[:, None], val, 0.0)

@@ -39,6 +39,7 @@ from .scene import (
     EM_PROJECTOR,
     BSDFParams,
     EmitterParams,
+    KindsStatic,
     MediumParams,
     SceneData,
     Triangles,
@@ -892,6 +893,10 @@ class Scene:
             alpha_v=jnp.asarray(
                 np.array([b.alpha_v for b in self._bsdfs] or [0.0],
                          np.float32)),
+            ks=KindsStatic(
+                kinds=tuple(sorted(set(b.kind for b in self._bsdfs))),
+                any_two_sided=any(b.two_sided for b in self._bsdfs),
+            ),
         )
 
         # Texture atlas: pad every distinct reflectance texture to the max
@@ -1029,6 +1034,7 @@ class Scene:
             tri_count=jnp.asarray(em_tri_count),
             em_tri_idx=jnp.asarray(em_tri_idx),
             em_tri_cdf=jnp.asarray(em_tri_cdf),
+            ks=KindsStatic(kinds=tuple(sorted(set(int(x) for x in em_kind)))),
         )
 
         # Medium table (at least one row so lookups are well-formed).
