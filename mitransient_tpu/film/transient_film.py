@@ -112,7 +112,8 @@ def splat_transient_pair(
 
     if _on_tpu():
         tr = splat_accumulate(
-            state.transient, bins_a, va, bins_b, vb, spp=spp, hw=hw
+            state.transient, bins_a, va, bins_b, vb, spp=spp, hw=hw,
+            n_bins=cfg.temporal_bins,
         )
         return state._replace(transient=tr)
 

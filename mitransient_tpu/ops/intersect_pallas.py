@@ -86,7 +86,11 @@ def _closest_hit_kernel(
         return best_t, best_i
 
     init = (limit[...], jnp.full((SUBLANES, LANES), -1, jnp.int32))
-    best_t, best_i = jax.lax.fori_loop(0, n_tris, body, init)
+    # fully unroll small soups so Mosaic can overlap the SMEM scalar reads
+    # of one triangle with the vector math of the previous one (pallas only
+    # supports full unroll)
+    best_t, best_i = jax.lax.fori_loop(
+        0, n_tris, body, init, unroll=n_tris if n_tris <= 128 else 1)
     best_t_ref[...] = best_t
     best_i_ref[...] = best_i
 
@@ -133,7 +137,8 @@ def _any_hit_kernel(
         return jnp.maximum(occ, hit.astype(jnp.float32))
 
     occ = jax.lax.fori_loop(
-        0, n_tris, body, jnp.zeros((SUBLANES, LANES), jnp.float32)
+        0, n_tris, body, jnp.zeros((SUBLANES, LANES), jnp.float32),
+        unroll=n_tris if n_tris <= 128 else 1,
     )
     occ_ref[...] = occ
 

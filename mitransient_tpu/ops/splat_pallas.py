@@ -34,32 +34,60 @@ def round_up(x: int, m: int) -> int:
 
 
 def _splat_kernel(film_ref, bins_a, vals_a, bins_b, vals_b, out_ref,
-                  *, n_channels: int, t_pad: int, two_events: bool):
+                  *, n_channels: int, t_pad: int, two_events: bool,
+                  n_bins: int):
     ba = bins_a[...]
     bb = bins_b[...] if two_events else None
     va = [vals_a[c] for c in range(n_channels)]
     vb = [vals_b[c] for c in range(n_channels)] if two_events else None
 
+    # The pixels of a block are spatially coherent, so their bins span a
+    # narrow window of the T axis; compute the block's [bin_min, bin_max]
+    # (over in-range bins only — bin >= n_bins is the overflow slot, whose
+    # rows are sliced away at develop) and skip t-chunks outside it.
+    valid_a = ba < n_bins
+    bmin = jnp.min(jnp.where(valid_a, ba, t_pad))
+    bmax = jnp.max(jnp.where(valid_a, ba, -1))
+    if two_events:
+        valid_b = bb < n_bins
+        bmin = jnp.minimum(bmin, jnp.min(jnp.where(valid_b, bb, t_pad)))
+        bmax = jnp.maximum(bmax, jnp.max(jnp.where(valid_b, bb, -1)))
+    cmin = bmin // 8
+    cmax = bmax // 8
+
     for tc in range(t_pad // 8):
-        for c in range(n_channels):
-            rows = []
-            for r in range(8):
-                t = tc * 8 + r
-                contrib = jnp.sum(
-                    jnp.where(ba == t, va[c], 0.0), axis=0, keepdims=True
-                )
-                if two_events:
-                    contrib = contrib + jnp.sum(
-                        jnp.where(bb == t, vb[c], 0.0), axis=0, keepdims=True
+        in_range = (tc >= cmin) & (tc <= cmax)
+
+        @pl.when(in_range)
+        def _accumulate(tc=tc):
+            for c in range(n_channels):
+                rows = []
+                for r in range(8):
+                    t = tc * 8 + r
+                    contrib = jnp.sum(
+                        jnp.where(ba == t, va[c], 0.0), axis=0, keepdims=True
                     )
-                rows.append(contrib)
-            block = jnp.concatenate(rows, axis=0)  # (8, PIXEL_BLOCK)
-            out_ref[c, tc * 8 : (tc + 1) * 8, :] = (
-                film_ref[c, tc * 8 : (tc + 1) * 8, :] + block
-            )
+                    if two_events:
+                        contrib = contrib + jnp.sum(
+                            jnp.where(bb == t, vb[c], 0.0), axis=0,
+                            keepdims=True
+                        )
+                    rows.append(contrib)
+                block = jnp.concatenate(rows, axis=0)  # (8, PIXEL_BLOCK)
+                out_ref[c, tc * 8 : (tc + 1) * 8, :] = (
+                    film_ref[c, tc * 8 : (tc + 1) * 8, :] + block
+                )
+
+        @pl.when(jnp.logical_not(in_range))
+        def _passthrough(tc=tc):
+            for c in range(n_channels):
+                out_ref[c, tc * 8 : (tc + 1) * 8, :] = film_ref[
+                    c, tc * 8 : (tc + 1) * 8, :
+                ]
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "hw"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("spp", "hw", "n_bins"),
+                   donate_argnums=(0,))
 def splat_accumulate(
     film: jnp.ndarray,  # (C, T_pad, HW_pad) f32
     bins_a: jnp.ndarray,  # (N,) int32, overflow bin = T (in range [0, T_pad))
@@ -69,9 +97,15 @@ def splat_accumulate(
     *,
     spp: int,
     hw: int,
+    n_bins: int | None = None,
 ):
-    """Accumulate one or two splat event sets into the film, in place."""
+    """Accumulate one or two splat event sets into the film, in place.
+
+    ``n_bins`` (the live bin count, <= T_pad) enables per-block t-chunk
+    skipping; defaults to sweeping everything below the padding slot."""
     C, t_pad, hw_pad = film.shape
+    if n_bins is None:
+        n_bins = t_pad - 1
     spp_pad = round_up(max(spp, 1), 8)
 
     def prep(bins, vals):
@@ -92,7 +126,8 @@ def splat_accumulate(
 
     grid = (hw_pad // PIXEL_BLOCK,)
     kernel = functools.partial(
-        _splat_kernel, n_channels=C, t_pad=t_pad, two_events=two
+        _splat_kernel, n_channels=C, t_pad=t_pad, two_events=two,
+        n_bins=n_bins,
     )
     film_spec = pl.BlockSpec(
         (C, t_pad, PIXEL_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
