@@ -78,6 +78,11 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
     C = scene.variant.color_channels
     T = film_cfg.temporal_bins
 
+    if kind == "transient_prbvolpath" and scene.variant.polarized:
+        raise NotImplementedError(
+            "polarized volumetric is primal-only (the reference has no "
+            "polarized volumetric at all; its prbvolpath is unpolarized, "
+            "transient_prbvolpath.py:40-48)")
     if kind == "transient_nlos_path":
         if icfg.capture_type == "exhaustive":
             raise ValueError(

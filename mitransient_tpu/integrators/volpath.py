@@ -239,6 +239,8 @@ def sample_volpath_primal(
     base_dim: int,
     spp: int,
     spectral: bool = False,
+    polarized: bool = False,
+    cam_vertical: jnp.ndarray | None = None,
 ):
     """The volumetric wavefront loop (primal).  Returns
     (film, L, valid, n_rays) like sample_primal.
@@ -246,7 +248,18 @@ def sample_volpath_primal(
     ``spectral=True`` carries N_WL hero wavelengths per lane (same machinery
     as sample_primal); medium albedo uplifts to the lane wavelengths while
     sigma_t stays achromatic (density grids are scalar), and splats convert
-    to sRGB so the film stays 3-channel."""
+    to sRGB so the film stays 3-channel.
+
+    ``polarized=True`` runs the Mueller-matrix throughput chain
+    (beta (N, 4, 4, C), camera-first composition like sample_primal):
+    surface events use the full polarized BSDF factors; medium (HG phase)
+    scattering is treated as an ideal depolarizer (HG is a scalar phase
+    function — the same model Mitsuba's polarized volpath uses via
+    mueller.depolarizer); absorption is polarization-neutral.  This EXCEEDS
+    the reference, whose transient_prbvolpath is unpolarized
+    (transient_prbvolpath.py docstring :40-48)."""
+    if spectral and polarized:
+        raise NotImplementedError("spectral_polarized is not supported")
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
@@ -257,10 +270,22 @@ def sample_volpath_primal(
         sctx = _sp.SpectralCtx.make(key, n)
         C = _sp.N_WL
 
+    if polarized:
+        from ..bsdf.polarized import sensor_alignment_mueller
+
+        vert = cam_vertical if cam_vertical is not None else jnp.array(
+            [0.0, 1.0, 0.0])
+        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
+        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        L0 = jnp.zeros((n, 4 * C), jnp.float32)
+    else:
+        beta0 = jnp.ones((n, C), jnp.float32)
+        L0 = jnp.zeros((n, C), jnp.float32)
+
     state = dict(
         o=ray.o, d=ray.d,
-        beta=jnp.ones((n, C), jnp.float32),
-        L=jnp.zeros((n, C), jnp.float32),
+        beta=beta0,
+        L=L0,
         eta=jnp.ones((n,), jnp.float32),
         distance=jnp.zeros((n,), jnp.float32),
         active=jnp.ones((n,), bool),
@@ -319,9 +344,17 @@ def sample_volpath_primal(
         is_null_srf = bsdf_api.is_null(lb) & ~medium_scatter
 
         # throughput update for scattering events: analog MC, beta *= albedo
-        # at real medium scatters (sigma_s / sigma_t)
-        beta = jnp.where(medium_scatter[:, None], st["beta"] * med_albedo,
-                         st["beta"])
+        # at real medium scatters (sigma_s / sigma_t).  Polarized: the HG
+        # scatter also depolarizes (beta @ depolarizer keeps column 0 only).
+        if polarized:
+            b_dep = jnp.zeros_like(st["beta"])
+            b_dep = b_dep.at[:, :, 0, :].set(
+                st["beta"][:, :, 0, :] * med_albedo[:, None, :])
+            beta = jnp.where(medium_scatter[:, None, None, None], b_dep,
+                             st["beta"])
+        else:
+            beta = jnp.where(medium_scatter[:, None], st["beta"] * med_albedo,
+                             st["beta"])
 
         # ---- direct emission at surfaces (not at medium events) ----------
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
@@ -330,11 +363,20 @@ def sample_volpath_primal(
         Le_raw = emitter_eval_hit(sd, si, st["d"])
         if sctx is not None:
             Le_raw = sctx.emission(Le_raw)
-        Le = jnp.where(
-            (hit & ~medium_scatter & ~jnp.bool_(icfg.discard_direct_light))[:, None],
-            st["beta"] * mis[:, None] * Le_raw,
-            0.0,
-        )
+        le_mask = hit & ~medium_scatter & ~jnp.bool_(icfg.discard_direct_light)
+        if polarized:
+            # emission is unpolarized: Stokes = E * mis * column 0 of the
+            # Mueller throughput (sample_primal's polarized Le)
+            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+            Le = jnp.where(
+                le_mask[:, None],
+                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
+                    n, 4 * C),
+                0.0,
+            )
+        else:
+            Le = jnp.where(
+                le_mask[:, None], st["beta"] * mis[:, None] * Le_raw, 0.0)
 
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
 
@@ -362,11 +404,33 @@ def sample_volpath_primal(
         f_em = jnp.where(medium_scatter[:, None], f_phase, f_srf)
         pdf_for_mis = jnp.where(medium_scatter, pdf_phase, pdf_srf)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_for_mis))
-        Lr_dir = jnp.where(
-            active_em[:, None],
-            beta * mis_em[:, None] * f_em * em_weight * trans[:, None],
-            0.0,
-        )
+        if polarized:
+            from ..bsdf.polarized import polarization_factor
+
+            # surface lanes: full polarized BSDF factor; medium lanes: the
+            # HG scatter depolarizes, so the NEE Stokes is column 0 of the
+            # throughput times the scalar phase value
+            m_h = si.wi + wo_em
+            m_h = m_h / jnp.maximum(
+                jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+            cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
+            P_em = polarization_factor(lb, -ds.d, -st["d"], cos_i_em)
+            M_em = P_em * f_srf[:, None, None, :]
+            A_srf = jnp.einsum("nikc,nkjc->nijc", beta, M_em)[:, :, 0, :]
+            A_med = beta[:, :, 0, :] * f_phase[:, None, :]
+            A = jnp.where(medium_scatter[:, None, None], A_med, A_srf)
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                (A * (mis_em[:, None] * em_weight
+                      * trans[:, None])[:, None, :]).reshape(n, 4 * C),
+                0.0,
+            )
+        else:
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                beta * mis_em[:, None] * f_em * em_weight * trans[:, None],
+                0.0,
+            )
 
         Le_f = sctx.to_film(Le) if sctx is not None else Le
         Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
@@ -402,6 +466,24 @@ def sample_volpath_primal(
         pdf_step = jnp.where(medium_scatter, pdf_hg, bs.pdf)
         delta_step = jnp.where(medium_scatter, False, bs.delta)
         eta_step = jnp.where(medium_scatter, 1.0, bs.eta)
+        if polarized:
+            from ..bsdf.polarized import polarization_factor
+
+            m_hs = si.wi + bs.wo
+            m_hs = m_hs / jnp.maximum(
+                jnp.linalg.norm(m_hs, axis=-1, keepdims=True), 1e-12)
+            cos_i_s = jnp.where(
+                bs.delta, jnp.abs(si.wi[:, 2]),
+                jnp.abs(jnp.sum(si.wi * m_hs, axis=-1)))
+            transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
+            P_s = polarization_factor(lb, -d_srf, -st["d"], cos_i_s,
+                                      transmitted=transmitted)
+            M_w = P_s * bs.weight[:, None, None, :]
+            beta_srf = jnp.einsum("nikc,nkjc->nijc", beta, M_w)
+            # medium lanes already depolarized+albedo'd above; HG importance
+            # sampling has unit weight -> throughput unchanged
+            M_step = jnp.where(medium_scatter[:, None, None, None],
+                               beta, beta_srf)
 
         # medium switch at null boundaries
         new_med = jnp.where(
@@ -411,18 +493,26 @@ def sample_volpath_primal(
         )
 
         L = st["L"] + Le + Lr_dir
-        beta = jnp.where(active_next[:, None], beta * w_step, beta)
+        if polarized:
+            beta = jnp.where(active_next[:, None, None, None], M_step, beta)
+            beta_max = jax.lax.stop_gradient(
+                jnp.max(beta[:, 0, 0, :], axis=-1))
+        else:
+            beta = jnp.where(active_next[:, None], beta * w_step, beta)
+            beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         eta = jnp.where(active_next, st["eta"] * eta_step, st["eta"])
 
         # ---- RR (detached sampling decision; keeps full-loop AD sane) -----
-        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
         rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
                              1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
-        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
+        rr_bcast = (jax.lax.stop_gradient(rr_scale)[:, None, None, None]
+                    if polarized
+                    else jax.lax.stop_gradient(rr_scale)[:, None])
+        beta = beta * rr_bcast
         rr_continue = rnd1(7) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 

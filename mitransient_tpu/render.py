@@ -57,16 +57,13 @@ def _perspective_pass(
     sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
     if icfg.kind == "transient_prbvolpath":
-        if polarized:
-            raise NotImplementedError(
-                "polarized volumetric rendering is not supported (the "
-                "reference's prbvolpath is likewise unpolarized)")
         from .integrators.volpath import sample_volpath_primal as sample_fn
 
         film, L, valid, n_rays = sample_fn(
             sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
             sample_scale=inv_total_spp, base_dim=2, spp=spp_chunk,
-            spectral=spectral,
+            spectral=spectral, polarized=polarized,
+            cam_vertical=cam.R[:, 1],
         )
     else:
         film, L, valid, n_rays = sample_primal(

@@ -154,3 +154,54 @@ def test_vol_file_roundtrip(tmp_path):
         f.write(grid.tobytes())
     back = read_vol(p)
     np.testing.assert_array_equal(back, grid)
+
+
+def test_polarized_volumetric_primal():
+    """Polarized volumetric rendering (EXCEEDS the reference — its
+    transient_prbvolpath is unpolarized, transient_prbvolpath.py:40-48):
+    Stokes-I of the polarized render must match the unpolarized render of
+    the same foggy scene, and the HG scatter must depolarize (Q,U,V -> 0
+    for multiply-scattered light)."""
+    old = mitr.variant().name
+    try:
+        mitr.set_variant("mono")
+        d = vol_cbox(sigma_t=2.0, albedo=0.8, g=0.3, w=12, h=12,
+                     max_depth=5)
+        s_u, t_u = mitr.render(mitr.load_dict(d), spp=48, seed=0)
+        s_u, t_u = np.asarray(s_u), np.asarray(t_u)
+
+        mitr.set_variant("mono_polarized")
+        s_p, t_p = mitr.render(mitr.load_dict(d), spp=48, seed=0)
+        s_p, t_p = np.asarray(s_p), np.asarray(t_p)
+    finally:
+        mitr.set_variant(old)
+
+    # 4 Stokes channels
+    assert s_p.shape == (12, 12, 4)
+    assert t_p.shape[-1] == 4
+    assert np.all(np.isfinite(s_p)) and np.all(np.isfinite(t_p))
+    # Stokes I equals the unpolarized intensity (same sampler stream)
+    I = s_p[..., :1]
+    rel = abs(I.sum() - s_u.sum()) / max(s_u.sum(), 1e-9)
+    assert rel < 1e-3, rel
+    # physical validity: I >= sqrt(Q^2+U^2+V^2) wherever I is nonzero
+    dop_num = np.sqrt((s_p[..., 1:] ** 2).sum(-1))
+    assert np.all(dop_num <= s_p[..., 0] + 1e-4)
+    # diffuse walls + depolarizing fog => low overall DoP
+    mask = s_p[..., 0] > np.quantile(s_p[..., 0], 0.5)
+    dop = dop_num[mask] / np.maximum(s_p[..., 0][mask], 1e-9)
+    assert float(np.median(dop)) < 0.05
+
+
+def test_polarized_volumetric_backward_raises():
+    old = mitr.variant().name
+    try:
+        mitr.set_variant("mono_polarized")
+        d = vol_cbox(sigma_t=1.0, w=8, h=8, max_depth=3)
+        scene = mitr.load_dict(d)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            mitr.render_backward(scene, (np.ones((8, 8, 1)), None), spp=4)
+    finally:
+        mitr.set_variant(old)
