@@ -36,6 +36,12 @@ def round_up(x: int, m: int) -> int:
 def _splat_kernel(film_ref, bins_a, vals_a, bins_b, vals_b, out_ref,
                   *, n_channels: int, t_pad: int, two_events: bool,
                   n_bins: int):
+    """One (pixel-block, spp-chunk) grid step.  The spp axis is split into
+    chunks on the grid's inner dimension and the out block is revisited:
+    chunk 0 initializes ``out = film + contrib``, later chunks accumulate
+    in place — this bounds VMEM at any spp (an NLOS scan has ~1k pixels,
+    so a 2^21-lane pass puts 2048 spp rows in one tile otherwise)."""
+    j = pl.program_id(1)
     ba = bins_a[...]
     bb = bins_b[...] if two_events else None
     va = [vals_a[c] for c in range(n_channels)]
@@ -74,11 +80,14 @@ def _splat_kernel(film_ref, bins_a, vals_a, bins_b, vals_b, out_ref,
                         )
                     rows.append(contrib)
                 block = jnp.concatenate(rows, axis=0)  # (8, PIXEL_BLOCK)
-                out_ref[c, tc * 8 : (tc + 1) * 8, :] = (
-                    film_ref[c, tc * 8 : (tc + 1) * 8, :] + block
+                base = jnp.where(
+                    j == 0,
+                    film_ref[c, tc * 8 : (tc + 1) * 8, :],
+                    out_ref[c, tc * 8 : (tc + 1) * 8, :],
                 )
+                out_ref[c, tc * 8 : (tc + 1) * 8, :] = base + block
 
-        @pl.when(jnp.logical_not(in_range))
+        @pl.when(jnp.logical_not(in_range) & (j == 0))
         def _passthrough(tc=tc):
             for c in range(n_channels):
                 out_ref[c, tc * 8 : (tc + 1) * 8, :] = film_ref[
@@ -106,7 +115,14 @@ def splat_accumulate(
     C, t_pad, hw_pad = film.shape
     if n_bins is None:
         n_bins = t_pad - 1
-    spp_pad = round_up(max(spp, 1), 8)
+    # Split the spp axis into VMEM-sized chunks processed on the grid's
+    # inner dimension (the out film block is revisited and accumulated).
+    # 128 rows x PIXEL_BLOCK lanes keeps the full working set (film in+out
+    # + 2 event sets, each double-buffered by the pipeline) under the 16 MB
+    # scoped-VMEM limit with rgb channels and T ~ 400.
+    spp_chunk = min(round_up(max(spp, 1), 8), 128)
+    n_spp_chunks = (max(spp, 1) + spp_chunk - 1) // spp_chunk
+    spp_pad = spp_chunk * n_spp_chunks
 
     def prep(bins, vals):
         b2 = bins.reshape(spp, hw)
@@ -122,28 +138,32 @@ def splat_accumulate(
     if two:
         bb, vb = prep(bins_b, vals_b)
     else:
-        bb, vb = ba[:1, :], va[:, :1, :]  # dummies (unused in kernel)
+        bb, vb = ba[:spp_chunk, :], va[:, :spp_chunk, :]  # dummies (unused)
 
-    grid = (hw_pad // PIXEL_BLOCK,)
+    grid = (hw_pad // PIXEL_BLOCK, n_spp_chunks)
     kernel = functools.partial(
         _splat_kernel, n_channels=C, t_pad=t_pad, two_events=two,
         n_bins=n_bins,
     )
     film_spec = pl.BlockSpec(
-        (C, t_pad, PIXEL_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (C, t_pad, PIXEL_BLOCK), lambda i, j: (0, 0, i),
+        memory_space=pltpu.VMEM,
     )
     bins_spec = pl.BlockSpec(
-        (spp_pad, PIXEL_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        (spp_chunk, PIXEL_BLOCK), lambda i, j: (j, i),
+        memory_space=pltpu.VMEM,
     )
     dummy_bins_spec = pl.BlockSpec(
-        (1, PIXEL_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        (spp_chunk, PIXEL_BLOCK), lambda i, j: (0, i),
+        memory_space=pltpu.VMEM,
     )
     vals_spec = pl.BlockSpec(
-        (C, spp_pad, PIXEL_BLOCK), lambda i: (0, 0, i),
+        (C, spp_chunk, PIXEL_BLOCK), lambda i, j: (0, j, i),
         memory_space=pltpu.VMEM,
     )
     dummy_vals_spec = pl.BlockSpec(
-        (C, 1, PIXEL_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (C, spp_chunk, PIXEL_BLOCK), lambda i, j: (0, 0, i),
+        memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         kernel,
