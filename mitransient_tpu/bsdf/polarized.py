@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..core.math import cross, dot, normalize
 from ..core.mueller import (
+    rotate_mueller_product,
     rotate_stokes_basis,
     specular_reflection_mueller,
     stokes_basis,
@@ -63,57 +64,68 @@ def polarization_factor(
     cos_theta_i: jnp.ndarray,  # (N,) incidence cosine for the Fresnel term
     transmitted: jnp.ndarray | None = None,  # (N,) bool — dielectric refract
 ) -> jnp.ndarray:
-    """Normalized Mueller polarization factor P (N, 4, 4, C)."""
+    """Normalized Mueller polarization factor P (N, 4, 4, C).
+
+    Kinds statically absent from the scene (``lb.ks``) skip their Mueller
+    construction at trace time (same scene-specialization as bsdf/api.py)."""
     n = p_in.shape[0]
     C = lb.reflectance.shape[-1]
+    ks = lb.ks
+    has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_diel = ks.has(BSDF_DIELECTRIC)
+    has_null = ks.has(BSDF_NULL)
 
-    # specular s/p-basis Mueller for complex IOR, normalized by F_unpol
     ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
-    # per channel
-    Ms = []
-    for c in range(C):
-        M = specular_reflection_mueller(ci, lb.eta_re[:, c], lb.eta_im[:, c])
-        F = jnp.maximum(M[..., 0, 0], 1e-12)
-        Ms.append(M / F[..., None, None])
-    M_spec = jnp.stack(Ms, axis=-1)  # (N, 4, 4, C)
 
-    # rotate from canonical bases into the s/p basis and back:
-    # basis perpendicular to the plane of incidence
-    sp = cross(p_in, p_out)
-    sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-    degenerate = sp_len < 1e-6
-    s_axis = jnp.where(
-        degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-    )
-    r_in = rotate_stokes_basis(p_in, stokes_basis(p_in), s_axis)  # (N,4,4)
-    r_out = rotate_stokes_basis(p_out, s_axis, stokes_basis(p_out))
-    M_spec = jnp.einsum(
-        "nij,njkc,nkl->nilc", r_out, M_spec, r_in
-    )
-
-    # dielectric: real-IOR reflection Mueller; transmission ~ depolarizer
-    eta_d = jnp.stack([lb.eta_ratio] * C, axis=-1)
-    Md = []
-    for c in range(C):
-        M = specular_reflection_mueller(ci, eta_d[:, c],
-                                        jnp.zeros_like(eta_d[:, c]))
-        F = jnp.maximum(M[..., 0, 0], 1e-12)
-        Md.append(M / F[..., None, None])
-    M_diel = jnp.stack(Md, axis=-1)
-    M_diel = jnp.einsum("nij,njkc,nkl->nilc", r_out, M_diel, r_in)
-    if transmitted is not None:
-        M_diel = jnp.where(
-            transmitted[:, None, None, None], _depolarizer_P(n, C), M_diel
+    if has_cond or has_diel:
+        # rotate from canonical bases into the s/p basis and back:
+        # basis perpendicular to the plane of incidence
+        sp = cross(p_in, p_out)
+        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
+        degenerate = sp_len < 1e-6
+        s_axis = jnp.where(
+            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
         )
+        r_in = rotate_stokes_basis(p_in, stokes_basis(p_in), s_axis)
+        r_out = rotate_stokes_basis(p_out, s_axis, stokes_basis(p_out))
 
-    P_dep = _depolarizer_P(n, C)
-    P_eye = _identity_P(n, C)
+    if has_cond:
+        # specular s/p-basis Mueller for complex IOR, normalized by F_unpol
+        Ms = []
+        for c in range(C):
+            M = specular_reflection_mueller(ci, lb.eta_re[:, c],
+                                            lb.eta_im[:, c])
+            F = jnp.maximum(M[..., 0, 0], 1e-12)
+            Ms.append(M / F[..., None, None])
+        M_spec = jnp.stack(Ms, axis=-1)  # (N, 4, 4, C)
+        M_spec = rotate_mueller_product(r_out, M_spec, r_in)
 
+    if has_diel:
+        # dielectric: real-IOR reflection Mueller; transmission ~ depolarizer
+        eta_d = jnp.stack([lb.eta_ratio] * C, axis=-1)
+        Md = []
+        for c in range(C):
+            M = specular_reflection_mueller(ci, eta_d[:, c],
+                                            jnp.zeros_like(eta_d[:, c]))
+            F = jnp.maximum(M[..., 0, 0], 1e-12)
+            Md.append(M / F[..., None, None])
+        M_diel = jnp.stack(Md, axis=-1)
+        M_diel = rotate_mueller_product(r_out, M_diel, r_in)
+        if transmitted is not None:
+            M_diel = jnp.where(
+                transmitted[:, None, None, None], _depolarizer_P(n, C),
+                M_diel
+            )
+
+    P = _depolarizer_P(n, C)  # diffuse / rough-plastic default
     k = lb.kind[:, None, None, None]
-    P = jnp.where(k == BSDF_DIFFUSE, P_dep,
-        jnp.where((k == BSDF_CONDUCTOR) | (k == BSDF_ROUGH_CONDUCTOR), M_spec,
-        jnp.where(k == BSDF_DIELECTRIC, M_diel,
-        jnp.where(k == BSDF_NULL, P_eye, P_dep))))
+    if has_cond:
+        P = jnp.where(
+            (k == BSDF_CONDUCTOR) | (k == BSDF_ROUGH_CONDUCTOR), M_spec, P)
+    if has_diel:
+        P = jnp.where(k == BSDF_DIELECTRIC, M_diel, P)
+    if has_null:
+        P = jnp.where(k == BSDF_NULL, _identity_P(n, C), P)
     return P
 
 

@@ -119,7 +119,9 @@ def spec_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     if not ap and not bp:
         return a * b
     if ap and bp:
-        return jnp.einsum("...ikc,...kjc->...ijc", a, b)
+        from .mueller import mueller_product
+
+        return mueller_product(a, b)
     # mixed: scalar-like spectrum scales the Mueller matrix
     if ap:
         return a * b[..., None, None, :]

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..bsdf import api as bsdf_api
 from ..core import spectra as _sp
+from ..core.mueller import mueller_product
 from ..core.math import dot, mis_weight, normalize
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -284,7 +285,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         lb2 = sctx.uplift_lb(lb2)
     if polarized:
         M1 = P1 * f1[:, None, None, :]
-        beta2 = jnp.einsum("nikc,nkjc->nijc", beta, M1)
+        beta2 = mueller_product(beta, M1)
     else:
         beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, si2.t, 0.0) * eta
@@ -339,7 +340,7 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         cos_i2 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
         P2 = polarization_factor(lb, -d2, -wi_world, cos_i2)
         M2 = P2 * f2[:, None, None, :]
-        A = jnp.einsum("nikc,nkjc->nijc", beta, M2)
+        A = mueller_product(beta, M2)
         # emission is unpolarized: Stokes = E * first Mueller column
         Lr = jnp.where(
             active_e[:, None],
@@ -549,7 +550,7 @@ def sample_nlos_primal(
             M_w = P_s * (weight / pdf_method[:, None])[:, None, None, :]
             beta = jnp.where(
                 active_next[:, None, None, None],
-                jnp.einsum("nikc,nkjc->nijc", st["beta"], M_w),
+                mueller_product(st["beta"], M_w),
                 st["beta"],
             )
         else:

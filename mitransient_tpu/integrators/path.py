@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..bsdf import api as bsdf_api
 from ..core import spectra as _sp
+from ..core.mueller import mueller_product
 from ..core.math import mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -225,7 +226,7 @@ def sample_primal(
             P_em = polarization_factor(
                 lb, -wo_em_world, -st.d, cos_i_em)
             M_em = P_em * f_em[:, None, None, :]
-            A = jnp.einsum("nikc,nkjc->nijc", st.beta, M_em)
+            A = mueller_product(st.beta, M_em)
             Lr_dir = jnp.where(
                 active_em[:, None],
                 (A[:, :, 0, :]
@@ -274,7 +275,7 @@ def sample_primal(
             M_w = P_s * bs.weight[:, None, None, :]
             beta = jnp.where(
                 active_next[:, None, None, None],
-                jnp.einsum("nikc,nkjc->nijc", st.beta, M_w),
+                mueller_product(st.beta, M_w),
                 st.beta,
             )
         else:

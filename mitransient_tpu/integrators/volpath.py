@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..bsdf import api as bsdf_api
 from ..core import spectra as _sp
+from ..core.mueller import mueller_product
 from ..core.math import dot, mis_weight
 from ..core.records import Ray
 from ..core.rng import Sampler
@@ -416,7 +417,7 @@ def sample_volpath_primal(
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
             P_em = polarization_factor(lb, -ds.d, -st["d"], cos_i_em)
             M_em = P_em * f_srf[:, None, None, :]
-            A_srf = jnp.einsum("nikc,nkjc->nijc", beta, M_em)[:, :, 0, :]
+            A_srf = mueller_product(beta, M_em)[:, :, 0, :]
             A_med = beta[:, :, 0, :] * f_phase[:, None, :]
             A = jnp.where(medium_scatter[:, None, None], A_med, A_srf)
             Lr_dir = jnp.where(
@@ -479,7 +480,7 @@ def sample_volpath_primal(
             P_s = polarization_factor(lb, -d_srf, -st["d"], cos_i_s,
                                       transmitted=transmitted)
             M_w = P_s * bs.weight[:, None, None, :]
-            beta_srf = jnp.einsum("nikc,nkjc->nijc", beta, M_w)
+            beta_srf = mueller_product(beta, M_w)
             # medium lanes already depolarized+albedo'd above; HG importance
             # sampling has unit weight -> throughput unchanged
             M_step = jnp.where(medium_scatter[:, None, None, None],
