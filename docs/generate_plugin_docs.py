@@ -127,7 +127,9 @@ PLUGINS = [
     ]),
     ("bsdfs", "roughconductor", "mitransient_tpu.bsdf.api", [
         ("material / eta / k", "—", "Au", "Complex IOR as above."),
-        ("alpha", "float", "0.1", "GGX roughness."),
+        ("alpha", "float", "0.1", "Isotropic GGX roughness."),
+        ("alpha_u / alpha_v", "float", "alpha",
+         "Anisotropic GGX roughness along the tangent / bitangent."),
     ]),
     ("bsdfs", "dielectric", "mitransient_tpu.bsdf.api", [
         ("int_ior / ext_ior", "float", "1.5046 / 1.000277",

@@ -51,12 +51,27 @@ def rotate_stokes_basis(
 ) -> jnp.ndarray:
     """Mueller rotator re-expressing Stokes vectors from ``basis_current`` to
     ``basis_target`` (both perpendicular to propagation ``w``).
-    Returns shape ``(..., 4, 4)``."""
-    theta = unit_angle(normalize(basis_current), normalize(basis_target))
-    # sign of rotation from the orientation relative to w
-    s = jnp.sign(dot(w, cross(basis_current, basis_target)))
-    theta = theta * jnp.where(s == 0.0, 1.0, s)
-    return _rotator(theta)
+    Returns shape ``(..., 4, 4)``.
+
+    Trig-free: with c = cos(theta) = a.b and signed s = sin(theta) =
+    w.(a x b) (a, b both perpendicular to w), the rotator entries are
+    cos(2 theta) = 2c^2 - 1 and sin(2 theta) = 2cs — no
+    arccos/cos/sin on the hot path."""
+    a = normalize(basis_current)
+    b = normalize(basis_target)
+    c = jnp.clip(dot(a, b), -1.0, 1.0)
+    s = dot(w, cross(a, b))  # signed sin(theta)
+    c2 = 2.0 * c * c - 1.0
+    s2 = 2.0 * c * s
+    z = jnp.zeros_like(c2)
+    o = jnp.ones_like(c2)
+    rows = [
+        jnp.stack([o, z, z, z], axis=-1),
+        jnp.stack([z, c2, s2, z], axis=-1),
+        jnp.stack([z, -s2, c2, z], axis=-1),
+        jnp.stack([z, z, z, o], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
 
 
 def rotate_mueller_basis(

@@ -65,19 +65,37 @@ def sample_primal_regen(
     icfg: IntegratorConfig,
     spp_total: int,
     lanes_per_pixel: int,
+    polarized: bool = False,
 ):
     """Render the full spp budget in one while_loop with path regeneration.
 
-    Returns (film, steady_sum (N, C) per-lane accumulators to be
+    Returns (film, steady_sum (N, C or 4C) per-lane accumulators to be
     row-reduced, n_rays, n_iters).
+
+    ``polarized=True`` carries the Mueller-matrix throughput chain of
+    sample_primal (beta (N, 4, 4, C), Stokes contributions, 4*C film
+    channels); regeneration re-seeds beta with the sensor-alignment
+    rotator of the lane's fresh camera ray (reference utils.py:9-21).
     """
     hw = film_cfg.width * film_cfg.height
     L = lanes_per_pixel
     n = hw * L
     C = sd.bsdf.reflectance.shape[-1]
+    CS = 4 * C if polarized else C  # splat/steady channel count
     width, height = film_cfg.width, film_cfg.height
     seed_u = jnp.uint32(seed)
     splat_scale = jnp.float32(1.0 / spp_total)
+    if polarized:
+        from ..bsdf.polarized import (
+            polarization_factor,
+            sensor_alignment_mueller,
+        )
+
+        cam_vert = cam.R[:, 1]
+
+        def beta_init(d):
+            b = sensor_alignment_mueller(d, cam_vert)[..., None]
+            return jnp.broadcast_to(b, (n, 4, 4, C)).astype(jnp.float32)
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane % hw).astype(jnp.int32)
@@ -104,8 +122,8 @@ def sample_primal_regen(
 
     state = dict(
         o=o0, d=d0,
-        beta=jnp.ones((n, C), jnp.float32),
-        L=jnp.zeros((n, C), jnp.float32),
+        beta=beta_init(d0) if polarized else jnp.ones((n, C), jnp.float32),
+        L=jnp.zeros((n, CS), jnp.float32),
         eta=jnp.ones((n,), jnp.float32),
         distance=jnp.zeros((n,), jnp.float32),
         depth=jnp.zeros((n,), jnp.uint32),
@@ -115,7 +133,7 @@ def sample_primal_regen(
         prev_p=o0,
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_delta=jnp.ones((n,), bool),
-        steady=jnp.zeros((n, C), jnp.float32),
+        steady=jnp.zeros((n, CS), jnp.float32),
         film=film,
         n_rays=jnp.zeros((), jnp.float32),
         it=jnp.uint32(0),
@@ -149,11 +167,21 @@ def sample_primal_regen(
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
         mis = mis_weight(st["prev_pdf"], pdf_em_hit)
-        Le = jnp.where(
-            (hit & ~jnp.bool_(icfg.discard_direct_light))[:, None],
-            st["beta"] * mis[:, None] * emitter_eval_hit(sd, si, st["d"]),
-            0.0,
-        )
+        le_mask = hit & ~jnp.bool_(icfg.discard_direct_light)
+        Le_raw = emitter_eval_hit(sd, si, st["d"])
+        if polarized:
+            # emission is unpolarized: Stokes = E * mis * column 0 of the
+            # Mueller throughput (sample_primal's polarized Le)
+            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+            Le = jnp.where(
+                le_mask[:, None],
+                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
+                    n, 4 * C),
+                0.0,
+            )
+        else:
+            Le = jnp.where(
+                le_mask[:, None], st["beta"] * mis[:, None] * Le_raw, 0.0)
 
         cont = active & (depth + 1 < icfg.max_depth) & si.valid
         active_em = cont & bsdf_api.is_smooth(lb)
@@ -163,9 +191,27 @@ def sample_primal_regen(
         wo_em = si.frame.to_local(ds.d)
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
-        Lr_dir = jnp.where(
-            active_em[:, None],
-            st["beta"] * mis_em[:, None] * f_em * em_weight, 0.0)
+        if polarized:
+            from ..core.mueller import mueller_product
+
+            m_h = si.wi + wo_em
+            m_h = m_h / jnp.maximum(
+                jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
+            cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
+            P_em = polarization_factor(lb, -ds.d, -st["d"], cos_i_em)
+            M_em = P_em * f_em[:, None, None, :]
+            A = mueller_product(st["beta"], M_em)
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                (A[:, :, 0, :]
+                 * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
+                     n, 4 * C),
+                0.0,
+            )
+        else:
+            Lr_dir = jnp.where(
+                active_em[:, None],
+                st["beta"] * mis_em[:, None] * f_em * em_weight, 0.0)
 
         film_st = splat_pair_any(
             st["film"], film_cfg, L,
@@ -180,18 +226,44 @@ def sample_primal_regen(
         new_ray = si.spawn_ray(d_world)
 
         L_acc = st["L"] + Le + Lr_dir
-        beta = jnp.where(cont[:, None], st["beta"] * bs.weight, st["beta"])
+        if polarized:
+            from ..core.mueller import mueller_product
+
+            m_hs = si.wi + bs.wo
+            m_hs = m_hs / jnp.maximum(
+                jnp.linalg.norm(m_hs, axis=-1, keepdims=True), 1e-12)
+            cos_i_s = jnp.where(
+                bs.delta, jnp.abs(si.wi[:, 2]),
+                jnp.abs(jnp.sum(si.wi * m_hs, axis=-1)))
+            transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
+            P_s = polarization_factor(lb, -d_world, -st["d"], cos_i_s,
+                                      transmitted=transmitted)
+            M_w = P_s * bs.weight[:, None, None, :]
+            beta = jnp.where(
+                cont[:, None, None, None],
+                mueller_product(st["beta"], M_w),
+                st["beta"],
+            )
+            beta_max = jnp.max(beta[:, 0, 0, :], axis=-1)
+        else:
+            beta = jnp.where(cont[:, None], st["beta"] * bs.weight,
+                             st["beta"])
+            beta_max = jnp.max(beta, axis=-1)
         eta = jnp.where(cont, st["eta"] * bs.eta, st["eta"])
 
-        beta_max = jnp.max(beta, axis=-1)
         cont = cont & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         cont = cont & (rr_prob > 0.0)
         rr_active = depth >= jnp.uint32(icfg.rr_depth)
         rr_scale = jnp.where(rr_prob > 0.0,
                              1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)
-        beta = jnp.where((rr_active & cont)[:, None],
-                         beta * rr_scale[:, None], beta)
+        rr_mask = rr_active & cont
+        if polarized:
+            beta = jnp.where(rr_mask[:, None, None, None],
+                             beta * rr_scale[:, None, None, None], beta)
+        else:
+            beta = jnp.where(rr_mask[:, None], beta * rr_scale[:, None],
+                             beta)
         cont = cont & (~rr_active | (rnd1(5) < rr_prob))
 
         # ---- regeneration: finished paths bank their L and start the
@@ -205,10 +277,17 @@ def sample_primal_regen(
         sample_idx = jnp.where(regen, next_sample, st["sample_idx"])
         o_new, d_new = gen_ray(sample_idx)
 
+        if polarized:
+            # fresh samples restart from the sensor-alignment rotator of
+            # their new camera ray
+            beta_next = jnp.where(regen[:, None, None, None],
+                                  beta_init(d_new), beta)
+        else:
+            beta_next = jnp.where(regen[:, None], 1.0, beta)
         out = dict(
             o=jnp.where(regen[:, None], o_new, new_ray.o),
             d=jnp.where(regen[:, None], d_new, d_world),
-            beta=jnp.where(regen[:, None], 1.0, beta),
+            beta=beta_next,
             L=jnp.where((finished | regen)[:, None], 0.0, L_acc),
             eta=jnp.where(regen, 1.0, eta),
             distance=jnp.where(regen, 0.0, distance),

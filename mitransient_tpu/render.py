@@ -78,15 +78,17 @@ def _perspective_pass(
 
 @partial(
     jax.jit,
-    static_argnames=("film_cfg", "icfg", "spp_total", "lanes_per_pixel"),
+    static_argnames=("film_cfg", "icfg", "spp_total", "lanes_per_pixel",
+                     "polarized"),
     donate_argnames=("film",),
 )
 def _regen_render(sd, cam, film, seed, *, film_cfg, icfg, spp_total,
-                  lanes_per_pixel):
+                  lanes_per_pixel, polarized=False):
     from .integrators.path_regen import sample_primal_regen
 
     film, steady_lanes, n_rays, iters = sample_primal_regen(
-        sd, seed, cam, film, film_cfg, icfg, spp_total, lanes_per_pixel)
+        sd, seed, cam, film, film_cfg, icfg, spp_total, lanes_per_pixel,
+        polarized=polarized)
     # steady_lanes holds per-lane SUMS of completed-sample radiances; every
     # pixel completes exactly spp_total samples, so reduce the lane rows and
     # count spp_total unit sample weights per pixel
@@ -149,7 +151,6 @@ def render(
         regenerate = (
             icfg.kind == "transient_path"
             and not icfg.camera_unwarp
-            and not polarized_v
             and not scene.variant.spectral
             and icfg.temporal_filter != "gaussian"
             and spp >= 8
@@ -159,12 +160,14 @@ def render(
     if regenerate:
         lanes_per_pixel = max(1, min(spp, max_lanes // max(hw, 1)))
         cam = build_camera(cfg)
-        film = film_init(film_cfg, scene.variant.color_channels)
+        film = film_init(
+            film_cfg,
+            scene.variant.color_channels * (4 if polarized_v else 1))
         with jax.profiler.TraceAnnotation("mitr:render_regen"):
             film, n_rays, iters = _regen_render(
                 scene.data, cam, film, jnp.uint32(seed),
                 film_cfg=film_cfg, icfg=icfg, spp_total=spp,
-                lanes_per_pixel=lanes_per_pixel)
+                lanes_per_pixel=lanes_per_pixel, polarized=polarized_v)
         if progress_callback is not None:
             progress_callback(1.0)
         steady, transient = develop(film, film_cfg)

@@ -79,8 +79,8 @@ def test_intensity_matches_unpolarized_render(mono_pol):
     s_p, t_p = mitr.render(scene_p, spp=32, seed=0)
     mitr.set_variant("mono")
     scene_u = mitr.load_dict(pol_cbox())
-    # regenerate=False: polarized renders use the fixed-depth stream
-    s_u, t_u = mitr.render(scene_u, spp=32, seed=0, regenerate=False)
+    # both variants default to the regen path -> identical sample streams
+    s_u, t_u = mitr.render(scene_u, spp=32, seed=0)
     mitr.set_variant("mono_polarized")
     I = np.asarray(s_p)[..., 0]
     U = np.asarray(s_u)[..., 0]
