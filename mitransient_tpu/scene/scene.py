@@ -123,6 +123,13 @@ class EmitterParams(NamedTuple):
     em_tri_cdf: jnp.ndarray  # (K,) float32 CDF within each emitter's range
     # static set of emitter kind codes present (trace-time branch pruning)
     ks: KindsStatic = KindsStatic()
+    # compact per-emitter triangle geometry (rows of the K emitter-triangle
+    # slots) so NEE position sampling gathers from a K-row table instead of
+    # the full triangle soup; None falls back to the soup lookup
+    em_tri_v0: jnp.ndarray | None = None  # (K, 3)
+    em_tri_e1: jnp.ndarray | None = None  # (K, 3)
+    em_tri_e2: jnp.ndarray | None = None  # (K, 3)
+    em_tri_ng: jnp.ndarray | None = None  # (K, 3)
 
 
 class MediumParams(NamedTuple):
@@ -354,19 +361,32 @@ def _sample_emitter_triangle(sd: SceneData, em_idx: jnp.ndarray, u: jnp.ndarray)
     cdf_lo = jnp.where(slot > start, cols["cdf_prev"], 0.0)
     pmf = jnp.maximum(cols["cdf"] - cdf_lo, 1e-30)
     u2 = jnp.clip((u - cdf_lo) / pmf, 0.0, 1.0 - 1e-7)
-    return tri, u2
+    return tri, u2, slot
 
 
-def _uniform_triangle_point(sd: SceneData, tri: jnp.ndarray, u1: jnp.ndarray,
+def _uniform_triangle_point(sd: SceneData, tri: jnp.ndarray,
+                            slot: jnp.ndarray, u1: jnp.ndarray,
                             u2: jnp.ndarray):
-    """Uniform barycentric sample of soup triangle ``tri``."""
+    """Uniform barycentric sample of emitter-triangle ``slot`` (soup index
+    ``tri``).  Gathers from the compact (K-row) per-emitter table when the
+    scene compiled one — the full soup lookup costs an (N, M) one-hot matmul
+    that dwarfs the K emitter rows."""
     su = jnp.sqrt(jnp.maximum(u1, 0.0))
     b1 = 1.0 - su
     b2 = u2 * su
-    cols = columns_lookup(
-        {"v0": sd.tri.v0, "e1": sd.tri.e1, "e2": sd.tri.e2, "ng": sd.tri.ng},
-        tri,
-    )
+    em = sd.emitter
+    if em.em_tri_v0 is not None:
+        cols = columns_lookup(
+            {"v0": em.em_tri_v0, "e1": em.em_tri_e1, "e2": em.em_tri_e2,
+             "ng": em.em_tri_ng},
+            slot,
+        )
+    else:
+        cols = columns_lookup(
+            {"v0": sd.tri.v0, "e1": sd.tri.e1, "e2": sd.tri.e2,
+             "ng": sd.tri.ng},
+            tri,
+        )
     p = cols["v0"] + cols["e1"] * b1[:, None] + cols["e2"] * b2[:, None]
     return p, cols["ng"]
 
@@ -420,8 +440,9 @@ def sample_emitter_direction(
 
     if has_shape:
         # --- area-like emitters: sample a point on the shape ---------------
-        tri, u0b = _sample_emitter_triangle(sd, em_idx, u0)
-        p_area, n_area = _uniform_triangle_point(sd, tri, u0b, sample2[:, 1])
+        tri, u0b, slot = _sample_emitter_triangle(sd, em_idx, u0)
+        p_area, n_area = _uniform_triangle_point(sd, tri, slot, u0b,
+                                                 sample2[:, 1])
     area = jnp.maximum(ecols["area"], 1e-30)
 
     # --- delta emitters: fixed position ------------------------------------

@@ -1035,6 +1035,12 @@ class Scene:
             em_tri_idx=jnp.asarray(em_tri_idx),
             em_tri_cdf=jnp.asarray(em_tri_cdf),
             ks=KindsStatic(kinds=tuple(sorted(set(int(x) for x in em_kind)))),
+            # compact per-slot geometry: NEE samples gather K emitter rows
+            # instead of the full soup
+            em_tri_v0=jnp.asarray(v0[em_tri_idx], jnp.float32),
+            em_tri_e1=jnp.asarray(e1[em_tri_idx], jnp.float32),
+            em_tri_e2=jnp.asarray(e2[em_tri_idx], jnp.float32),
+            em_tri_ng=jnp.asarray(ng[em_tri_idx], jnp.float32),
         )
 
         # Medium table (at least one row so lookups are well-formed).
