@@ -60,17 +60,29 @@ _D65 = np.array([
     64.30, 61.88, 59.45, 55.71, 51.96, 54.70, 57.44, 58.88, 60.31,
 ], np.float32)
 _D65_WL = np.linspace(360.0, 830.0, len(_D65)).astype(np.float32)
+
+
+def _ybar_np(wl: np.ndarray) -> np.ndarray:
+    """Numpy twin of cie_xyz's ybar fit — import-time normalization must not
+    touch the XLA backend (jax.distributed.initialize comes first in
+    multi-host programs)."""
+
+    def g(x, a, mu, s1, s2):
+        s = np.where(x < mu, s1, s2)
+        return a * np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+    return g(wl, 0.821, 568.8, 46.9, 40.5) + g(wl, 0.286, 530.9, 16.3, 31.1)
+
+
 # normalize so a unit-RGB (1,1,1) emitter keeps its photometric scale
-_D65_NORM = float(np.trapezoid(
-    _D65 * np.asarray(cie_xyz(jnp.asarray(_D65_WL)))[:, 1], _D65_WL))
-_Y_INT = float(np.trapezoid(
-    np.asarray(cie_xyz(jnp.asarray(_D65_WL)))[:, 1], _D65_WL))
+_D65_NORM = float(np.trapezoid(_D65 * _ybar_np(_D65_WL), _D65_WL))
+_Y_INT = float(np.trapezoid(_ybar_np(_D65_WL), _D65_WL))
 
 
 def d65(wl):
     """D65 SPD normalized so that integral(D65 * ybar) == integral(ybar):
     an rgb=(1,1,1) emitter has the same luminance in every variant."""
-    v = jnp.interp(wl, jnp.asarray(_D65_WL), jnp.asarray(_D65))
+    v = jnp.interp(wl, _D65_WL, _D65)
     return v * (_Y_INT / _D65_NORM)
 
 
@@ -95,13 +107,13 @@ _SMITS = {
     "blue":    [1.0000, 1.0000, 0.8916, 0.3323, 0.0000, 0.0000, 0.0003,
                 0.0369, 0.0483, 0.0496],
 }
-_SMITS_ARR = {k: jnp.asarray(np.array(v, np.float32)) for k, v in
-              _SMITS.items()}
+_SMITS_ARR = {k: np.array(v, np.float32) for k, v in _SMITS.items()}
 
 
 def _smits_eval(name, wl):
-    return jnp.interp(wl, jnp.asarray(_SMITS_WL), _SMITS_ARR[name],
-                      left=_SMITS_ARR[name][0], right=_SMITS_ARR[name][-1])
+    return jnp.interp(wl, _SMITS_WL, _SMITS_ARR[name],
+                      left=float(_SMITS_ARR[name][0]),
+                      right=float(_SMITS_ARR[name][-1]))
 
 
 def srgb_uplift(rgb, wl):
@@ -163,11 +175,11 @@ def sample_shifted(u):
 # Spectral sample -> sRGB (mi.spectrum_to_srgb at splat time)
 # --------------------------------------------------------------------------
 
-_XYZ_TO_SRGB = jnp.asarray(np.array([
+_XYZ_TO_SRGB = np.array([
     [3.240479, -1.537150, -0.498535],
     [-0.969256, 1.875991, 0.041556],
     [0.055648, -0.204043, 1.057311],
-], np.float32))
+], np.float32)
 
 
 def spectrum_to_srgb(values, wl, pdf):
@@ -188,7 +200,7 @@ def spectrum_to_srgb(values, wl, pdf):
 
 # ascending-wavelength anchors of the B/G/R channels used to interpolate
 # per-RGB-channel data (conductor IORs) to arbitrary wavelengths
-_ANCHORS = jnp.asarray(np.array([465.0, 549.0, 611.0], np.float32))
+_ANCHORS = np.array([465.0, 549.0, 611.0], np.float32)
 
 
 def _interp_rgb(vals3, wl):

@@ -27,18 +27,19 @@ from ..scene.schema import Scene
 from .prb import DiffParams, extract_params, insert_params
 
 
-@partial(jax.jit,
-         static_argnames=("film_cfg", "icfg", "spp", "hw", "kind"),
-         donate_argnames=())
-def _fullad_pass(sd, ctx, gs, gt_full, seed, pass_idx, inv_total, *,
-                 film_cfg, icfg, spp, hw, kind):
-    """One spp-chunk's parameter-gradient contribution."""
+def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
+                 film_cfg, icfg, spp, hw, kind) -> DiffParams:
+    """Parameter-gradient contribution of one spp-chunk sample stream.
+
+    Traceable (no jit): parallel.mesh wraps it in shard_map with
+    ``stream = pass * n_devices + device_index`` so the multi-chip gradient
+    is the psum of per-device calls of this function."""
 
     def loss_fn(theta: DiffParams):
         sdt = insert_params(sd, theta)
         C = sdt.bsdf.reflectance.shape[-1]
         film = film_init_any(film_cfg, C, scan_pixels=hw)
-        sampler = Sampler(seed, spp * hw, stream=pass_idx)
+        sampler = Sampler(seed, spp * hw, stream=stream)
         if kind == "transient_nlos_path":
             from .nlos_path import sample_nlos_primal, sample_nlos_rays
 
@@ -65,6 +66,17 @@ def _fullad_pass(sd, ctx, gs, gt_full, seed, pass_idx, inv_total, *,
                 + jnp.sum(gs * steady_partial))
 
     return jax.grad(loss_fn)(extract_params(sd))
+
+
+@partial(jax.jit,
+         static_argnames=("film_cfg", "icfg", "spp", "hw", "kind"),
+         donate_argnames=())
+def _fullad_pass(sd, ctx, gs, gt_full, seed, pass_idx, inv_total, *,
+                 film_cfg, icfg, spp, hw, kind):
+    """One spp-chunk's parameter-gradient contribution (single device)."""
+    return fullad_grads(sd, ctx, gs, gt_full, seed, pass_idx, inv_total,
+                        film_cfg=film_cfg, icfg=icfg, spp=spp, hw=hw,
+                        kind=kind)
 
 
 def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,

@@ -1,19 +1,29 @@
-"""Multi-chip SPMD rendering over a jax.sharding.Mesh.
+"""Multi-chip / multi-host SPMD rendering over a jax.sharding.Mesh.
 
 The reference has no multi-device code at all (SURVEY.md section 2.3): its
 parallelism is one Dr.Jit megakernel on one device.  The TPU-native design
 generalizes the wavefront: the **spp axis is the data-parallel axis**.  Every
-chip renders the full image with an independent counter-based sample stream
-(stream id = pass * n_devices + axis_index), producing a private transient
-film partial; partials and ray counters are ``psum``-all-reduced over ICI at
-the end of the pass.  Scene geometry / BSDF / emitter tables are replicated
-— they are tiny next to the wavefront state.  This is the distributed
-equivalent of the reference's sequential pass splitting
-(common.py:51-85): passes become (device, pass) pairs.
+chip renders the full scan with an independent counter-based sample stream
+(stream id = pass * n_devices + global_device_index), producing a private
+transient film partial; partials, ray counters and parameter gradients are
+``psum``-all-reduced — over ICI within a host, DCN across hosts (the mesh
+may span processes; see parallel.distributed).  Scene geometry / BSDF /
+emitter / NLOS-context tables are replicated — they are tiny next to the
+wavefront state.  This is the distributed equivalent of the reference's
+sequential pass splitting (common.py:51-85): passes become (device, pass)
+pairs.
+
+Every workload shards identically because the film partial is an additive
+histogram: perspective transient_path, transient_prbvolpath (volumetric),
+transient_nlos_path (single + confocal captures), polarized and spectral
+variants all route through :func:`render_sharded`; gradients through
+:func:`render_backward_sharded` (PRB replay for transient_path, full-loop
+AD for NLOS/volumetric — same dispatch as the single-device ``render``).
 
 Determinism: the counter-based RNG means the set of samples drawn for a
-given (seed, total_spp, n_devices) partitioning is reproducible, and the
-only cross-device reduction is a float sum over film partials.
+given (seed, total_spp, n_devices) partitioning is reproducible and
+independent of the process layout — N devices in one process and N devices
+across two hosts draw identical samples (tests/test_multihost.py).
 """
 from __future__ import annotations
 
@@ -25,19 +35,38 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.rng import Sampler
-from ..film.transient_film import develop, film_init, splat_steady
+from ..film.transient_film import (
+    develop_any as develop,
+    film_init_any as film_init,
+    splat_steady,
+)
 from ..integrators.path import sample_primal
 from ..scene.schema import Scene
 from ..sensors.perspective import build_camera, sample_rays
+from .distributed import fetch, replicate
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D spp-sharding mesh.  ``jax.devices()`` is the *global* device list,
+    so after ``init_distributed`` this mesh spans every host."""
     devs = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np
 
     return Mesh(np.asarray(devs), ("shard",))
+
+
+def _sensor_context(scene: Scene, cfg):
+    """(is_nlos, replicated-context) for the sensor: camera arrays for
+    perspective, the precomputed NLOS target tables for capture meters."""
+    nlos = (cfg.kind == "nlos_capture_meter"
+            or scene.integrator.kind == "transient_nlos_path")
+    if nlos:
+        from ..integrators.nlos_path import prepare_nlos
+
+        return True, prepare_nlos(scene, cfg)
+    return False, build_camera(cfg)
 
 
 def render_sharded(
@@ -51,27 +80,38 @@ def render_sharded(
 ):
     """Distributed ``render``: returns (steady, transient) replicated.
 
-    ``spp`` is the *global* sample count; it is split across
-    ``mesh.size`` devices and sequential passes.
+    ``spp`` is the *global* sample count; it is split across ``mesh.size``
+    devices and sequential passes.  Supports every sensor/integrator/variant
+    combination of the single-device ``render`` except exhaustive NLOS scans
+    (whose 6-D film exceeds a single pass; render those per-laser-pixel and
+    shard each, as render_nlos_exhaustive does locally).
     """
     cfg = scene.sensors[sensor]
-    if cfg.kind != "perspective":
-        raise NotImplementedError("sharded NLOS rendering lands with the NLOS integrator")
     icfg = scene.integrator
+    if icfg.capture_type == "exhaustive" and (
+            cfg.kind == "nlos_capture_meter"
+            or icfg.kind == "transient_nlos_path"):
+        raise NotImplementedError(
+            "sharded exhaustive NLOS: shard the per-laser-pixel passes "
+            "instead (render_nlos_exhaustive)")
     film_cfg = cfg.film
     ndev = mesh.size
     spp = spp if spp is not None else cfg.spp
+    hw = film_cfg.width * film_cfg.height
+    polarized = scene.variant.polarized
+    spectral = scene.variant.spectral
+    volumetric = icfg.kind == "transient_prbvolpath"
 
     spp_dev = max(1, spp // ndev)
     chunk = spp_per_pass_per_device or min(
-        spp_dev, max(1, (1 << 21) // (film_cfg.width * film_cfg.height))
-    )
+        spp_dev, max(1, (1 << 21) // hw))
     n_passes = (spp_dev + chunk - 1) // chunk
     chunk = (spp_dev + n_passes - 1) // n_passes
     total_spp = chunk * n_passes * ndev
 
-    cam = build_camera(cfg)
-    C = scene.variant.color_channels
+    nlos, ctx = _sensor_context(scene, cfg)
+    C_film = scene.variant.color_channels * (4 if polarized else 1)
+    scan_pixels = hw if nlos else None
 
     @partial(
         shard_map,
@@ -80,40 +120,78 @@ def render_sharded(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def one_pass(sd, cam_, seed_, pass_idx):
+    def one_pass(sd, ctx_, seed_, pass_idx):
         didx = jax.lax.axis_index("shard")
         stream = pass_idx * ndev + didx.astype(jnp.uint32)
-        n = film_cfg.width * film_cfg.height * chunk
-        sampler = Sampler(seed_, n, stream=stream)
-        film = film_init(film_cfg, C)
-        ray, pix, ray_weight = sample_rays(
-            cam_, sampler, film_cfg.width, film_cfg.height, chunk
-        )
-        film, L, valid, n_rays = sample_primal(
-            sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
-            sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
-        )
+        sampler = Sampler(seed_, hw * chunk, stream=stream)
+        film = film_init(film_cfg, C_film, scan_pixels=scan_pixels)
+        if nlos:
+            from ..integrators.nlos_path import (
+                sample_nlos_primal,
+                sample_nlos_rays,
+            )
+
+            ray, ray_weight = sample_nlos_rays(ctx_, chunk, hw)
+            film, L, _valid, n_rays = sample_nlos_primal(
+                sd, ctx_, sampler, ray, ray_weight, film, film_cfg, icfg,
+                sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
+                polarized=polarized, spectral=spectral,
+            )
+        else:
+            ray, pix, ray_weight = sample_rays(
+                ctx_, sampler, film_cfg.width, film_cfg.height, chunk)
+            if volumetric:
+                from ..integrators.volpath import sample_volpath_primal
+
+                film, L, _valid, n_rays = sample_volpath_primal(
+                    sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+                    sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
+                    polarized=polarized, spectral=spectral,
+                    cam_vertical=ctx_.R[:, 1],
+                )
+            else:
+                film, L, _valid, n_rays = sample_primal(
+                    sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+                    sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
+                    polarized=polarized, spectral=spectral,
+                    cam_vertical=ctx_.R[:, 1],
+                )
         film = splat_steady(film, chunk, L, ray_weight)
-        # all-reduce partials over ICI
+        # all-reduce partials: ICI within a host, DCN across hosts
         film = jax.tree.map(lambda x: jax.lax.psum(x, "shard"), film)
         n_rays = jax.lax.psum(n_rays, "shard")
         return film, n_rays
 
     one_pass_jit = jax.jit(one_pass)
+    sd, ctx = replicate((scene.data, ctx), mesh)
 
     acc = None
     total_rays = 0.0
     for p in range(n_passes):
-        film, n_rays = one_pass_jit(
-            scene.data, cam, jnp.uint32(seed), jnp.uint32(p)
-        )
-        total_rays = total_rays + n_rays
+        film, n_rays = one_pass_jit(sd, ctx, jnp.uint32(seed), jnp.uint32(p))
+        total_rays = total_rays + fetch(n_rays)
         acc = film if acc is None else jax.tree.map(jnp.add, acc, film)
-    steady, transient = develop(acc, film_cfg)
+    steady, transient = develop(
+        acc, film_cfg,
+        shape_hw=(film_cfg.height, film_cfg.width) if nlos else None)
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp,
                                    "devices": ndev}
     return steady, transient
+
+
+def _grads_to_paths(scene: Scene, grads) -> dict:
+    """Map raw parameter-table gradients to traversal paths — all three
+    differentiable tables, matching single-device render_backward."""
+    out = {"__tables__": grads}
+    for path, (table, idx) in scene._param_paths.items():
+        if table == "bsdf.reflectance":
+            out[path] = grads.bsdf_reflectance[idx]
+        elif table == "emitter.radiance":
+            out[path] = grads.emitter_radiance[idx]
+        elif table == "medium.albedo":
+            out[path] = grads.medium_albedo[idx]
+    return out
 
 
 def render_backward_sharded(
@@ -124,22 +202,18 @@ def render_backward_sharded(
     seed: int = 0,
     sensor: int = 0,
 ):
-    """Distributed PRB: every device runs the two-sweep replay on its spp
-    share (independent counter streams), parameter-table gradients are
-    psum-all-reduced over ICI — the full data-parallel training step of an
-    inverse-rendering loop (the distributed generalization the reference
+    """Distributed differential rendering: every device runs the backward
+    estimator on its spp share (independent counter streams), parameter
+    gradients are psum-all-reduced — the full data-parallel training step of
+    an inverse-rendering loop (the distributed generalization the reference
     lacks, SURVEY.md section 2.3).
 
-    Returns the same gradient dict as ``render_backward``.
+    Dispatch matches single-device ``render_backward``: PRB two-sweep replay
+    for transient_path; full-loop AD (integrators/fullad.py) for
+    transient_nlos_path and transient_prbvolpath.  Returns the same gradient
+    dict (all three parameter tables mapped to traversal paths).
     """
-    import jax.numpy as jnp
-    from ..integrators.path import sample_primal
-    from ..integrators.prb import sample_adjoint
-    from ..film.transient_film import film_init
-
     cfg = scene.sensors[sensor]
-    if cfg.kind != "perspective":
-        raise NotImplementedError("sharded NLOS gradients not implemented")
     icfg = scene.integrator
     film_cfg = cfg.film
     ndev = mesh.size
@@ -153,9 +227,48 @@ def render_backward_sharded(
     grad_steady, grad_transient = grad_in
     gs = (jnp.zeros((hw, C), jnp.float32) if grad_steady is None
           else jnp.asarray(grad_steady, jnp.float32).reshape(hw, C))
+
+    if icfg.kind in ("transient_nlos_path", "transient_prbvolpath"):
+        from ..integrators.fullad import fullad_grads
+
+        if icfg.capture_type == "exhaustive" and (
+                icfg.kind == "transient_nlos_path"):
+            raise ValueError(
+                "Exhaustive capture is not supported in differentiable "
+                "rendering (transientnlospath.py:729-731)")
+        if icfg.kind == "transient_prbvolpath" and scene.variant.polarized:
+            raise NotImplementedError(
+                "polarized volumetric is primal-only (the reference has no "
+                "polarized volumetric at all)")
+        gt_full = (jnp.zeros((film_cfg.height, film_cfg.width, T, C),
+                             jnp.float32)
+                   if grad_transient is None
+                   else jnp.asarray(grad_transient, jnp.float32).reshape(
+                       film_cfg.height, film_cfg.width, T, C))
+        nlos, ctx = _sensor_context(scene, cfg)
+        kind = icfg.kind
+
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(),) * 5, out_specs=P(), check_vma=False,
+        )
+        def step(sd, ctx_, gs_, gt_, seed_):
+            didx = jax.lax.axis_index("shard").astype(jnp.uint32)
+            g = fullad_grads(
+                sd, ctx_, gs_, gt_, seed_, didx, 1.0 / total_spp,
+                film_cfg=film_cfg, icfg=icfg, spp=spp_dev, hw=hw, kind=kind)
+            return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), g)
+
+        sd, ctx, gs, gt_full = replicate(
+            (scene.data, ctx, gs, gt_full), mesh)
+        grads = jax.jit(step)(sd, ctx, gs, gt_full, jnp.uint32(seed))
+        return _grads_to_paths(scene, grads)
+
+    # --- transient_path: PRB two-sweep replay per device -------------------
+    from ..integrators.prb import sample_adjoint
+
     gt = (jnp.zeros((hw * T, C), jnp.float32) if grad_transient is None
           else jnp.asarray(grad_transient, jnp.float32).reshape(hw * T, C))
-
     cam = build_camera(cfg)
 
     @partial(
@@ -183,11 +296,6 @@ def render_backward_sharded(
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), grads)
 
-    grads = jax.jit(step)(scene.data, cam, gs, gt, jnp.uint32(seed))
-    out = {"__tables__": grads}
-    for path, (table, idx) in scene._param_paths.items():
-        if table == "bsdf.reflectance":
-            out[path] = grads.bsdf_reflectance[idx]
-        elif table == "emitter.radiance":
-            out[path] = grads.emitter_radiance[idx]
-    return out
+    sd, cam, gs, gt = replicate((scene.data, cam, gs, gt), mesh)
+    grads = jax.jit(step)(sd, cam, gs, gt, jnp.uint32(seed))
+    return _grads_to_paths(scene, grads)

@@ -73,3 +73,74 @@ def test_sharded_backward_matches_single_device_scale():
     b = np.asarray(g_1["white.reflectance.value"])
     # different sample sets, same estimator: statistical agreement
     assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9) < 0.2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_nlos_matches_single_device():
+    """spp-axis sharding of the NLOS integrator (the workload with the
+    largest sample budgets — nlos-z-room.xml runs at 250k spp)."""
+    from test_nlos import nlos_scene
+
+    scene = mitr.load_dict(nlos_scene(sx=4, sy=4, bins=200))
+    s_sh, t_sh = render_sharded(scene, make_mesh(4), spp=128, seed=0)
+    assert s_sh.shape == (4, 4, 3) and t_sh.shape == (4, 4, 200, 3)
+    s_1, t_1 = mitr.render(scene, spp=128, seed=0)
+    m_sh, m_1 = float(jnp.sum(t_sh)), float(jnp.sum(t_1))
+    assert m_1 > 0 and abs(m_sh - m_1) / m_1 < 0.2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_nlos_confocal():
+    from test_nlos import nlos_scene
+
+    d = nlos_scene(sx=1, sy=1, bins=200)
+    d["integrator"]["capture_type"] = "confocal"
+    d["relay_wall"]["nlos_sensor"]["original_film_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["original_film_height"] = 2
+    scene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+    s_sh, t_sh = render_sharded(scene, make_mesh(4), spp=64, seed=0)
+    s_1, t_1 = mitr.render(scene, spp=64, seed=0)
+    assert t_sh.shape == t_1.shape
+    assert float(jnp.sum(t_sh)) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_volumetric_and_albedo_grad():
+    """Sharded transient_prbvolpath primal + backward, including the
+    medium.albedo named-path gradient (round-1 gap: mesh.py dropped it)."""
+    from test_volumetric import vol_cbox
+
+    d = vol_cbox(sigma_t=2.0, w=8, h=8, bins=60, max_depth=4)
+    d["sensor"]["film"]["start_opl"] = 0.0
+    d["sensor"]["film"]["bin_width_opl"] = 0.3
+    scene = mitr.load_dict(d)
+    s_sh, t_sh = render_sharded(scene, make_mesh(4), spp=32, seed=0)
+    assert float(jnp.sum(t_sh)) > 0
+    from mitransient_tpu.parallel.mesh import render_backward_sharded
+
+    ones_t = np.ones((8, 8, 60, 3), np.float32)
+    g_sh = render_backward_sharded(scene, make_mesh(4), (None, ones_t),
+                                   spp=16, seed=0)
+    g_1 = mitr.render_backward(scene, (None, ones_t), spp=16, seed=0)
+    paths = [k for k in g_sh if k.endswith("albedo.value")]
+    assert paths, "medium.albedo must appear in sharded named gradients"
+    a = np.asarray(g_sh[paths[0]])
+    b = np.asarray(g_1[paths[0]])
+    assert np.linalg.norm(a) > 0
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9) < 0.3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_polarized():
+    old = mitr.variant().name
+    mitr.set_variant("mono_polarized")
+    try:
+        d = small_cbox(8, 8, 60)
+        d["integrator"]["max_depth"] = 3
+        scene = mitr.load_dict(d)
+        s_sh, t_sh = render_sharded(scene, make_mesh(4), spp=16, seed=0)
+        assert s_sh.shape == (8, 8, 4)  # 4 Stokes channels
+        assert float(jnp.sum(s_sh[..., 0])) > 0
+    finally:
+        mitr.set_variant(old)
