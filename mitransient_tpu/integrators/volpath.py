@@ -242,6 +242,7 @@ def sample_volpath_primal(
     spectral: bool = False,
     polarized: bool = False,
     cam_vertical: jnp.ndarray | None = None,
+    enable_film: bool = True,
 ):
     """The volumetric wavefront loop (primal).  Returns
     (film, L, valid, n_rays) like sample_primal.
@@ -433,15 +434,18 @@ def sample_volpath_primal(
                 0.0,
             )
 
-        Le_f = sctx.to_film(Le) if sctx is not None else Le
-        Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
-        film_st = splat_pair_any(
-            st["film"], film_cfg, spp,
-            distance, Le_f * splat_w[:, None],
-            distance + ds.dist * st["eta"], Lr_f * splat_w[:, None],
-            active,
-            icfg.temporal_filter, icfg.gaussian_stddev,
-        )
+        if enable_film:
+            Le_f = sctx.to_film(Le) if sctx is not None else Le
+            Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
+            film_st = splat_pair_any(
+                st["film"], film_cfg, spp,
+                distance, Le_f * splat_w[:, None],
+                distance + ds.dist * st["eta"], Lr_f * splat_w[:, None],
+                active,
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
+        else:
+            film_st = st["film"]
 
         # ---- direction sampling (dims 3-5) --------------------------------
         # medium: HG about the current direction; surface: BSDF sample;

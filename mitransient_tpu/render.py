@@ -289,7 +289,8 @@ def _backward_pass(sd, cam, grad_st_flat, grad_tr_flat, seed, inv_spp, *,
 
 
 def render_backward(scene: Scene, grad_in, spp: int | None = None,
-                    seed: int = 0, sensor: int = 0):
+                    seed: int = 0, sensor: int = 0,
+                    method: str | None = None):
     """Reverse-mode differential rendering (parity with
     ``TransientADIntegrator.render_backward``, common.py:325-409).
 
@@ -299,12 +300,17 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
     ``'__tables__'``.
 
     Dispatch: ``transient_path`` uses the PRB two-sweep replay
-    (integrators/prb.py, reference semantics).  ``transient_nlos_path`` and
-    ``transient_prbvolpath`` use full reverse-mode AD through the wavefront
-    loop with detached sampling decisions — exact per-bin time attribution
-    (the reference's NLOS/volumetric AD reads the adjoint at the vertex
-    distance instead; see PARITY.md).
+    (integrators/prb.py).  ``transient_prbvolpath`` uses the volumetric
+    replay (integrators/prb_vol.py) — O(1) memory in path depth like the
+    reference (transient_prbvolpath.py:243-386); pass ``method='fullad'``
+    to force the loop-taping full-AD path instead (exact per-splat time
+    attribution, memory grows with depth).  ``transient_nlos_path`` uses
+    full reverse-mode AD through the wavefront loop
+    (integrators/fullad.py).
     """
+    if scene.integrator.kind == "transient_prbvolpath" and method != "fullad":
+        return render_backward_volpath(scene, grad_in, spp=spp, seed=seed,
+                                       sensor=sensor)
     if scene.integrator.kind in ("transient_nlos_path",
                                  "transient_prbvolpath"):
         from .integrators.fullad import render_backward_fullad
@@ -326,6 +332,84 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
         film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
         height=film_cfg.height, spp=spp,
     )
+    out = {"__tables__": grads}
+    for path, (table, idx) in scene._param_paths.items():
+        if table == "bsdf.reflectance":
+            out[path] = grads.bsdf_reflectance[idx]
+        elif table == "emitter.radiance":
+            out[path] = grads.emitter_radiance[idx]
+        elif table == "medium.albedo":
+            out[path] = grads.medium_albedo[idx]
+    return out
+
+
+@partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
+                                   "spp"))
+def _backward_pass_vol(sd, cam, grad_st_flat, grad_tr_flat, seed, pass_idx,
+                       inv_total, *, film_cfg, icfg, width, height, spp):
+    from .film.transient_film import film_init as _fi
+    from .integrators.prb_vol import sample_volpath_adjoint
+    from .integrators.volpath import sample_volpath_primal
+
+    n = width * height * spp
+    sampler = Sampler(seed, n, stream=pass_idx)
+    ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
+    film = _fi(film_cfg, sd.bsdf.reflectance.shape[-1])
+    # sweep 1: primal state_out (film splats skipped)
+    _f, L, _v, _r = sample_volpath_primal(
+        sd, sampler, ray, pix, ray_weight, film, film_cfg, icfg,
+        sample_scale=inv_total, base_dim=2, spp=spp, enable_film=False,
+    )
+    # sweep 2: replay with per-term adjoint reads
+    return sample_volpath_adjoint(
+        sd, sampler.key, ray, pix, ray_weight, L, grad_tr_flat, grad_st_flat,
+        film_cfg, icfg, inv_total,
+    )
+
+
+def render_backward_volpath(scene: Scene, grad_in, spp: int | None = None,
+                            seed: int = 0, sensor: int = 0,
+                            max_lanes: int = 1 << 20):
+    """Volumetric PRB backward: two primal-shaped sweeps, O(1) memory in
+    path depth (integrators/prb_vol.py), accumulated over spp chunks — the
+    canonical max_depth-256 config (cbox_volumetric.xml:4) trains at full
+    chunk sizes, unlike loop-taping full AD whose memory scales with
+    depth x lanes."""
+    cfg = scene.sensors[sensor]
+    icfg = scene.integrator
+    film_cfg = cfg.film
+    if scene.variant.polarized:
+        raise NotImplementedError(
+            "polarized volumetric is primal-only (the reference has no "
+            "polarized volumetric at all)")
+    spp = spp if spp is not None else cfg.spp
+    hw = film_cfg.width * film_cfg.height
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+
+    grad_steady, grad_transient = grad_in
+    gs = (jnp.zeros((hw, C), jnp.float32) if grad_steady is None
+          else jnp.asarray(grad_steady, jnp.float32).reshape(hw, C))
+    gt = (jnp.zeros((hw * T, C), jnp.float32) if grad_transient is None
+          else jnp.asarray(grad_transient, jnp.float32).reshape(hw * T, C))
+
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    total_spp = spp_chunk * n_passes
+
+    cam = build_camera(cfg)
+    grads = None
+    for p in range(n_passes):
+        g = _backward_pass_vol(
+            scene.data, cam, gs, gt, jnp.uint32(seed), jnp.uint32(p),
+            jnp.float32(1.0 / total_spp),
+            film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+            height=film_cfg.height, spp=spp_chunk,
+        )
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+
     out = {"__tables__": grads}
     for path, (table, idx) in scene._param_paths.items():
         if table == "bsdf.reflectance":

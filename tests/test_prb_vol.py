@@ -1,0 +1,108 @@
+"""Volumetric PRB replay (integrators/prb_vol.py) correctness.
+
+The round-1 volumetric backward taped the whole wavefront loop
+(fullad.py) — memory grows with max_depth x lanes, so the canonical
+max_depth-256 config (cbox_volumetric.xml:4) could not train at full
+chunks.  The replay is O(1) in depth (two primal-shaped sweeps,
+transient_prbvolpath.py:243-386 semantics).  Checks:
+
+* replay gradients == loop-taping full-AD gradients (same seed, full time
+  window, RR off — mathematically the same derivative);
+* finite differences at max_depth 64 (the VERDICT acceptance bar: no test
+  exercised gradients at depth >= 64 before);
+* heterogeneous (grid) media path.
+"""
+import numpy as np
+import pytest
+
+import mitransient_tpu as mitr
+from test_volumetric import vol_cbox, _hetero_cbox
+
+
+def _scene(max_depth=5, sigma_t=2.0, bins=100):
+    d = vol_cbox(sigma_t=sigma_t, albedo=0.8, g=0.2, w=8, h=8, bins=bins,
+                 max_depth=max_depth)
+    d["sensor"]["film"]["start_opl"] = 0.0
+    # full-coverage window so adjoint reads never fall out of range
+    d["sensor"]["film"]["bin_width_opl"] = 60.0 / bins * max(1, max_depth / 5)
+    return mitr.load_dict(d)
+
+
+def _ones(scene):
+    fc = scene.sensors[0].film
+    return np.ones((fc.height, fc.width, fc.temporal_bins, 3), np.float32)
+
+
+def test_replay_matches_fullad():
+    """Same estimator, same samples, full adjoint window: the detached-PRB
+    replay and the exact loop-taping adjoint compute the same derivative."""
+    scene = _scene()
+    ones = _ones(scene)
+    g_rep = mitr.render_backward(scene, (None, ones), spp=16, seed=0)
+    g_tap = mitr.render_backward(scene, (None, ones), spp=16, seed=0,
+                                 method="fullad")
+    for table in ("bsdf_reflectance", "emitter_radiance", "medium_albedo"):
+        a = np.asarray(getattr(g_rep["__tables__"], table))
+        b = np.asarray(getattr(g_tap["__tables__"], table))
+        denom = max(np.abs(b).max(), 1e-9)
+        assert np.abs(a - b).max() / denom < 2e-3, (
+            table, np.abs(a - b).max(), denom)
+    assert np.abs(np.asarray(g_rep["__tables__"].medium_albedo)).max() > 0
+
+
+def _fd_check(scene, key, spp=16, eps=1e-3, tol=0.05):
+    ones = _ones(scene)
+    grads = mitr.render_backward(scene, (None, ones), spp=spp, seed=0)
+    g = np.asarray(grads[key])
+    assert np.all(np.isfinite(g))
+    params = mitr.traverse(scene)
+    base = np.asarray(params[key])
+    v = np.ones_like(base)
+
+    def loss():
+        _s, t = mitr.render(scene, spp=spp, seed=0)
+        return float(np.asarray(t, np.float64).sum())
+
+    params[key] = base + eps * v
+    params.update()
+    lp = loss()
+    params[key] = base - eps * v
+    params.update()
+    lm = loss()
+    params[key] = base
+    params.update()
+    fd = (lp - lm) / (2 * eps)
+    an = float(g.reshape(-1) @ v.reshape(-1))
+    assert fd != 0.0
+    assert abs(an - fd) / max(abs(fd), 1e-9) < tol, (an, fd)
+
+
+def test_fd_albedo_depth64():
+    """Gradient correctness at max_depth=64 — the depth regime where loop
+    taping is untenable and the replay's O(1) memory matters."""
+    scene = _scene(max_depth=64, sigma_t=4.0)
+    akey = next(k for k in mitr.traverse(scene).keys() if "albedo" in k)
+    _fd_check(scene, akey, tol=0.05)
+
+
+def test_fd_reflectance_depth64():
+    scene = _scene(max_depth=64)
+    _fd_check(scene, "white.reflectance.value", tol=0.05)
+
+
+def test_replay_heterogeneous_grid():
+    """Grid-density media replay: the delta/ratio-tracking decisions fold in
+    the same RNG streams, so the replay reproduces the primal path and the
+    albedo FD check holds."""
+    density = np.full((4, 4, 4), 0.8, np.float32)
+    density[1:3, 1:3, 1:3] = 2.0
+    d = _hetero_cbox(density, scale=2.5, albedo=0.7, g=0.1)
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 100
+    d["sensor"]["film"]["start_opl"] = 0.0
+    d["sensor"]["film"]["bin_width_opl"] = 0.6
+    d["integrator"]["rr_depth"] = 99
+    scene = mitr.load_dict(d)
+    akey = next(k for k in mitr.traverse(scene).keys() if "albedo" in k)
+    _fd_check(scene, akey, spp=32, tol=0.08)
