@@ -31,6 +31,7 @@ if not _os.environ.get("MITR_NO_COMPILE_CACHE"):
         pass
 
 from . import nlos, vis, vis_polarized  # noqa: F401
+from .log import LogLevel, log, set_log_level  # noqa: F401
 from .core.spectrum import (  # noqa: F401
     is_monochromatic,
     is_polarized,

@@ -54,6 +54,10 @@ class TransientFilmState(NamedTuple):
     steady: jnp.ndarray  # (HW, C) accumulated radiance * filter weight
     steady_weight: jnp.ndarray  # (HW,) accumulated filter weight
     transient: jnp.ndarray  # (C, T_pad, HW_pad); bin T = overflow (dropped)
+    # sample-validation counters (transient_image_block.py:106-125, made
+    # jit-safe: dense counts instead of a data-dependent host branch)
+    n_negative: jnp.ndarray = None  # () f32 — splats with a value < -1e-5
+    n_invalid: jnp.ndarray = None  # () f32 — splats with a non-finite value
 
 
 def t_pad_of(cfg: FilmConfig) -> int:
@@ -68,6 +72,8 @@ def film_init(cfg: FilmConfig, channels: int,
         steady=jnp.zeros((hw, channels), jnp.float32),
         steady_weight=jnp.zeros((hw,), jnp.float32),
         transient=jnp.zeros((channels, t_pad_of(cfg), hw_pad), jnp.float32),
+        n_negative=jnp.zeros((), jnp.float32),
+        n_invalid=jnp.zeros((), jnp.float32),
     )
 
 
@@ -94,6 +100,8 @@ def splat_transient_pair(
     """Accumulate one bounce's transient contributions (both splat events of
     transientpath.py:179-218 in one fused call).  Lanes are spp-major."""
     hw = state.steady.shape[0]
+    if (cfg.warn_negative or cfg.warn_invalid) and state.n_negative is not None:
+        state = _count_suspect(state, cfg, val_a, val_b, active)
     if temporal_filter == "gaussian":
         tr = _splat_gaussian(state.transient, cfg, spp, hw, dist_a, val_a,
                              active, gaussian_stddev)
@@ -122,6 +130,26 @@ def splat_transient_pair(
     if bins_b is not None:
         tr = _scatter_layout(tr, spp, hw, bins_b, vb)
     return state._replace(transient=tr)
+
+
+def _count_suspect(state: TransientFilmState, cfg: FilmConfig,
+                   val_a, val_b, active) -> TransientFilmState:
+    """Dense jit-safe version of the reference's warn_negative/warn_invalid
+    splat validation (transient_image_block.py:106-125): count offending
+    *samples* (any channel) among active lanes; the driver logs once."""
+    neg = jnp.zeros((), jnp.float32)
+    inv = jnp.zeros((), jnp.float32)
+    for v in (val_a, val_b):
+        if v is None:
+            continue
+        if cfg.warn_negative:
+            bad = jnp.any(v < -1e-5, axis=-1) & active
+            neg = neg + jnp.sum(bad.astype(jnp.float32))
+        if cfg.warn_invalid:
+            bad = jnp.any(~jnp.isfinite(v), axis=-1) & active
+            inv = inv + jnp.sum(bad.astype(jnp.float32))
+    return state._replace(n_negative=state.n_negative + neg,
+                          n_invalid=state.n_invalid + inv)
 
 
 def _scatter_layout(tr, spp, hw, bins, vals):

@@ -664,8 +664,12 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
             progress_callback((p + 1) / n_passes)
     steady, transient = develop(film, film_cfg,
                                 shape_hw=(film_cfg.height, film_cfg.width))
+    from ..render import surface_sample_validation
+
+    extra = surface_sample_validation(film, film_cfg)
     if return_stats:
-        return steady, transient, {"rays": total_rays, "spp": total_spp}
+        return steady, transient, {"rays": total_rays, "spp": total_spp,
+                                   **extra}
     return steady, transient
 
 

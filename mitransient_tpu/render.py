@@ -171,9 +171,10 @@ def render(
         if progress_callback is not None:
             progress_callback(1.0)
         steady, transient = develop(film, film_cfg)
+        extra = surface_sample_validation(film, film_cfg)
         if return_stats:
             return steady, transient, {"rays": n_rays, "spp": spp,
-                                       "iters": iters}
+                                       "iters": iters, **extra}
         return steady, transient
 
     spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
@@ -214,9 +215,34 @@ def render(
                 jax.tree_util.tree_map(_np.asarray, film), p + 1,
                 float(_np.asarray(total_rays))))
     steady, transient = develop(film, film_cfg)
+    extra = surface_sample_validation(film, film_cfg)
     if return_stats:
-        return steady, transient, {"rays": total_rays, "spp": total_spp}
+        return steady, transient, {"rays": total_rays, "spp": total_spp,
+                                   **extra}
     return steady, transient
+
+
+def surface_sample_validation(film, film_cfg) -> dict:
+    """Host-side half of the opt-in splat validation
+    (transient_image_block.py:106-125): read the dense counters accumulated
+    by ``splat_transient_pair`` and emit one leveled warning per render."""
+    if not (film_cfg.warn_negative or film_cfg.warn_invalid):
+        return {}
+    if getattr(film, "n_negative", None) is None:
+        return {}
+    import numpy as _np
+
+    from . import log as _log
+
+    neg = float(_np.asarray(film.n_negative))
+    inv = float(_np.asarray(film.n_invalid))
+    if neg > 0:
+        _log.warn("Negative sample values: %d splats below -1e-5 "
+                  "(warn_negative)", int(neg))
+    if inv > 0:
+        _log.warn("Invalid sample values: %d non-finite splats "
+                  "(warn_invalid)", int(inv))
+    return {"n_negative": neg, "n_invalid": inv}
 
 
 def save_film_state(path: str, state) -> None:

@@ -325,6 +325,11 @@ class FilmConfig(NamedTuple):
     # phasor_hdr_film extras (phasor_hdr_film.py:112-114)
     wl_mean: float = 100.0
     wl_sigma: float = 1000.0
+    # opt-in sample validation (transient_image_block.py:106-125): counts
+    # negative / non-finite splat values densely under jit; render drivers
+    # emit one leveled warning per render from the counters
+    warn_negative: bool = False
+    warn_invalid: bool = False
 
     @property
     def end_opl(self) -> float:
@@ -401,6 +406,8 @@ def _parse_film(d: dict) -> FilmConfig:
         laser_scan_height=int(d.get("laser_scan_height", 0)),
         wl_mean=float(d.get("wl_mean", 100.0)),
         wl_sigma=float(d.get("wl_sigma", 1000.0)),
+        warn_negative=bool(d.get("warn_negative", False)),
+        warn_invalid=bool(d.get("warn_invalid", False)),
     )
 
 

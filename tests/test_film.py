@@ -119,3 +119,42 @@ def test_gaussian_temporal_filter_conserves_energy():
     _, tr = develop(st, c)
     assert abs(float(jnp.sum(tr)) - 5.0) < 1e-4
     assert float(tr[0, 0, 4, 0]) > float(tr[0, 0, 2, 0]) > 0.0
+
+
+def test_sample_validation_counters():
+    # warn_negative / warn_invalid parity (transient_image_block.py:106-125):
+    # dense counters accumulated at splat time, surfaced via render stats
+    c = cfg()._replace(warn_negative=True, warn_invalid=True)
+    st = film_init(c, channels=1)
+    hw = c.width * c.height
+    val = jnp.ones((hw, 1))
+    val = val.at[0, 0].set(-1.0)          # negative
+    val = val.at[1, 0].set(jnp.nan)       # invalid
+    val = val.at[2, 0].set(jnp.inf)       # invalid
+    dist = jnp.full((hw,), 3.0)
+    act = jnp.ones((hw,), bool).at[2].set(False)  # inactive not counted
+    st = splat_transient_pair(st, c, 1, dist, val, None, None, act)
+    assert float(st.n_negative) == 1.0
+    assert float(st.n_invalid) == 1.0
+    # disabled flags -> counters untouched
+    c2 = cfg()
+    st2 = film_init(c2, channels=1)
+    st2 = splat_transient_pair(st2, c2, 1, dist, val, None, None, act)
+    assert float(st2.n_negative) == 0.0 and float(st2.n_invalid) == 0.0
+
+
+def test_sample_validation_stats_surface():
+    import mitransient_tpu as mitr
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 16
+    d["sensor"]["film"]["warn_invalid"] = True
+    d["sensor"]["film"]["warn_negative"] = True
+    d["integrator"]["max_depth"] = 2
+    scene = mitr.load_dict(d)
+    s, t, stats = mitr.render(scene, spp=4, seed=0, return_stats=True,
+                              regenerate=False)
+    assert stats["n_negative"] == 0.0
+    assert stats["n_invalid"] == 0.0
