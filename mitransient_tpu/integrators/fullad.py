@@ -27,8 +27,15 @@ from ..scene.schema import Scene
 from .prb import DiffParams, extract_params, insert_params
 
 
+def _skip_le(scene) -> bool:
+    from .nlos_path import can_skip_le
+
+    return can_skip_le(scene.data)
+
+
 def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
-                 film_cfg, icfg, spp, hw, kind) -> DiffParams:
+                 film_cfg, icfg, spp, hw, kind,
+                 skip_le: bool = False) -> DiffParams:
     """Parameter-gradient contribution of one spp-chunk sample stream.
 
     Traceable (no jit): parallel.mesh wraps it in shard_map with
@@ -46,7 +53,7 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
             ray, rw = sample_nlos_rays(ctx, spp, hw)
             film, L, _v, _r = sample_nlos_primal(
                 sdt, ctx, sampler, ray, rw, film, film_cfg, icfg,
-                inv_total, base_dim=2, spp=spp)
+                inv_total, base_dim=2, spp=spp, skip_le=skip_le)
         else:  # transient_prbvolpath
             from ..sensors.perspective import sample_rays
             from .volpath import sample_volpath_primal
@@ -69,14 +76,15 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
 
 
 @partial(jax.jit,
-         static_argnames=("film_cfg", "icfg", "spp", "hw", "kind"),
+         static_argnames=("film_cfg", "icfg", "spp", "hw", "kind",
+                          "skip_le"),
          donate_argnames=())
 def _fullad_pass(sd, ctx, gs, gt_full, seed, pass_idx, inv_total, *,
-                 film_cfg, icfg, spp, hw, kind):
+                 film_cfg, icfg, spp, hw, kind, skip_le=False):
     """One spp-chunk's parameter-gradient contribution (single device)."""
     return fullad_grads(sd, ctx, gs, gt_full, seed, pass_idx, inv_total,
                         film_cfg=film_cfg, icfg=icfg, spp=spp, hw=hw,
-                        kind=kind)
+                        kind=kind, skip_le=skip_le)
 
 
 def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
@@ -126,15 +134,10 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
         g = _fullad_pass(
             scene.data, ctx, gs, gt, jnp.uint32(seed), jnp.uint32(p),
             jnp.float32(1.0 / total_spp),
-            film_cfg=film_cfg, icfg=icfg, spp=spp_chunk, hw=hw, kind=kind)
+            film_cfg=film_cfg, icfg=icfg, spp=spp_chunk, hw=hw, kind=kind,
+            skip_le=(kind == "transient_nlos_path" and _skip_le(scene)))
         grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
 
-    out = {"__tables__": grads}
-    for path, (table, idx) in scene._param_paths.items():
-        if table == "bsdf.reflectance":
-            out[path] = grads.bsdf_reflectance[idx]
-        elif table == "emitter.radiance":
-            out[path] = grads.emitter_radiance[idx]
-        elif table == "medium.albedo":
-            out[path] = grads.medium_albedo[idx]
-    return out
+    from .prb import grads_to_named
+
+    return grads_to_named(scene, grads)

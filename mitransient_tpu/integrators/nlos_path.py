@@ -61,6 +61,19 @@ from ..scene.shapes import Rectangle
 NLOS_DIMS_PER_BOUNCE = 10
 
 
+def can_skip_le(sd: SceneData) -> bool:
+    """True when every emitter is delta (projector/point) so the Le term is
+    identically zero and its film event can be elided (host-side check on
+    concrete scene data; do NOT call on traced values)."""
+    import numpy as _np
+
+    from ..scene.scene import EM_POINT
+
+    kinds = _np.asarray(sd.emitter.kind)
+    return kinds.size > 0 and bool(
+        _np.all((kinds == EM_PROJECTOR) | (kinds == EM_POINT)))
+
+
 class NLOSContext(NamedTuple):
     """Device-side precomputed NLOS capture state (the output of the
     reference's ``prepare``, transientnlospath.py:251-383)."""
@@ -74,6 +87,20 @@ class NLOSContext(NamedTuple):
     hg_tri_idx: jnp.ndarray  # (K,) int32 soup triangle ids
     hg_tri_cdf: jnp.ndarray  # (K,) float32
     hg_total_area: jnp.ndarray  # ()
+    # Hoisted wall-vertex constants for laser NEE.  The reference re-traces
+    # a full ray to land on the illuminated wall point for EVERY path vertex
+    # (transientnlospath.py:537-539) and then NEEs wall->laser; but with a
+    # single laser target both the wall interaction and the wall->laser
+    # segment are per-scene constants — precomputing them removes one
+    # closest-hit, one any-hit and one BSDF-table gather per bounce.
+    wall_ng: jnp.ndarray  # (3,) geometric normal at laser_target
+    wall_n_sh: jnp.ndarray  # (3,) shading normal (incl. bump perturbation)
+    wall_uv: jnp.ndarray  # (2,)
+    wall_bsdf_id: jnp.ndarray  # () int32
+    wall_em: jnp.ndarray  # (C,) emitter radiance term of the wall->laser NEE
+    wall_dist2: jnp.ndarray  # () wall->laser distance
+    wall_d2: jnp.ndarray  # (3,) unit direction wall->laser
+    wall_clear: jnp.ndarray  # () bool: wall->laser segment unoccluded
 
 
 def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
@@ -187,7 +214,44 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
         total = 1.0
     cdf = np.cumsum(hg_areas / total).astype(np.float32)
 
+    # ---- hoisted wall-vertex constants (see NLOSContext docstring) -------
+    epos = np.asarray(sd.emitter.position[0], np.float32)
+    to_wall = np.asarray(laser_target, np.float32) - epos
+    dist_ew = float(np.linalg.norm(to_wall))
+    d_ew = to_wall / max(dist_ew, 1e-12)
+    si_w = ray_intersect(
+        sd, Ray.make(jnp.asarray(epos).reshape(1, 3),
+                     jnp.asarray(d_ew).reshape(1, 3)),
+        jnp.ones((1,), bool))
+    if not bool(si_w.valid[0]):
+        raise ValueError("The emitter is not pointing at the scene! "
+                         "(transientnlospath.py:334)")
+    # wall -> laser return segment (constant): direction, distance,
+    # occlusion, and the emitter radiance term of the NEE
+    d2 = -d_ew
+    dist2 = dist_ew
+    occ2 = ray_test(
+        sd,
+        jnp.asarray(laser_target).reshape(1, 3) + jnp.asarray(d2).reshape(
+            1, 3) * 1e-4,
+        jnp.asarray(d2).reshape(1, 3),
+        jnp.full((1,), dist2 - 2e-4), jnp.ones((1,), bool))
+    cos_em = float(np.dot(-d2, np.asarray(sd.emitter.direction[0])))
+    em_val = emitter_eval_direction(
+        sd, jnp.zeros((1,), jnp.int32), jnp.asarray(epos).reshape(1, 3),
+        -jnp.asarray(sd.emitter.direction[0]).reshape(1, 3),
+        jnp.asarray(d2).reshape(1, 3), jnp.full((1,), dist2),
+        jnp.full((1,), cos_em))
+
     return NLOSContext(
+        wall_ng=si_w.n[0],
+        wall_n_sh=si_w.frame.n[0],
+        wall_uv=si_w.uv[0],
+        wall_bsdf_id=si_w.bsdf_id[0],
+        wall_em=em_val[0],
+        wall_dist2=jnp.float32(dist2),
+        wall_d2=jnp.asarray(d2, jnp.float32),
+        wall_clear=~occ2[0],
         sensor_origin=jnp.asarray(sensor_origin),
         sensor_targets=jnp.asarray(targets),
         laser_target=jnp.asarray(laser_target),
@@ -246,8 +310,16 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     transientnlospath.py:511-635, single/confocal): returns
     (Lr_dir (N, C) — or (N, 4C) Stokes when polarized, splat_distance (N,)).
 
+    TPU redesign: the reference re-traces a ray to land on the wall point
+    and re-runs a full NEE from there for every lane (:537-551); here the
+    wall interaction and the wall->laser segment are per-scene constants
+    hoisted into ``ctx`` by ``prepare_nlos`` — per bounce this only traces
+    the vertex->wall occlusion ray.
+
     ``wi_world``: world direction the path arrived along (for the Mueller
     rotation chain); ``beta`` is (N, 4, 4, C) in polarized mode."""
+    from ..core.frame import Frame
+
     n = si.t.shape[0]
     # segment 1: path vertex -> illuminated wall point
     lt = jnp.broadcast_to(ctx.laser_target, si.p.shape)
@@ -255,7 +327,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     dist1 = jnp.sqrt(jnp.maximum(jnp.sum(d1v * d1v, axis=-1), 1e-20))
     d1 = d1v / dist1[:, None]
     occ1 = ray_test(sd, si.p + d1 * 1e-4, d1, dist1 - 2e-4, active_e)
-    active_e = active_e & ~occ1
+    active_e = active_e & ~occ1 & ctx.wall_clear
     wo1 = si.frame.to_local(d1)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
     if polarized:
@@ -267,12 +339,8 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         cos_i1 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
         P1 = polarization_factor(lb, -d1, -wi_world, cos_i1)
 
-    # land on the wall point (re-intersect past the target like :537-539)
-    si2 = ray_intersect(
-        sd, Ray.make(si.p + d1 * 1e-4, d1), active_e)
-    active_e = active_e & si2.valid
     active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
-    cos_wl = dot(si2.n, -d1)
+    cos_wl = dot(jnp.broadcast_to(ctx.wall_ng, si.p.shape), -d1)
     active_e = active_e & (cos_wl > 0.0)
     # area -> solid angle pdf conversion (:546-551); keep all values finite
     # (an inf in a masked branch poisons reverse-mode AD through the mask)
@@ -280,7 +348,11 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     f1 = jnp.where(active_e[:, None],
                    f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
-    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, si2.bsdf_id, si2.uv)
+    # constant wall BSDF row, broadcast to the wavefront lanes
+    lb2 = bsdf_api.gather_lane_bsdf(
+        sd.bsdf, ctx.wall_bsdf_id.reshape(1), ctx.wall_uv.reshape(1, 2))
+    lb2 = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), lb2)
     if sctx is not None:
         lb2 = sctx.uplift_lb(lb2)
     if polarized:
@@ -288,14 +360,50 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         beta2 = mueller_product(beta, M1)
     else:
         beta2 = beta * f1
-    dist_after1 = distance + jnp.where(active_e, si2.t, 0.0) * eta
+    dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
 
-    # segment 2: NEE from the wall point to the (delta) laser
-    Lr, splat_dist = _plain_nee(
-        sd, ctx, icfg, si2, lb2, beta2, dist_after1, eta,
-        it_depth + 2, active_e, account_last,
-        wi_world=d1, polarized=polarized, sctx=sctx,
-    )
+    # segment 2: NEE wall point -> (delta) laser, all geometry constant
+    wframe = Frame.from_normal(ctx.wall_n_sh)
+    wi2 = jnp.stack([dot(-d1, wframe.s[None, :]),
+                     dot(-d1, wframe.t[None, :]),
+                     dot(-d1, wframe.n[None, :])], axis=-1)
+    wo2 = jnp.broadcast_to(
+        jnp.stack([jnp.sum(ctx.wall_d2 * wframe.s),
+                   jnp.sum(ctx.wall_d2 * wframe.t),
+                   jnp.sum(ctx.wall_d2 * wframe.n)]), (n, 3))
+
+    it2 = it_depth + 2  # two extra path vertices (:489-492 gates)
+    if icfg.filter_depth != -1:
+        active_e = active_e & (it2 == icfg.filter_depth)
+    if icfg.discard_direct_paths:
+        active_e = active_e & (it2 > 2)
+
+    f2, _ = bsdf_api.eval_pdf(lb2, wi2, wo2, active_e)
+    em_val = jnp.broadcast_to(ctx.wall_em, (n,) + ctx.wall_em.shape)
+    if sctx is not None:
+        em_val = sctx.emission(em_val)
+
+    if polarized:
+        from ..bsdf.polarized import polarization_factor
+
+        C = f2.shape[-1]
+        m_h2 = wi2 + wo2
+        m_h2 = m_h2 / jnp.maximum(
+            jnp.linalg.norm(m_h2, axis=-1, keepdims=True), 1e-12)
+        cos_i2 = jnp.abs(jnp.sum(wi2 * m_h2, axis=-1))
+        P2 = polarization_factor(lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)),
+                                 -d1, cos_i2)
+        M2 = P2 * f2[:, None, None, :]
+        A = mueller_product(beta2, M2)
+        # emission is unpolarized: Stokes = E * first Mueller column
+        Lr = jnp.where(
+            active_e[:, None],
+            (A[:, :, 0, :] * em_val[:, None, :]).reshape(n, 4 * C),
+            0.0,
+        )
+    else:
+        Lr = jnp.where(active_e[:, None], beta2 * f2 * em_val, 0.0)
+    splat_dist = dist_after1 + (ctx.wall_dist2 * eta if account_last else 0.0)
     return Lr, splat_dist
 
 
@@ -368,8 +476,16 @@ def sample_nlos_primal(
     polarized: bool = False,
     sensor_up=None,
     spectral: bool = False,
+    skip_le: bool = False,
 ):
     """The NLOS wavefront loop (transientnlospath.py:672-927, primal).
+
+    ``skip_le=True`` (static) elides the emitter-hit (Le) term and its film
+    event entirely — valid when every emitter is delta (projector/point,
+    i.e. any laser-focused NLOS scene), where ``emitter_eval_hit`` is
+    identically zero; it halves the transient-splat traffic, the dominant
+    NLOS cost.  Mirrors the reference's exhaustive-mode Le skip
+    (transientnlospath.py:775), applied to all delta-emitter captures.
 
     ``polarized=True`` switches the throughput to a Mueller-matrix chain
     (N, 4, 4, C) initialized by the sensor Stokes-frame alignment rotation
@@ -446,23 +562,26 @@ def sample_nlos_primal(
             lb = sctx.uplift_lb(lb)
 
         # ---------------- direct emission -------------------------------
-        pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
-        pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
-        mis = mis_weight(st["prev_pdf"], pdf_em_hit)
-        Le_raw = emitter_eval_hit(sd, si, st["d"])
-        if sctx is not None:
-            Le_raw = sctx.emission(Le_raw)
-        if polarized:
-            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
-            Le = jnp.where(
-                hit[:, None],
-                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
-                    n, 4 * C),
-                0.0,
-            )
+        if skip_le:
+            Le = None
         else:
-            Le = jnp.where(hit[:, None], st["beta"] * mis[:, None] * Le_raw,
-                           0.0)
+            pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
+            pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
+            mis = mis_weight(st["prev_pdf"], pdf_em_hit)
+            Le_raw = emitter_eval_hit(sd, si, st["d"])
+            if sctx is not None:
+                Le_raw = sctx.emission(Le_raw)
+            if polarized:
+                b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+                Le = jnp.where(
+                    hit[:, None],
+                    (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
+                        n, 4 * C),
+                    0.0,
+                )
+            else:
+                Le = jnp.where(hit[:, None],
+                               st["beta"] * mis[:, None] * Le_raw, 0.0)
 
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
         active_em = active_next & bsdf_api.is_smooth(lb)
@@ -484,15 +603,23 @@ def sample_nlos_primal(
                 wi_world=st["d"], polarized=polarized, sctx=sctx,
             )
 
-        Le_f = sctx.to_film(Le) if sctx is not None else Le
         Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
-        film_st = splat_transient_pair(
-            st["film"], film_cfg, spp,
-            distance, Le_f * splat_w[:, None],
-            nee_dist, Lr_f * splat_w[:, None],
-            active,
-            icfg.temporal_filter, icfg.gaussian_stddev,
-        )
+        if skip_le:
+            film_st = splat_transient_pair(
+                st["film"], film_cfg, spp,
+                nee_dist, Lr_f * splat_w[:, None], None, None,
+                active,
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
+        else:
+            Le_f = sctx.to_film(Le) if sctx is not None else Le
+            film_st = splat_transient_pair(
+                st["film"], film_cfg, spp,
+                distance, Le_f * splat_w[:, None],
+                nee_dist, Lr_f * splat_w[:, None],
+                active,
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
 
         # ---------------- HG / BSDF direction sampling -------------------
         if hg_on and hg_rr:
@@ -536,7 +663,7 @@ def sample_nlos_primal(
         d_world = si.frame.to_world(wo)
         new_ray = si.spawn_ray(d_world)
 
-        L = st["L"] + Le + Lr_dir
+        L = st["L"] + Lr_dir if skip_le else st["L"] + Le + Lr_dir
         if polarized:
             from ..bsdf.polarized import polarization_factor
 
@@ -591,8 +718,11 @@ def sample_nlos_primal(
             prev_pdf=jnp.where(active_next, pdf_dir, st["prev_pdf"]),
             prev_delta=jnp.where(active_next, delta, st["prev_delta"]),
             film=film_st,
+            # rays actually traced per bounce: 1 closest-hit + 1 shadow ray
+            # (the wall landing + wall->laser segments are hoisted constants
+            # now — see _laser_nee — so they no longer count)
             n_rays=st["n_rays"]
-            + jnp.sum(active.astype(jnp.float32)) * (3.0 if laser_on else 2.0),
+            + jnp.sum(active.astype(jnp.float32)) * 2.0,
         )
 
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
@@ -634,6 +764,8 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     spp_chunk = (spp + n_passes - 1) // n_passes
     total_spp = spp_chunk * n_passes
 
+    skip_le = can_skip_le(scene.data)
+
     @partial(jax.jit,
              static_argnames=("film_cfg_", "icfg_", "spp_", "hw_"),
              donate_argnames=("film",))
@@ -645,7 +777,7 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
         film, L, valid, n_rays = sample_nlos_primal(
             sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
             inv_total, base_dim=2, spp=spp_, polarized=polarized,
-            spectral=scene.variant.spectral,
+            spectral=scene.variant.spectral, skip_le=skip_le,
         )
         film = splat_steady(film, spp_, L, ray_weight)
         return film, n_rays

@@ -61,11 +61,22 @@ def replace_grad(value_of, grad_of):
 
 
 class DiffParams(NamedTuple):
-    """The differentiable parameter tables."""
+    """The differentiable parameter tables.
+
+    Matches the surface ``mi.traverse`` exposes in the reference's
+    diff-transient workloads: dense reflectance + emitter radiance + medium
+    albedo (round 1), plus bitmap-texture texels (the staircase scene's
+    roughplastic ``diffuse_reflectance`` bitmaps,
+    examples/diff-transient/staircase/scene.xml:33-82), GGX roughness
+    ``alpha`` and medium extinction ``sigma_t``."""
 
     bsdf_reflectance: jnp.ndarray  # (B, C)
     emitter_radiance: jnp.ndarray  # (E, C)
     medium_albedo: jnp.ndarray  # (M, C)
+    bsdf_alpha: jnp.ndarray = None  # (B,) GGX alpha_u
+    bsdf_alpha_v: jnp.ndarray = None  # (B,) GGX alpha_v (None if isotropic)
+    medium_sigma_t: jnp.ndarray = None  # (M,)
+    bsdf_textures: jnp.ndarray = None  # (NT, H, W, C) atlas (None if untextured)
 
 
 def extract_params(sd: SceneData) -> DiffParams:
@@ -73,15 +84,62 @@ def extract_params(sd: SceneData) -> DiffParams:
         bsdf_reflectance=sd.bsdf.reflectance,
         emitter_radiance=sd.emitter.radiance,
         medium_albedo=sd.medium.albedo,
+        bsdf_alpha=sd.bsdf.alpha,
+        bsdf_alpha_v=sd.bsdf.alpha_v,
+        medium_sigma_t=sd.medium.sigma_t,
+        bsdf_textures=sd.bsdf.textures,
     )
 
 
 def insert_params(sd: SceneData, p: DiffParams) -> SceneData:
     return sd._replace(
-        bsdf=sd.bsdf._replace(reflectance=p.bsdf_reflectance),
+        bsdf=sd.bsdf._replace(
+            reflectance=p.bsdf_reflectance,
+            alpha=p.bsdf_alpha if p.bsdf_alpha is not None else sd.bsdf.alpha,
+            alpha_v=(p.bsdf_alpha_v if p.bsdf_alpha_v is not None
+                     else sd.bsdf.alpha_v),
+            textures=(p.bsdf_textures if p.bsdf_textures is not None
+                      else sd.bsdf.textures),
+        ),
         emitter=sd.emitter._replace(radiance=p.emitter_radiance),
-        medium=sd.medium._replace(albedo=p.medium_albedo),
+        medium=sd.medium._replace(
+            albedo=p.medium_albedo,
+            sigma_t=(p.medium_sigma_t if p.medium_sigma_t is not None
+                     else sd.medium.sigma_t),
+        ),
     )
+
+
+def grads_to_named(scene, grads: DiffParams) -> dict:
+    """Map DiffParams table gradients onto the scene's traverse paths
+    (mi.traverse semantics, reference nlos.py:18-32).  Includes the raw
+    tables under ``'__tables__'``."""
+    out = {"__tables__": grads}
+    for path, (table, idx) in scene._param_paths.items():
+        if table == "bsdf.reflectance":
+            out[path] = grads.bsdf_reflectance[idx]
+        elif table == "emitter.radiance":
+            out[path] = grads.emitter_radiance[idx]
+        elif table == "medium.albedo":
+            out[path] = grads.medium_albedo[idx]
+        elif table == "bsdf.alpha" and grads.bsdf_alpha is not None:
+            # the isotropic `alpha` path drives BOTH GGX leaves (alpha_u and
+            # alpha_v move in lockstep, see ParamMap.apply) -> chain rule
+            # sums their partials.  The two halves routinely have opposite
+            # signs off-peak, so dropping one flips the gradient.
+            g = grads.bsdf_alpha[idx]
+            if grads.bsdf_alpha_v is not None:
+                g = g + grads.bsdf_alpha_v[idx]
+            out[path] = g
+        elif table == "bsdf.alpha_u" and grads.bsdf_alpha is not None:
+            out[path] = grads.bsdf_alpha[idx]
+        elif table == "bsdf.alpha_v" and grads.bsdf_alpha_v is not None:
+            out[path] = grads.bsdf_alpha_v[idx]
+        elif table == "medium.sigma_t" and grads.medium_sigma_t is not None:
+            out[path] = grads.medium_sigma_t[idx]
+        elif table == "bsdf.textures" and grads.bsdf_textures is not None:
+            out[path] = grads.bsdf_textures[idx]
+    return out
 
 
 def read_adjoint(grad_tr_flat: jnp.ndarray, grad_st_flat: jnp.ndarray,

@@ -187,9 +187,31 @@ def sample_volpath_adjoint(
                 columns_lookup({"a": theta.medium_albedo}, m_idx)["a"],
                 1.0,
             )
-            # throughput incl. the attached current-event albedo factor
+            # attached sigma_t survival ratio (homogeneous media; primal
+            # value exactly 1 — see volpath.sample_volpath_primal).  Grid
+            # sigma_t stays detached (delta-tracking chain not replayed
+            # attached).
+            if not _has_grids(sd):
+                sig_att = jnp.where(
+                    in_medium,
+                    columns_lookup(
+                        {"s": theta.medium_sigma_t}, m_idx)["s"],
+                    0.0)
+                lam = jax.lax.stop_gradient(sig_att)
+                t_det = jax.lax.stop_gradient(t_event)
+                dsig = sig_att - lam
+                decay = jnp.exp(-dsig * jnp.where(
+                    jnp.isfinite(t_det), t_det, 0.0))
+                r_scatter = sig_att / jnp.maximum(lam, 1e-30) * decay
+                ff_ratio = jnp.where(
+                    medium_scatter, r_scatter,
+                    jnp.where(in_medium & hit, decay, 1.0))
+            else:
+                ff_ratio = jnp.ones_like(t_event)
+            # throughput incl. the attached current-event factors
             beta_evt = jnp.where(medium_scatter[:, None],
                                  beta_pre * albedo_att, beta_pre)
+            beta_evt = beta_evt * ff_ratio[:, None]
             # Le (surface emitter hits only; attached radiance)
             Le_raw = emitter_eval_hit(sdt, si, st["d"])
             Le = jnp.where(le_mask[:, None],
@@ -209,10 +231,19 @@ def sample_volpath_adjoint(
                     jax.lax.stop_gradient(ds.pdf)[:, None], 1e-30),
                 0.0,
             )
+            # NEE transmittance: attached through sigma_t for homogeneous
+            # media (analytic exp(-sigma_t seg) per segment); detached for
+            # grids (reference :319-327 detaches tracking weights too)
+            if not _has_grids(sd):
+                trans_att, _occ2 = transmittance(
+                    sdt, p_event, ds.d, ds.dist, st["medium"], active_em,
+                    key=key, tag=it)
+            else:
+                trans_att = jax.lax.stop_gradient(trans)
             Lr_dir = jnp.where(
                 active_em[:, None],
                 beta_evt * mis_em[:, None] * f_em * em_weight
-                * jax.lax.stop_gradient(trans)[:, None],
+                * trans_att[:, None],
                 0.0,
             )
             # indirect re-attachment: surface -> BSDF value ratio; medium ->
@@ -232,6 +263,9 @@ def sample_volpath_adjoint(
             ratio_med = replace_grad(jnp.ones_like(albedo_att),
                                      albedo_att * inv_alb)
             ratio = jnp.where(medium_scatter[:, None], ratio_med, ratio_srf)
+            # deeper vertices also pass through this segment's survival
+            # factor -> the indirect re-attachment carries ff_ratio too
+            ratio = ratio * ff_ratio[:, None]
             Lr_ind = jax.lax.stop_gradient(L_rest - Le - Lr_dir) * ratio
             return Le, Lr_dir, Lr_ind
 

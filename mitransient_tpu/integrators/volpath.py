@@ -333,12 +333,38 @@ def sample_volpath_primal(
                 / jnp.maximum(sigma_t, 1e-30),
                 jnp.inf,
             )
+        # Detached sampling (PRB): the sampled flight distance carries no
+        # derivative; sigma_t differentiates through the attached survival
+        # ratio below (homogeneous) — grid-density sigma_t is not
+        # differentiated (delta tracking's collision chain is detached).
+        t_fly = jax.lax.stop_gradient(t_fly)
         medium_scatter = hit & in_medium & (t_fly < si.t)
 
         # event position + OPL
         t_event = jnp.where(medium_scatter, t_fly, jnp.where(hit, si.t, 0.0))
         p_event = st["o"] + st["d"] * t_event[:, None]
         distance = st["distance"] + jnp.where(active, t_event, 0.0) * st["eta"]
+
+        if not _has_grids(sd):
+            # Attached survival-weight ratio for differentiable sigma_t
+            # (detached-sampling PRB, cf. transient_prbvolpath's attached
+            # medium factors): medium scatter w = sigma_t e^{-sigma_t t} /
+            # pdf_detached; escape through the medium to a surface
+            # w = e^{-sigma_t t_surf} / P_detached.  Primal value is exactly
+            # 1 — only d/d(sigma_t) is nonzero.
+            lam = jax.lax.stop_gradient(sigma_t)
+            t_det = jax.lax.stop_gradient(t_event)
+            dsig = sigma_t - lam
+            decay = jnp.exp(-dsig * jnp.where(jnp.isfinite(t_det), t_det,
+                                              0.0))
+            r_scatter = sigma_t / jnp.maximum(lam, 1e-30) * decay
+            ff_ratio = jnp.where(
+                medium_scatter, r_scatter,
+                jnp.where(in_medium & hit, decay, 1.0))
+            st = dict(st)
+            st["beta"] = st["beta"] * (
+                ff_ratio[:, None, None, None] if polarized
+                else ff_ratio[:, None])
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         if sctx is not None:

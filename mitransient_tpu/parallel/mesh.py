@@ -131,11 +131,14 @@ def render_sharded(
                 sample_nlos_rays,
             )
 
+            from ..integrators.nlos_path import can_skip_le
+
             ray, ray_weight = sample_nlos_rays(ctx_, chunk, hw)
             film, L, _valid, n_rays = sample_nlos_primal(
                 sd, ctx_, sampler, ray, ray_weight, film, film_cfg, icfg,
                 sample_scale=1.0 / total_spp, base_dim=2, spp=chunk,
                 polarized=polarized, spectral=spectral,
+                skip_le=can_skip_le(scene.data),
             )
         else:
             ray, pix, ray_weight = sample_rays(
@@ -181,17 +184,11 @@ def render_sharded(
 
 
 def _grads_to_paths(scene: Scene, grads) -> dict:
-    """Map raw parameter-table gradients to traversal paths — all three
+    """Map raw parameter-table gradients to traversal paths — all
     differentiable tables, matching single-device render_backward."""
-    out = {"__tables__": grads}
-    for path, (table, idx) in scene._param_paths.items():
-        if table == "bsdf.reflectance":
-            out[path] = grads.bsdf_reflectance[idx]
-        elif table == "emitter.radiance":
-            out[path] = grads.emitter_radiance[idx]
-        elif table == "medium.albedo":
-            out[path] = grads.medium_albedo[idx]
-    return out
+    from ..integrators.prb import grads_to_named
+
+    return grads_to_named(scene, grads)
 
 
 def render_backward_sharded(
@@ -254,9 +251,13 @@ def render_backward_sharded(
         )
         def step(sd, ctx_, gs_, gt_, seed_):
             didx = jax.lax.axis_index("shard").astype(jnp.uint32)
+            from ..integrators.nlos_path import can_skip_le
+
             g = fullad_grads(
                 sd, ctx_, gs_, gt_, seed_, didx, 1.0 / total_spp,
-                film_cfg=film_cfg, icfg=icfg, spp=spp_dev, hw=hw, kind=kind)
+                film_cfg=film_cfg, icfg=icfg, spp=spp_dev, hw=hw, kind=kind,
+                skip_le=(kind == "transient_nlos_path"
+                         and can_skip_le(scene.data)))
             return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), g)
 
         sd, ctx, gs, gt_full = replicate(

@@ -358,15 +358,9 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
         film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
         height=film_cfg.height, spp=spp,
     )
-    out = {"__tables__": grads}
-    for path, (table, idx) in scene._param_paths.items():
-        if table == "bsdf.reflectance":
-            out[path] = grads.bsdf_reflectance[idx]
-        elif table == "emitter.radiance":
-            out[path] = grads.emitter_radiance[idx]
-        elif table == "medium.albedo":
-            out[path] = grads.medium_albedo[idx]
-    return out
+    from .integrators.prb import grads_to_named
+
+    return grads_to_named(scene, grads)
 
 
 @partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
@@ -436,15 +430,9 @@ def render_backward_volpath(scene: Scene, grad_in, spp: int | None = None,
         grads = g if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, g)
 
-    out = {"__tables__": grads}
-    for path, (table, idx) in scene._param_paths.items():
-        if table == "bsdf.reflectance":
-            out[path] = grads.bsdf_reflectance[idx]
-        elif table == "emitter.radiance":
-            out[path] = grads.emitter_radiance[idx]
-        elif table == "medium.albedo":
-            out[path] = grads.medium_albedo[idx]
-    return out
+    from .integrators.prb import grads_to_named
+
+    return grads_to_named(scene, grads)
 
 
 @partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
@@ -501,22 +489,29 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
 
     cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
     sd = scene.data
-    tb = jnp.zeros_like(sd.bsdf.reflectance)
-    te = jnp.zeros_like(sd.emitter.radiance)
+    from .integrators.prb import extract_params
+
+    # tangent structure must match extract_params exactly (jax.jvp)
+    tangents = jax.tree_util.tree_map(jnp.zeros_like, extract_params(sd))
+    tbl_attr = {
+        "bsdf.reflectance": "bsdf_reflectance",
+        "emitter.radiance": "emitter_radiance",
+        "medium.albedo": "medium_albedo",
+        "bsdf.alpha": "bsdf_alpha",
+        "medium.sigma_t": "medium_sigma_t",
+        "bsdf.textures": "bsdf_textures",
+    }
     for path, val in tangent.items():
-        if path == "bsdf.reflectance":
-            tb = jnp.asarray(val, jnp.float32)
-        elif path == "emitter.radiance":
-            te = jnp.asarray(val, jnp.float32)
+        if path in tbl_attr:  # whole-table tangent
+            tangents = tangents._replace(
+                **{tbl_attr[path]: jnp.asarray(val, jnp.float32)})
         elif path in scene._param_paths:
             table, idx = scene._param_paths[path]
-            if table == "bsdf.reflectance":
-                tb = tb.at[idx].set(jnp.asarray(val, jnp.float32))
-            elif table == "emitter.radiance":
-                te = te.at[idx].set(jnp.asarray(val, jnp.float32))
-    tangents = DiffParams(bsdf_reflectance=tb, emitter_radiance=te,
-                          medium_albedo=jnp.zeros_like(
-                              scene.data.medium.albedo))
+            attr = tbl_attr.get(table)
+            if attr is not None and getattr(tangents, attr) is not None:
+                tangents = tangents._replace(**{
+                    attr: getattr(tangents, attr).at[idx].set(
+                        jnp.asarray(val, jnp.float32))})
 
     cam = build_camera(cfg)
     return _forward_pass(

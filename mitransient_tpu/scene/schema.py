@@ -642,6 +642,9 @@ class Scene:
             self._bsdfs.append(entry)
             self._bsdf_index[key] = idx
             self._param_paths[f"{key}.reflectance.value"] = ("bsdf.reflectance", idx)
+            self._param_paths[f"{key}.alpha.value"] = ("bsdf.alpha", idx)
+            self._param_paths[f"{key}.alpha_u.value"] = ("bsdf.alpha_u", idx)
+            self._param_paths[f"{key}.alpha_v.value"] = ("bsdf.alpha_v", idx)
             return idx
 
         _BSDF_TYPES = (
@@ -735,6 +738,8 @@ class Scene:
                         shape.medium_key = med_idx
                         self._param_paths[f"{key}.{ck}.albedo.value"] = (
                             "medium.albedo", med_idx)
+                        self._param_paths[f"{key}.{ck}.sigma_t.value"] = (
+                            "medium.sigma_t", med_idx)
                     elif ct in ("nlos_capture_meter", "perspective", "irradiancemeter"):
                         sensor_dicts.append((cv, shape_idx))
                 if bsdf_idx is None:
@@ -926,6 +931,13 @@ class Scene:
                 tex_id[bi] = slots[kk]
                 tex_hw[bi] = (b.tex.shape[0], b.tex.shape[1])
                 tex_uv[bi] = b.tex_uv
+                # texel-level differentiable surface (the reference's
+                # `<bsdf>.reflectance.data` / `.diffuse_reflectance.data`
+                # traverse paths for bitmap textures); value is the padded
+                # (th, tw, C) atlas slab for this texture slot
+                for alias in ("reflectance.data", "diffuse_reflectance.data"):
+                    self._param_paths[f"{b.key}.{alias}"] = (
+                        "bsdf.textures", slots[kk])
             th = max(t.shape[0] for t in uniq)
             tw = max(t.shape[1] for t in uniq)
             atlas = np.zeros((len(uniq), th, tw, C), np.float32)
@@ -1194,6 +1206,14 @@ class ParamMap:
             return self.scene.data.emitter.radiance[idx]
         if table == "medium.albedo":
             return self.scene.data.medium.albedo[idx]
+        if table in ("bsdf.alpha", "bsdf.alpha_u"):
+            return self.scene.data.bsdf.alpha[idx]
+        if table == "bsdf.alpha_v":
+            return self.scene.data.bsdf.alpha_v[idx]
+        if table == "medium.sigma_t":
+            return self.scene.data.medium.sigma_t[idx]
+        if table == "bsdf.textures":
+            return self.scene.data.bsdf.textures[idx]
         if table == "emitter.to_world":
             return self.scene._emitters[idx].to_world
         raise KeyError(key)
@@ -1229,6 +1249,33 @@ class ParamMap:
                 data = data._replace(
                     medium=data.medium._replace(
                         albedo=data.medium.albedo.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "bsdf.alpha":
+                # isotropic path: drives BOTH GGX leaves in lockstep
+                a = jnp.asarray(value, jnp.float32)
+                data = data._replace(bsdf=data.bsdf._replace(
+                    alpha=data.bsdf.alpha.at[idx].set(a),
+                    alpha_v=(data.bsdf.alpha_v.at[idx].set(a)
+                             if data.bsdf.alpha_v is not None
+                             else None)))
+            elif table == "bsdf.alpha_u":
+                data = data._replace(bsdf=data.bsdf._replace(
+                    alpha=data.bsdf.alpha.at[idx].set(
+                        jnp.asarray(value, jnp.float32))))
+            elif table == "bsdf.alpha_v":
+                if data.bsdf.alpha_v is not None:
+                    data = data._replace(bsdf=data.bsdf._replace(
+                        alpha_v=data.bsdf.alpha_v.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "medium.sigma_t":
+                data = data._replace(
+                    medium=data.medium._replace(
+                        sigma_t=data.medium.sigma_t.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table == "bsdf.textures":
+                data = data._replace(
+                    bsdf=data.bsdf._replace(
+                        textures=data.bsdf.textures.at[idx].set(
                             jnp.asarray(value, jnp.float32))))
             elif table == "emitter.to_world":
                 pass  # host-side; handled in update()
