@@ -53,8 +53,11 @@ _KNOWN = {
 _current = _KNOWN["rgb"]
 
 
-def set_variant(name: str) -> None:
+def set_variant(name) -> None:
     global _current
+    if isinstance(name, Variant):  # restore pattern: set_variant(variant())
+        _current = name
+        return
     # Accept mitsuba-style names like "llvm_ad_rgb" by taking the suffix.
     key = name
     for k in _KNOWN:

@@ -105,13 +105,21 @@ class Transform4:
 
 
 def from_spec(spec) -> Transform4:
-    """Build a Transform4 from a scene-dict value: either a Transform4 already,
-    a 4x4 nested list, or a dict of chained ops like
-    ``{'look_at': {'origin': ..., 'target': ..., 'up': ...}}``."""
+    """Build a Transform4 from a scene-dict value: a Transform4 already, a
+    4x4 nested list, a dict of chained ops like
+    ``{'look_at': {'origin': ..., 'target': ..., 'up': ...}}``, or a list of
+    single-op dicts (``[{'rotate': ...}, {'rotate': ...}]``) when the same
+    op repeats — matching Mitsuba's sequentially-chained ``<transform>``."""
     if isinstance(spec, Transform4):
         return spec
     if spec is None:
         return Transform4()
+    if (isinstance(spec, (list, tuple)) and spec
+            and all(isinstance(s, dict) for s in spec)):
+        t = Transform4()
+        for s in spec:
+            t = Transform4(t.m @ from_spec(s).m)
+        return t
     if isinstance(spec, dict):
         t = Transform4()
         for op, args in spec.items():
