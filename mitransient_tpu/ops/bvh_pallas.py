@@ -41,6 +41,10 @@ TILE = LANES * SUBLANES
 RAY_EPS = 1e-4
 BIG = 3.0e38
 TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
+# Candidates emitted per select pass: each ray advances through up to
+# SELECT_K chunks per (select, sort, sweep) round, amortizing the dense
+# chunk-slab selection scan and the wavefront sort over K chunk visits.
+SELECT_K = 4
 
 
 def _pad_reshape(x, fill):
@@ -91,13 +95,15 @@ def _moller_update(tri9, prim, rox, roy, roz, rdx, rdy, rdz, mask,
 def _sweep_kernel(
     aabb_ref,                       # (8, C) SMEM chunk bounds (+2 pad rows)
     pages_ref,                      # (C, TRI_ROWS, 128) ANY (HBM)
-    cid, ox, oy, oz, dx, dy, dz, limit,  # (SUBLANES, LANES) VMEM tiles
-    best_t_ref, best_p_ref,         # VMEM out
-    page_scr,                       # VMEM scratch (2, TRI_ROWS, 128)
-    sem,                            # DMA semaphores (2,)
-    *, n_chunks: int,
+    *refs,                          # SELECT_K cid tiles, 7 ray tiles, outs,
+                                    # scratch, sem
+    n_chunks: int,
 ):
-    c = cid[...]
+    cids = [refs[j][...] for j in range(SELECT_K)]
+    ox, oy, oz, dx, dy, dz, limit = refs[SELECT_K:SELECT_K + 7]
+    best_t_ref, best_p_ref = refs[SELECT_K + 7:SELECT_K + 9]
+    page_scr = refs[SELECT_K + 9]
+    sem = refs[SELECT_K + 10]
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
@@ -113,7 +119,13 @@ def _sweep_kernel(
             page_scr.at[slot], sem.at[slot],
         )
 
-    first = jnp.min(c)
+    def tile_min_after(cur):
+        m = sent
+        for c in cids:
+            m = jnp.minimum(m, jnp.min(jnp.where(c > cur, c, sent)))
+        return m
+
+    first = tile_min_after(jnp.int32(-1))
 
     @pl.when(first < sent)
     def _():
@@ -121,7 +133,7 @@ def _sweep_kernel(
 
     def body(carry):
         cur, slot = carry
-        nxt = jnp.min(jnp.where(c > cur, c, sent))
+        nxt = tile_min_after(cur)
 
         @pl.when(nxt < sent)
         def _():
@@ -149,7 +161,10 @@ def _sweep_kernel(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        mask = (c == cur) | ((tn <= tf) & (tn < bt))
+        bound = cids[0] == cur
+        for c in cids[1:]:
+            bound = bound | (c == cur)
+        mask = bound | ((tn <= tf) & (tn < bt))
 
         def row(g, carry):
             bt, bp = carry
@@ -171,13 +186,16 @@ def _sweep_kernel(
     jax.lax.while_loop(lambda s: s[0] < sent, body, (first, 0))
 
 
-def _sweep_pass(accel: Accel, cid, ray_o, ray_d, best_t, interpret):
+def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
     """Run the sweep kernel over a (sorted) wavefront: each ray is tested
-    against its bound chunk; returns improved (t, prim) candidates."""
+    against its K bound chunks (plus any resident chunk it can improve
+    against); returns improved (t, prim) candidates."""
     n = ray_o.shape[0]
     n_chunks = accel.pages.shape[0]
-    tiles = (
-        _pad_reshape(jnp.where(cid >= 0, cid, n_chunks), n_chunks),
+    tiles = tuple(
+        _pad_reshape(jnp.where(c >= 0, c, n_chunks), n_chunks)
+        for c in cids
+    ) + (
         _pad_reshape(ray_o[:, 0], 0.0),
         _pad_reshape(ray_o[:, 1], 0.0),
         _pad_reshape(ray_o[:, 2], 0.0),
@@ -196,7 +214,8 @@ def _sweep_pass(accel: Accel, cid, ray_o, ray_d, best_t, interpret):
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)] + [_ray_spec()] * 8,
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [_ray_spec()] * (SELECT_K + 7),
         out_specs=(_ray_spec(), _ray_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -215,12 +234,17 @@ def _select_kernel(
     sup_ref,                      # (8, S) SMEM super bounds (6 rows + pad)
     chk_ref,                      # (8, C_pad) SMEM chunk bounds
     ox, oy, oz, dx, dy, dz, bt_in, ge_in, gc_in,   # VMEM tiles
-    e_out, c_out,                 # VMEM out
-    *, n_supers: int, n_chunks: int,
+    *out_refs,                    # 2*SELECT_K VMEM out (e_k, c_k pairs)
+    n_supers: int, n_chunks: int,
 ):
     """Per-ray front-to-back chunk pick (exact), with super-chunk packet
     pruning: a super is skipped only when NO ray in the tile can beat its
-    own best-t inside it — a gate-independent, always-safe cull."""
+    own best-t inside it — a gate-independent, always-safe cull.
+
+    Emits the SELECT_K lexicographically-first (entry, chunk) candidates
+    after each ray's gate, maintained as K sorted register pairs with a
+    bubble-insert per tested chunk — so one select (the dense-scan cost)
+    feeds K chunk visits in the following sweep pass."""
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
@@ -245,16 +269,20 @@ def _select_kernel(
         )
         return tn, tf
 
-    bigi = jnp.int32(1 << 30)
+    kk = SELECT_K
 
     def sup_body(si, carry):
-        be, bc = carry
+        bes, bcs = carry
         tn, tf = slab(sup_ref[0, si], sup_ref[1, si], sup_ref[2, si],
                       sup_ref[3, si], sup_ref[4, si], sup_ref[5, si])
-        hit = jnp.any((tn <= tf) & (tn < jnp.minimum(bt, be)))
+        # prune against each ray's WORST kept candidate (bes[-1]): a super
+        # can only matter if some ray could still insert a chunk from it
+        hit = jnp.any((tn <= tf) & (tn < jnp.minimum(bt, bes[kk - 1])))
 
         def scan8(carry):
-            be, bc = carry
+            bes, bcs = carry
+            bes = list(bes)
+            bcs = list(bcs)
             for k in range(SUPER_CHUNKS):
                 ci = si * SUPER_CHUNKS + k
                 tn, tf = slab(chk_ref[0, ci], chk_ref[1, ci],
@@ -264,21 +292,33 @@ def _select_kernel(
                 after = (tn > ge) | ((tn == ge) & (cif > gc))
                 valid = (tn <= tf) & (tn < bt) & after
                 e = jnp.where(valid, tn, jnp.inf)
-                better = (e < be) | ((e == be) & (cif < bc))
-                be = jnp.where(better, e, be)
-                bc = jnp.where(better, cif, bc)
-            return be, bc
+                c = jnp.where(valid, cif, 1.0e30)
+                # bubble-insert (e, c) into the K sorted register pairs;
+                # the evicted lex-max rides on in (e, c)
+                for j in range(kk):
+                    less = (e < bes[j]) | ((e == bes[j]) & (c < bcs[j]))
+                    ne = jnp.where(less, e, bes[j])
+                    nc = jnp.where(less, c, bcs[j])
+                    e = jnp.where(less, bes[j], e)
+                    c = jnp.where(less, bcs[j], c)
+                    bes[j] = ne
+                    bcs[j] = nc
+            return tuple(bes), tuple(bcs)
 
-        return jax.lax.cond(hit, scan8, lambda c: c, (be, bc))
+        return jax.lax.cond(hit, scan8, lambda c: c, (bes, bcs))
 
     shape = (SUBLANES, LANES)
-    init = (jnp.full(shape, jnp.inf, jnp.float32),
-            jnp.full(shape, 1.0e30, jnp.float32))
-    be, bc = jax.lax.fori_loop(0, n_supers, sup_body, init)
-    found = jnp.isfinite(be)
-    e_out[...] = jnp.where(found, be, -jnp.inf)
-    c_out[...] = jnp.where(found & (bc < jnp.float32(n_chunks)),
-                           bc.astype(jnp.int32), -1)
+    init = (tuple(jnp.full(shape, jnp.inf, jnp.float32)
+                  for _ in range(kk)),
+            tuple(jnp.full(shape, 1.0e30, jnp.float32)
+                  for _ in range(kk)))
+    bes, bcs = jax.lax.fori_loop(0, n_supers, sup_body, init)
+    for j in range(kk):
+        found = jnp.isfinite(bes[j])
+        out_refs[2 * j][...] = jnp.where(found, bes[j], -jnp.inf)
+        out_refs[2 * j + 1][...] = jnp.where(
+            found & (bcs[j] < jnp.float32(n_chunks)),
+            bcs[j].astype(jnp.int32), -1)
 
 
 def _select_next_pallas(accel: Accel, ray_o, ray_d, best_t, gate_e, gate_c,
@@ -317,19 +357,22 @@ def _select_next_pallas(accel: Accel, ray_o, ray_d, best_t, gate_e, gate_c,
     rows = tiles[0].shape[0]
     grid = (rows // SUBLANES,)
     kernel = functools.partial(_select_kernel, n_supers=s_n, n_chunks=c)
-    e, cid = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [_ray_spec()] * 9,
-        out_specs=(_ray_spec(), _ray_spec()),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        out_specs=tuple(_ray_spec() for _ in range(2 * SELECT_K)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (rows, LANES), jnp.float32 if i % 2 == 0 else jnp.int32)
+            for i in range(2 * SELECT_K)
         ),
         interpret=interpret,
     )(sup, chk, *tiles)
-    return e.reshape(-1)[:n], cid.reshape(-1)[:n]
+    es = tuple(out[2 * j].reshape(-1)[:n] for j in range(SELECT_K))
+    cids = tuple(out[2 * j + 1].reshape(-1)[:n] for j in range(SELECT_K))
+    return es, cids
 
 
 _SEL_BLOCK = 8
@@ -388,6 +431,7 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
            interpret: bool):
     n = ray_o.shape[0]
     idx0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    sent = jnp.int32(accel.pages.shape[0])
 
     state = (
         ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
@@ -400,25 +444,47 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
     )
 
     def pick(st):
+        """Select each ray's next SELECT_K chunks front-to-back AND commit
+        the gate past all of them (every candidate is swept in the very
+        next sweep pass, so the advance is exact).  Returns the updated
+        state and the K candidate-cid arrays."""
         ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
         o = jnp.stack([ox, oy, oz], -1)
         d = jnp.stack([dx, dy, dz], -1)
         if interpret:
+            # interpreter/CPU path: emulate the K-candidate pick with K
+            # gate-advancing single picks of the dense-scan select
             inv = _safe_inv(d)
-            return _select_next(accel, o, d, inv, bt, ge, gc, bt > 0)
-        return _select_next_pallas(accel, o, d, bt, ge, gc)
+            es, cs = [], []
+            ge_l, gc_l = ge, gc
+            for _ in range(SELECT_K):
+                e1, c1 = _select_next(accel, o, d, inv, bt, ge_l, gc_l,
+                                      bt > 0)
+                es.append(e1)
+                cs.append(c1)
+                ge_l = jnp.where(c1 >= 0, e1, ge_l)
+                gc_l = jnp.where(c1 >= 0, c1, gc_l)
+            es, cs = tuple(es), tuple(cs)
+        else:
+            es, cs = _select_next_pallas(accel, o, d, bt, ge, gc)
+        for e1, c1 in zip(es, cs):
+            valid = c1 >= 0
+            ge = jnp.where(valid, e1, ge)
+            gc = jnp.where(valid, c1, gc)
+        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
+        return st, cs
 
     def body(carry):
-        st, e, cid = carry
-        key = jnp.where(cid >= 0, cid, jnp.int32(accel.pages.shape[0]))
-        sorted_ = jax.lax.sort((key, e) + st, num_keys=1)
-        e = sorted_[1]
-        st = sorted_[2:]
-        cid = jnp.where(e > -jnp.inf, sorted_[0], -1)
+        st, cids = carry
+        key = jnp.where(cids[0] >= 0, cids[0], sent)
+        sorted_ = jax.lax.sort((key,) + tuple(cids[1:]) + st, num_keys=1)
+        key = sorted_[0]
+        cids = (jnp.where(key < sent, key, -1),) + sorted_[1:SELECT_K]
+        st = sorted_[SELECT_K:]
         ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
         o = jnp.stack([ox, oy, oz], -1)
         d = jnp.stack([dx, dy, dz], -1)
-        t_new, p_new = _sweep_pass(accel, cid, o, d, bt, interpret)
+        t_new, p_new = _sweep_pass(accel, cids, o, d, bt, interpret)
         improved = p_new >= 0
         bt = jnp.where(improved, t_new, bt)
         bp = jnp.where(improved, p_new, bp)
@@ -426,25 +492,22 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
             # any hit resolves the ray: collapse best_t so no chunk's
             # entry distance can beat it again
             bt = jnp.where(bp >= 0, -BIG, bt)
-        ge = jnp.where(cid >= 0, e, ge)
-        gc = jnp.where(cid >= 0, cid, gc)
         st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
-        e2, cid2 = pick(st)
-        return st, e2, cid2
+        return pick(st)
 
-    e, cid = pick(state)
     if interpret:
         # interpreter path (CPU tests): bounded unrolled loop (small C)
-        st = (state, e, cid)
-        for _ in range(int(accel.pages.shape[0])):
-            st = body(st)
-        st, e, cid = st
+        carry = pick(state)
+        steps = -(-int(accel.pages.shape[0]) // SELECT_K) + 1
+        for _ in range(steps):
+            carry = body(carry)
+        st, cids = carry
     else:
         # Cascade: the alive count shrinks geometrically with passes, so
         # late passes run on statically-sliced prefixes.  Sorting by chunk
         # id puts finished rays (sentinel key) last, preserving the
         # invariant "alive rays live in the prefix".
-        st, e, cid = (state, e, cid)
+        st, cids = pick(state)
         size = n
         sizes = []
         while size > 4 * TILE:
@@ -455,31 +518,34 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         for i, sz in enumerate(sizes):
             last = i == len(sizes) - 1
             head = tuple(a[:sz] for a in st)
-            e_h, cid_h = e[:sz], cid[:sz]
+            cids_h = tuple(c[:sz] for c in cids)
 
             if last:
                 def cond(c, sz=sz):
-                    return jnp.any(c[2] >= 0)
+                    return jnp.any(c[1][0] >= 0)
             else:
                 def cond(c, sz=sz, nxt=sizes[i + 1]):
-                    return jnp.sum((c[2] >= 0).astype(jnp.int32)) > nxt
+                    return jnp.sum((c[1][0] >= 0).astype(jnp.int32)) > nxt
 
-            head, e_h, cid_h = jax.lax.while_loop(
-                cond, body, (head, e_h, cid_h))
+            head, cids_h = jax.lax.while_loop(
+                cond, body, (head, cids_h))
             if not last:
                 # compact alive rays into the next prefix
-                key = jnp.where(cid_h >= 0, cid_h,
-                                jnp.int32(accel.pages.shape[0]))
-                sorted_ = jax.lax.sort((key, e_h) + head, num_keys=1)
-                e_h = sorted_[1]
-                head = sorted_[2:]
-                cid_h = jnp.where(e_h > -jnp.inf, sorted_[0], -1)
+                key = jnp.where(cids_h[0] >= 0, cids_h[0], sent)
+                sorted_ = jax.lax.sort(
+                    (key,) + tuple(cids_h[1:]) + head, num_keys=1)
+                key = sorted_[0]
+                cids_h = (jnp.where(key < sent, key, -1),) \
+                    + sorted_[1:SELECT_K]
+                head = sorted_[SELECT_K:]
             st = tuple(
                 jax.lax.dynamic_update_slice(a, h, (0,))
                 for a, h in zip(st, head)
             )
-            e = jax.lax.dynamic_update_slice(e, e_h, (0,))
-            cid = jax.lax.dynamic_update_slice(cid, cid_h, (0,))
+            cids = tuple(
+                jax.lax.dynamic_update_slice(a, h, (0,))
+                for a, h in zip(cids, cids_h)
+            )
 
     (_, _, _, _, _, _, bt, bp, _, _, oidx) = st
     res = jax.lax.sort((oidx, bt, bp), num_keys=1)
