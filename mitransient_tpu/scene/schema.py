@@ -415,6 +415,21 @@ def _parse_integrator(d: dict) -> IntegratorConfig:
     md = int(d.get("max_depth", 6))
     if md < 0:
         md = MAX_DEPTH_CAP
+    # filter_bounces is an alias: filter_depth = filter_bounces + 1; setting
+    # both is an error (transientnlospath.py:204-215)
+    filter_depth = int(d.get("filter_depth", -1))
+    filter_bounces = int(d.get("filter_bounces", -1))
+    if filter_depth != -1 and filter_bounces != -1:
+        raise ValueError("Only use one of filter_depth or filter_bounces "
+                         "(transientnlospath.py:207-208)")
+    if filter_bounces != -1:
+        filter_depth = filter_bounces + 1
+    if filter_depth != -1 and filter_depth >= md:
+        from ..log import warn as _warn
+
+        _warn("You have set filter_depth >= max_depth. "
+              "This will cause the final image to be all zero. "
+              "(transientnlospath.py:212-216)")
     return IntegratorConfig(
         kind=d.get("type", "transient_path"),
         max_depth=md,
@@ -424,8 +439,8 @@ def _parse_integrator(d: dict) -> IntegratorConfig:
         temporal_filter=d.get("temporal_filter", ""),
         gaussian_stddev=float(d.get("gaussian_stddev", 2.0)),
         capture_type=str(d.get("capture_type", "single")).lower(),
-        filter_depth=int(d.get("filter_depth", -1)),
-        filter_bounces=int(d.get("filter_bounces", -1)),
+        filter_depth=filter_depth,
+        filter_bounces=filter_bounces,
         discard_direct_paths=bool(d.get("discard_direct_paths", False)),
         nlos_laser_sampling=bool(d.get("nlos_laser_sampling", False)),
         nlos_hidden_geometry_sampling=bool(

@@ -179,3 +179,40 @@ def test_exhaustive_capture():
     assert np.all(np.isfinite(t)) and t.sum() > 0
     # different laser points illuminate differently
     assert not np.allclose(t[:, :, 0, 0], t[:, :, 1, 1])
+
+
+def test_filter_bounces_alias():
+    """``filter_bounces`` is an alias for ``filter_depth = filter_bounces+1``
+    and actually filters (transientnlospath.py:204-215)."""
+    d_fb = nlos_scene()
+    d_fb["integrator"]["filter_depth"] = -1
+    d_fb["integrator"]["filter_bounces"] = 2
+    s_fb = mitr.load_dict(d_fb)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s_fb)
+    _, t_fb = mitr.render(s_fb, spp=32, seed=0)
+
+    d_fd = nlos_scene()
+    d_fd["integrator"]["filter_depth"] = 3
+    s_fd = mitr.load_dict(d_fd)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s_fd)
+    _, t_fd = mitr.render(s_fd, spp=32, seed=0)
+
+    np.testing.assert_allclose(np.asarray(t_fb), np.asarray(t_fd))
+
+    # the gate is real: 3-vertex paths carry all the energy of this scene,
+    # filter_bounces=1 (depth 2, wall-only paths) keeps none of it
+    assert np.asarray(t_fb).sum() > 0
+    d_f1 = nlos_scene()
+    d_f1["integrator"]["filter_bounces"] = 1
+    s_f1 = mitr.load_dict(d_f1)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], s_f1)
+    _, t_f1 = mitr.render(s_f1, spp=32, seed=0)
+    assert np.asarray(t_f1).sum() < 1e-6 * np.asarray(t_fb).sum()
+
+
+def test_filter_bounces_and_depth_mutually_exclusive():
+    d = nlos_scene()
+    d["integrator"]["filter_depth"] = 3
+    d["integrator"]["filter_bounces"] = 2
+    with pytest.raises(ValueError, match="filter_depth or filter_bounces"):
+        mitr.load_dict(d)
