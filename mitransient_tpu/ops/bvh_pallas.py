@@ -290,7 +290,12 @@ def _select_kernel(
                               chk_ref[4, ci], chk_ref[5, ci])
                 cif = ci.astype(jnp.float32)
                 after = (tn > ge) | ((tn == ge) & (cif > gc))
-                valid = (tn <= tf) & (tn < bt) & after
+                # mask pad chunks (ci >= n_chunks) at the source: their
+                # fill bounds (min=+1, max=-1) reorder into a hittable
+                # [-1,1]^3 box under the slab min/max and would otherwise
+                # burn SELECT_K slots with phantom candidates
+                valid = (tn <= tf) & (tn < bt) & after \
+                    & (cif < jnp.float32(n_chunks))
                 e = jnp.where(valid, tn, jnp.inf)
                 c = jnp.where(valid, cif, 1.0e30)
                 # bubble-insert (e, c) into the K sorted register pairs;
@@ -410,7 +415,9 @@ def _select_next(accel: Accel, ray_o, ray_d, inv_d, best_t, gate_e, gate_c,
         cids = base + jnp.arange(_SEL_BLOCK, dtype=jnp.int32)[None, :]
         after_gate = (tn > gate_e[:, None]) | (
             (tn == gate_e[:, None]) & (cids > gate_c[:, None]))
-        valid = (tn <= tf) & after_gate & alive[:, None]
+        # mask pad chunks (cid >= c): their fill bounds alias a hittable
+        # [-1,1]^3 box under the slab min/max reordering
+        valid = (tn <= tf) & after_gate & alive[:, None] & (cids < c)
         e = jnp.where(valid, tn, jnp.inf)
         ej = jnp.min(e, axis=-1)
         # ties -> smallest chunk id (pure reductions; no gathers)

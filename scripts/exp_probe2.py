@@ -63,8 +63,9 @@ def timeit(name, f, *args):
 
 @jax.jit
 def sel(o, d, bt, ge, gc):
-    e, cid = B._select_next_pallas(accel, o, d, bt, ge, gc)
-    return jnp.sum(jnp.where(jnp.isfinite(e), e, 0.0)) + jnp.sum(cid)
+    es, cids = B._select_next_pallas(accel, o, d, bt, ge, gc)
+    return (sum(jnp.sum(jnp.where(jnp.isfinite(e), e, 0.0)) for e in es)
+            + sum(jnp.sum(c) for c in cids))
 
 
 timeit("select", sel, o, d, bt, ge, gc)
@@ -75,7 +76,14 @@ def sel_raw(o, d, bt, ge, gc):
     return B._select_next_pallas(accel, o, d, bt, ge, gc)
 
 
-e, cid = sel_raw(o, d, bt, ge, gc)
+es_k, cids_k = sel_raw(o, d, bt, ge, gc)
+# use the first (front-most) candidate slot for the sort/sweep benchmarks
+e, cid = es_k[0], cids_k[0]
+
+
+def as_ktuple(c):
+    """Wrap one cid array into the SELECT_K-tuple _sweep_pass expects."""
+    return (c,) + tuple(jnp.full_like(c, -1) for _ in range(B.SELECT_K - 1))
 
 
 @jax.jit
@@ -104,7 +112,7 @@ cid_s = jnp.where(e_s > -jnp.inf, key_s, -1)
 
 @jax.jit
 def swp(cid, o, d, bt):
-    t, p = B._sweep_pass(accel, cid, o, d, bt, False)
+    t, p = B._sweep_pass(accel, as_ktuple(cid), o, d, bt, False)
     return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)) + jnp.sum(p)
 
 
@@ -128,8 +136,9 @@ gc_s = jnp.where(cid_s >= 0, cid_s, -1)
 
 @jax.jit
 def sel2(o, d, bt, ge, gc):
-    e, cid = B._select_next_pallas(accel, o, d, bt, ge, gc)
-    return jnp.sum(jnp.where(jnp.isfinite(e), e, 0.0)) + jnp.sum(cid)
+    es, cids = B._select_next_pallas(accel, o, d, bt, ge, gc)
+    return (sum(jnp.sum(jnp.where(jnp.isfinite(e), e, 0.0)) for e in es)
+            + sum(jnp.sum(c) for c in cids))
 
 
 timeit("select(sorted,gated)", sel2, o_s, d_s, bt_s, ge_s, gc_s)

@@ -152,3 +152,36 @@ def test_scene_builds_accel_above_threshold():
     s, t = __import__("mitransient_tpu").render(sc, spp=2, seed=0)
     assert np.isfinite(np.asarray(s)).all()
     assert float(np.asarray(s).max()) > 0.0
+
+
+def test_phantom_pad_chunks_near_origin():
+    """Pad chunks (fill min=+1/max=-1) must not act as a hittable [-1,1]^3
+    box at the origin: geometry far from the origin, rays shot THROUGH the
+    origin region, chunk count not a multiple of the pad block."""
+    rng = np.random.RandomState(7)
+    # ~3 chunks (1536 tris) of geometry centered at x ~ +10, away from 0
+    v0 = (np.array([10.0, 0.0, 0.0]) +
+          rng.uniform(-2, 2, (3 * A.CHUNK_TRIS, 3))).astype(np.float32)
+    e1 = rng.uniform(-0.3, 0.3, v0.shape).astype(np.float32)
+    e2 = rng.uniform(-0.3, 0.3, v0.shape).astype(np.float32)
+    acc = A.build_accel(v0, e1, e2)
+    assert acc.pages.shape[0] % A.SUPER_CHUNKS != 0  # pad chunks exist
+    n = 512
+    o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    o[:, 0] = -5.0  # every ray crosses the phantom box around the origin
+    d = (np.array([10.0, 0.0, 0.0]) +
+         rng.uniform(-2, 2, (n, 3)) - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    maxt = np.full(n, np.inf, np.float32)
+    act = np.ones(n, bool)
+    t_ref, p_ref = _brute(v0, e1, e2, o, d, maxt, act)
+    t, p = BP.closest_hit_bvh(acc, jnp.asarray(o), jnp.asarray(d),
+                              jnp.asarray(maxt), jnp.asarray(act),
+                              interpret=True)
+    assert _same_hits(t_ref, np.asarray(t))
+    np.testing.assert_array_equal(p_ref, np.asarray(p))
+    occ_ref = np.isfinite(t_ref)
+    occ = BP.ray_test_bvh(acc, jnp.asarray(o), jnp.asarray(d),
+                          jnp.asarray(maxt), jnp.asarray(act),
+                          interpret=True)
+    np.testing.assert_array_equal(occ_ref, np.asarray(occ))
