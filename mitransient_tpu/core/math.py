@@ -65,3 +65,34 @@ def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
     a2 = pdf_a * pdf_a
     w = safe_div(a2, a2 + pdf_b * pdf_b)
     return jnp.where(jnp.isfinite(w), w, 0.0)
+
+
+def rodrigues(w: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices from axis-angle vectors ``w`` (..., 3) — angle =
+    |w| radians about w.  Series-safe at w -> 0 (R == I exactly at w == 0,
+    with the correct derivative dR = skew(dw)); used for the differentiable
+    per-shape rotation deltas of geometry gradients."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    # clamp at 1e-12 (not smaller): the reciprocal's VJP squares the
+    # denominator, and (1e-24)^2 underflows f32 -> inf * 0 = NaN
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-12))
+    small = theta2 < 1e-12
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks near 0
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-12))
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    K = jnp.stack([
+        jnp.stack([zero, -wz, wy], axis=-1),
+        jnp.stack([wz, zero, -wx], axis=-1),
+        jnp.stack([-wy, wx, zero], axis=-1),
+    ], axis=-2)  # (..., 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K)
+    return eye + a[..., None, None] * K + b[..., None, None] * K2
+
+
+def matvec3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", m, v)

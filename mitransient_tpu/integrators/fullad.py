@@ -54,6 +54,15 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
             film, L, _v, _r = sample_nlos_primal(
                 sdt, ctx, sampler, ray, rw, film, film_cfg, icfg,
                 inv_total, base_dim=2, spp=spp, skip_le=skip_le)
+        elif kind == "transient_path":
+            from ..sensors.perspective import sample_rays
+            from .path import sample_primal
+
+            ray, pix, rw = sample_rays(ctx, sampler, film_cfg.width,
+                                       film_cfg.height, spp)
+            film, L, _v, _r = sample_primal(
+                sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
+                inv_total, base_dim=2, spp=spp)
         else:  # transient_prbvolpath
             from ..sensors.perspective import sample_rays
             from .volpath import sample_volpath_primal

@@ -77,6 +77,13 @@ class DiffParams(NamedTuple):
     bsdf_alpha_v: jnp.ndarray = None  # (B,) GGX alpha_v (None if isotropic)
     medium_sigma_t: jnp.ndarray = None  # (M,)
     bsdf_textures: jnp.ndarray = None  # (NT, H, W, C) atlas (None if untextured)
+    # per-shape rigid-motion deltas (scene.GeomParams; zeros at the current
+    # pose) — gradients w.r.t. these are d(render)/d(shape pose), flowing
+    # through the attached ray_intersect (the reference's dr.resume_grad
+    # around scene.ray_intersect, transientpath.py:148-151)
+    shape_translate: jnp.ndarray = None  # (S, 3)
+    shape_rotate: jnp.ndarray = None  # (S, 3) axis-angle about shape pivot
+    emitter_position: jnp.ndarray = None  # (E, 3) delta-emitter positions
 
 
 def extract_params(sd: SceneData) -> DiffParams:
@@ -88,10 +95,17 @@ def extract_params(sd: SceneData) -> DiffParams:
         bsdf_alpha_v=sd.bsdf.alpha_v,
         medium_sigma_t=sd.medium.sigma_t,
         bsdf_textures=sd.bsdf.textures,
+        shape_translate=(sd.geom.translate if sd.geom is not None else None),
+        shape_rotate=(sd.geom.rotate if sd.geom is not None else None),
+        emitter_position=sd.emitter.position,
     )
 
 
 def insert_params(sd: SceneData, p: DiffParams) -> SceneData:
+    geom = sd.geom
+    if geom is not None and p.shape_translate is not None:
+        geom = geom._replace(translate=p.shape_translate,
+                             rotate=p.shape_rotate)
     return sd._replace(
         bsdf=sd.bsdf._replace(
             reflectance=p.bsdf_reflectance,
@@ -101,12 +115,16 @@ def insert_params(sd: SceneData, p: DiffParams) -> SceneData:
             textures=(p.bsdf_textures if p.bsdf_textures is not None
                       else sd.bsdf.textures),
         ),
-        emitter=sd.emitter._replace(radiance=p.emitter_radiance),
+        emitter=sd.emitter._replace(
+            radiance=p.emitter_radiance,
+            position=(p.emitter_position if p.emitter_position is not None
+                      else sd.emitter.position)),
         medium=sd.medium._replace(
             albedo=p.medium_albedo,
             sigma_t=(p.medium_sigma_t if p.medium_sigma_t is not None
                      else sd.medium.sigma_t),
         ),
+        geom=geom,
     )
 
 
@@ -139,6 +157,12 @@ def grads_to_named(scene, grads: DiffParams) -> dict:
             out[path] = grads.medium_sigma_t[idx]
         elif table == "bsdf.textures" and grads.bsdf_textures is not None:
             out[path] = grads.bsdf_textures[idx]
+        elif table == "shape.translate" and grads.shape_translate is not None:
+            out[path] = grads.shape_translate[idx]
+        elif table == "shape.rotate" and grads.shape_rotate is not None:
+            out[path] = grads.shape_rotate[idx]
+        elif table == "emitter.position" and grads.emitter_position is not None:
+            out[path] = grads.emitter_position[idx]
     return out
 
 

@@ -337,8 +337,9 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
     if scene.integrator.kind == "transient_prbvolpath" and method != "fullad":
         return render_backward_volpath(scene, grad_in, spp=spp, seed=seed,
                                        sensor=sensor)
-    if scene.integrator.kind in ("transient_nlos_path",
-                                 "transient_prbvolpath"):
+    if (scene.integrator.kind in ("transient_nlos_path",
+                                  "transient_prbvolpath")
+            or method == "fullad"):
         from .integrators.fullad import render_backward_fullad
 
         return render_backward_fullad(scene, grad_in, spp=spp, seed=seed,

@@ -130,6 +130,9 @@ class EmitterParams(NamedTuple):
     em_tri_e1: jnp.ndarray | None = None  # (K, 3)
     em_tri_e2: jnp.ndarray | None = None  # (K, 3)
     em_tri_ng: jnp.ndarray | None = None  # (K, 3)
+    # shape owning each emitter-triangle row (geometry-gradient routing of
+    # NEE sample points through the per-shape delta transforms)
+    em_tri_shape: jnp.ndarray | None = None  # (K,) int32
 
 
 class MediumParams(NamedTuple):
@@ -148,6 +151,24 @@ class MediumParams(NamedTuple):
     majorant: jnp.ndarray  # (M,)
 
 
+class GeomParams(NamedTuple):
+    """Per-shape rigid-motion deltas — the differentiable geometry surface.
+
+    The reference exposes shape geometry to AD by running ``ray_intersect``
+    attached (transientpath.py:148-151); here the equivalent is a per-shape
+    delta transform (translate + axis-angle rotate about ``pivot``) applied
+    to the gathered hit-triangle data inside :func:`ray_intersect`, with the
+    hit distance re-derived from the (moved) triangle's plane equation.  The
+    deltas are ZERO in SceneData; they exist so ``jax.grad`` w.r.t. them
+    yields d(render)/d(shape pose) evaluated at the current pose.  To
+    actually move a shape, use ``traverse(scene)['<key>.to_world.translate']
+    = v; params.update()`` which re-bakes the soup host-side."""
+
+    translate: jnp.ndarray  # (S, 3) — zeros
+    rotate: jnp.ndarray  # (S, 3) axis-angle radians — zeros
+    pivot: jnp.ndarray  # (S, 3) rotation pivot = shape to_world origin
+
+
 class SceneData(NamedTuple):
     tri: Triangles
     bsdf: BSDFParams
@@ -155,9 +176,12 @@ class SceneData(NamedTuple):
     medium: MediumParams
     # Chunked acceleration structure (ops/accel.py) for scenes beyond the
     # single-level sweep's SMEM cap; None for small scenes.  Derived data:
-    # NOT differentiated (hit distances re-attach through the barycentric
-    # reconstruction below, matching the detached-sampling PRB estimators).
+    # NOT differentiated (hit distances re-attach through the plane-equation
+    # reconstruction in ray_intersect, matching the reference's attached
+    # ray_intersect inside dr.resume_grad, transientpath.py:148-151).
     accel: object = None
+    # Differentiable per-shape rigid deltas (None disables the attach path)
+    geom: GeomParams | None = None
 
 
 # --------------------------------------------------------------------------
@@ -246,9 +270,32 @@ def _perturbed_normal(bp: BSDFParams, bsdf_id, ng, uv, e1, e2, uv_e1, uv_e2):
     return jnp.where((perturbed & ok_uv)[:, None], n_new, ng)
 
 
+def geom_delta_of(geom: GeomParams, shape_ids: jnp.ndarray):
+    """Per-lane rigid delta for ``shape_ids`` (clamped): returns
+    (R (N, 3, 3), shift (N, 3)) with points moving as ``R @ p + shift``.
+
+    At zero deltas R is EXACTLY the identity and shift exactly zero (the
+    pivot round-trip is formulated as ``tr + piv - R @ piv``), so attaching
+    geometry changes no primal bit."""
+    from ..core.math import matvec3, rodrigues
+
+    gcols = columns_lookup(
+        {"tr": geom.translate, "rot": geom.rotate, "piv": geom.pivot},
+        jnp.maximum(shape_ids, 0),
+    )
+    R = rodrigues(gcols["rot"])
+    shift = gcols["tr"] + gcols["piv"] - matvec3(R, gcols["piv"])
+    return R, shift
+
+
 def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceInteraction:
     """Closest hit + shading record.  Equivalent of ``mi.Scene.ray_intersect``
-    (used at transientpath.py:149).
+    — run *attached* like the reference's differential phase
+    (``dr.resume_grad`` around ray_intersect, transientpath.py:148-151): the
+    winning primitive is a detached discrete choice, but ``t`` is re-derived
+    from the hit triangle's plane equation and every shading attribute from
+    the (delta-transformed) triangle tables, so d(hit)/d(shape pose) and
+    d(hit)/d(ray) flow under ``jax.grad``.
 
     TPU note: all per-hit attributes come from ONE packed one-hot lookup over
     the triangle table (ops/gather.py) and the barycentrics are reconstructed
@@ -259,7 +306,6 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
     )
     valid = prim >= 0
     prim_c = jnp.maximum(prim, 0)
-    p = ray.o + ray.d * jnp.where(valid, t, 0.0)[:, None]
     cols = columns_lookup(
         {
             "v0": sd.tri.v0,
@@ -276,6 +322,25 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
         prim_c,
     )
     ng = cols["ng"]
+    if sd.geom is not None:
+        from ..core.math import matvec3
+
+        sid = jnp.round(cols["shape_id"]).astype(jnp.int32)
+        R, shift = geom_delta_of(sd.geom, sid)
+        cols = dict(cols)
+        cols["v0"] = matvec3(R, cols["v0"]) + shift
+        cols["e1"] = matvec3(R, cols["e1"])
+        cols["e2"] = matvec3(R, cols["e2"])
+        ng = matvec3(R, ng)
+        # attached hit distance from the (moved) triangle's plane equation;
+        # primal stays the traversal kernel's t bit-for-bit (replace_grad)
+        denom = dot(ray.d, ng)
+        ok_den = jnp.abs(denom) > 1e-12
+        t_plane = dot(cols["v0"] - ray.o, ng) / jnp.where(ok_den, denom, 1.0)
+        t_att = jnp.where(ok_den & valid, t_plane,
+                          jax.lax.stop_gradient(t))
+        t = t_att + jax.lax.stop_gradient(t - t_att)
+    p = ray.o + ray.d * jnp.where(valid, t, 0.0)[:, None]
     # Barycentrics of p in the winning triangle (projection method).
     w = p - cols["v0"]
     e1, e2 = cols["e1"], cols["e2"]
@@ -388,7 +453,21 @@ def _uniform_triangle_point(sd: SceneData, tri: jnp.ndarray,
             tri,
         )
     p = cols["v0"] + cols["e1"] * b1[:, None] + cols["e2"] * b2[:, None]
-    return p, cols["ng"]
+    ng = cols["ng"]
+    if sd.geom is not None and em.em_tri_shape is not None:
+        # route the sampled emitter point through its shape's rigid delta so
+        # d(NEE)/d(emitter pose) flows (the reference gets the analogue via
+        # attached si when paths HIT the emitter; NEE-side attachment makes
+        # the light-transport gradient of a moving light exact)
+        from ..core.math import matvec3
+
+        scols = columns_lookup(
+            {"sid": em.em_tri_shape.astype(jnp.float32)}, slot)
+        sid = jnp.round(scols["sid"]).astype(jnp.int32)
+        R, shift = geom_delta_of(sd.geom, sid)
+        p = matvec3(R, p) + shift
+        ng = matvec3(R, ng)
+    return p, ng
 
 
 def sample_emitter_direction(

@@ -781,6 +781,11 @@ class Scene:
                 self._param_paths[f"{key}.{rad_key}.value"] = (
                     "emitter.radiance", em_idx)
                 self._param_paths[f"{key}.to_world"] = ("emitter.to_world", em_idx)
+                # delta-emitter position is itself differentiable (geometry
+                # gradient for point/projector lights; cf. mi.traverse
+                # exposing the point emitter's `position`)
+                self._param_paths[f"{key}.position"] = (
+                    "emitter.position", em_idx)
             elif t in ("perspective", "thinlens"):
                 sensor_dicts.append((val, -1))
             elif t and (t in SHAPE_REGISTRY or False):
@@ -884,13 +889,14 @@ class Scene:
         uv1 = np.concatenate(tri_uv1)
         uv2 = np.concatenate(tri_uv2)
 
+        shape_id_np = np.concatenate(tri_shape)
         tri = Triangles(
             v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
             ng=jnp.asarray(ng.astype(np.float32)),
             uv0=jnp.asarray(uv0), uv_e1=jnp.asarray(uv1 - uv0),
             uv_e2=jnp.asarray(uv2 - uv0),
             area=jnp.asarray(area.astype(np.float32)),
-            shape_id=jnp.asarray(np.concatenate(tri_shape)),
+            shape_id=jnp.asarray(shape_id_np),
             bsdf_id=jnp.asarray(np.concatenate(tri_bsdf)),
             emitter_id=jnp.asarray(np.concatenate(tri_em)),
             medium_id=jnp.asarray(np.concatenate(tri_med)),
@@ -1075,6 +1081,7 @@ class Scene:
             em_tri_e1=jnp.asarray(e1[em_tri_idx], jnp.float32),
             em_tri_e2=jnp.asarray(e2[em_tri_idx], jnp.float32),
             em_tri_ng=jnp.asarray(ng[em_tri_idx], jnp.float32),
+            em_tri_shape=jnp.asarray(shape_id_np[em_tri_idx], jnp.int32),
         )
 
         # Medium table (at least one row so lookups are well-formed).
@@ -1143,8 +1150,30 @@ class Scene:
             from ..ops.accel import build_accel
 
             accel = build_accel(v0, e1, e2)
+
+        # Differentiable per-shape rigid deltas (zeros; scene.GeomParams).
+        # Pivot = each shape's to_world origin, so the `.to_world.rotate`
+        # gradient is about the object's own frame like composing a rotation
+        # into to_world would.
+        from .scene import GeomParams
+
+        S = max(len(self.shapes), 1)
+        pivot = np.zeros((S, 3), np.float32)
+        for s_i, shp in enumerate(self.shapes):
+            pivot[s_i] = shp.to_world.translation
+        geom = GeomParams(
+            translate=jnp.zeros((S, 3), jnp.float32),
+            rotate=jnp.zeros((S, 3), jnp.float32),
+            pivot=jnp.asarray(pivot),
+        )
+        for s_i, skey in enumerate(self._shape_keys):
+            self._param_paths[f"{skey}.to_world.translate"] = (
+                "shape.translate", s_i)
+            self._param_paths[f"{skey}.to_world.rotate"] = (
+                "shape.rotate", s_i)
+
         self.data = SceneData(tri=tri, bsdf=bsdf, emitter=emitter,
-                              medium=medium, accel=accel)
+                              medium=medium, accel=accel, geom=geom)
 
     # ------------------------------------------------------------------
     def emitter_index(self, key_or_idx) -> int:
@@ -1231,6 +1260,16 @@ class ParamMap:
             return self.scene.data.bsdf.textures[idx]
         if table == "emitter.to_world":
             return self.scene._emitters[idx].to_world
+        if table == "emitter.position":
+            return self.scene.data.emitter.position[idx]
+        if table == "shape.translate":
+            # absolute world-space translation of the shape's to_world
+            return jnp.asarray(self.scene.shapes[idx].to_world.translation,
+                               jnp.float32)
+        if table == "shape.rotate":
+            # additive axis-angle delta about the shape pivot; always zero
+            # after update() re-bakes the pose into the soup
+            return self.scene.data.geom.rotate[idx]
         raise KeyError(key)
 
     def __setitem__(self, key, value):
@@ -1240,10 +1279,36 @@ class ParamMap:
 
     def update(self):
         self.scene.data = self.apply(self._staged, self.scene.data)
+        rebake = False
         for key, value in self._staged.items():
             table, idx = self.scene._param_paths[key]
             if table == "emitter.to_world":
                 self.scene.replace_emitter_transform(idx, value)
+            elif table == "shape.translate":
+                # absolute world-space translation: set to_world's origin
+                shp = self.scene.shapes[idx]
+                m = shp.to_world.m.copy()
+                m[:3, 3] = np.asarray(value, np.float64)
+                shp.to_world = Transform4(m)
+                rebake = True
+            elif table == "shape.rotate":
+                # additive axis-angle rotation about the shape pivot
+                shp = self.scene.shapes[idx]
+                w = np.asarray(value, np.float64)
+                th = float(np.linalg.norm(w))
+                if th > 0.0:
+                    axis = w / th
+                    piv = shp.to_world.translation
+                    delta = (Transform4().translate(piv)
+                             .rotate(axis, np.rad2deg(th))
+                             .translate(-piv))
+                    shp.to_world = delta @ shp.to_world
+                    rebake = True
+        if rebake:
+            # geometry moved: re-bake the triangle soup, emitter tables,
+            # pivots and acceleration structure host-side (the geom deltas
+            # in SceneData stay zero — they are pure gradient carriers)
+            self.scene._compile()
         self._staged = {}
 
     def apply(self, updates: dict, data: SceneData | None = None) -> SceneData:
@@ -1292,8 +1357,14 @@ class ParamMap:
                     bsdf=data.bsdf._replace(
                         textures=data.bsdf.textures.at[idx].set(
                             jnp.asarray(value, jnp.float32))))
-            elif table == "emitter.to_world":
-                pass  # host-side; handled in update()
+            elif table == "emitter.position":
+                data = data._replace(
+                    emitter=data.emitter._replace(
+                        position=data.emitter.position.at[idx].set(
+                            jnp.asarray(value, jnp.float32))))
+            elif table in ("emitter.to_world", "shape.translate",
+                           "shape.rotate"):
+                pass  # host-side re-bake; handled in update()
             else:
                 raise KeyError(key)
         return data
