@@ -83,7 +83,15 @@ def square_to_hg(sample: jnp.ndarray, g: jnp.ndarray):
 
 
 def hg_pdf(cos_theta: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    """Henyey–Greenstein phase value/pdf, FORWARD convention: ``cos_theta``
+    is measured from the propagation direction (g > 0 peaks at
+    cos_theta = +1).  Matches ``square_to_hg``'s sample distribution and
+    Mitsuba's ``eval_pdf`` (whose ``dot(wi, wo)`` equals -cos_theta here —
+    its +2g flips to -2g under that substitution).  Round-3 fix: this
+    previously used +2g, i.e. the mirror-image phase, under-weighting
+    forward NEE by (1-g)^3/(1+g)^3 at grazing alignment — caught by the
+    volumetric single-scatter oracle (tests/test_oracle_vol.py)."""
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
     return (1.0 / (4.0 * jnp.pi)) * (1.0 - g * g) / jnp.maximum(
         denom * safe_sqrt(denom), 1e-12
     )

@@ -266,3 +266,177 @@ def test_prb_gradient_exact_linearity():
     # emitter radiance gradient
     ge = np.asarray(g.emitter_radiance, np.float64)
     np.testing.assert_allclose(ge.sum(axis=0)[-3:], s_sum / LE, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Two-bounce oracle: camera -> floor -> wall -> point light (VERDICT r2
+# task 4a).  The point light sits BELOW the floor plane so the floor gets no
+# direct light (its NEE cosine is negative and the segment is floor-occluded)
+# and the camera frustum sees only the floor — so the depth-3 render equals
+# the two-bounce term alone, which the oracle integrates in float64 over a
+# wall-point grid with exact per-pair OPL binning (no profile smearing) and
+# exact visibility of the wall->light segment against the finite floor.
+# ---------------------------------------------------------------------------
+
+WALL_C = np.array([0.0, 1.0, -1.5])  # vertical wall, facing +z
+WALL_SX, WALL_SY = 1.6, 1.0  # local [-1,1]^2 scaled -> spans y in [0, 2]
+WALL_RHO = np.array([0.6, 0.55, 0.45])
+PL_POS = np.array([3.5, -0.5, 1.0])  # point light below the floor plane
+PL_I = np.array([40.0, 30.0, 20.0])
+FLOOR_HALF = 1.2  # small floor: most wall->light segments clear its edge
+B2_START, B2_BINW, B2_NBINS = 5.0, 0.05, 180  # covers worst-case OPL ~13.2
+
+
+def two_bounce_scene(max_depth=3):
+    return {
+        "type": "scene",
+        "integrator": {
+            "type": "transient_path",
+            "max_depth": max_depth,
+            "rr_depth": 99,
+        },
+        "sensor": {
+            "type": "perspective",
+            "fov": FOV,
+            "fov_axis": "x",
+            "to_world": {
+                "look_at": {
+                    "origin": list(CAM_O),
+                    "target": list(CAM_T),
+                    "up": [0, 1, 0],
+                }
+            },
+            "film": {
+                "type": "transient_hdr_film",
+                "width": W,
+                "height": H,
+                "temporal_bins": B2_NBINS,
+                "start_opl": B2_START,
+                "bin_width_opl": B2_BINW,
+            },
+        },
+        "floor": {
+            "type": "rectangle",
+            "to_world": {
+                "rotate": {"axis": [1, 0, 0], "angle": -90},
+                "scale": FLOOR_HALF,
+            },
+            "bsdf": {"type": "diffuse",
+                     "reflectance": {"type": "rgb", "value": list(RHO)}},
+        },
+        "wall": {
+            "type": "rectangle",
+            "to_world": {
+                "translate": list(WALL_C),
+                "scale": [WALL_SX, WALL_SY, 1.0],
+            },
+            "bsdf": {"type": "diffuse",
+                     "reflectance": {"type": "rgb", "value": list(WALL_RHO)}},
+        },
+        "plight": {
+            "type": "point",
+            "to_world": {"translate": list(PL_POS)},
+            "intensity": {"type": "rgb", "value": list(PL_I)},
+        },
+    }
+
+
+def _quad_two_bounce(jit_k=4, wall_g=160):
+    """Float64 quadrature of the two-bounce term with exact per-(p, s) OPL
+    binning.  Returns (steady (H, W, 3), transient (H, W, B2_NBINS, 3))."""
+    d = _pixel_dirs(jit_k)
+    tmin = -CAM_O[1] / d[..., 1]
+    p = (CAM_O + tmin[..., None] * d).reshape(-1, 3)  # floor points
+    cam_dist = tmin.reshape(-1)
+
+    # wall grid (midpoint): world x in +-WALL_SX, y in WALL_C.y +- WALL_SY
+    g = (np.arange(wall_g) + 0.5) / wall_g * 2.0 - 1.0
+    sx, sy = np.meshgrid(WALL_C[0] + g * WALL_SX, WALL_C[1] + g * WALL_SY,
+                         indexing="ij")
+    s = np.stack([sx.ravel(), sy.ravel(),
+                  np.full(wall_g * wall_g, WALL_C[2])], axis=-1)  # (G, 3)
+    dA = (4.0 * WALL_SX * WALL_SY) / (wall_g * wall_g)
+    n_wall = np.array([0.0, 0.0, 1.0])
+
+    # wall <- light: E(s) = I * cos_s / r^2, with exact floor-edge shadow
+    to_l = PL_POS[None, :] - s
+    r_sl = np.linalg.norm(to_l, axis=-1)
+    cos_s_l = (to_l @ n_wall) / r_sl  # wall faces +z
+    # floor-plane crossing of segment s -> L (y goes from s_y>0 to -0.5)
+    t_star = s[:, 1] / (s[:, 1] - PL_POS[1])
+    cross = s + t_star[:, None] * (PL_POS[None, :] - s)
+    blocked = (np.abs(cross[:, 0]) <= FLOOR_HALF) & (
+        np.abs(cross[:, 2]) <= FLOOR_HALF) & (t_star > 0) & (t_star < 1)
+    vis_sl = (cos_s_l > 0) & ~blocked
+    E_s = np.where(vis_sl, cos_s_l / (r_sl * r_sl), 0.0)  # per-channel x I
+
+    # floor -> wall transport, chunked over floor points
+    npnt = p.shape[0]
+    steady_w = np.zeros(npnt)  # scalar geometric part (per-channel later)
+    tr_w = np.zeros((npnt, B2_NBINS))
+    opl_in = r_sl  # |s - L|
+    for lo in range(0, npnt, 128):
+        hi = min(lo + 128, npnt)
+        w = s[None, :, :] - p[lo:hi, None, :]  # (n, G, 3)
+        r2 = np.sum(w * w, axis=-1)
+        r = np.sqrt(r2)
+        cos_p = w[:, :, 1] / r  # floor normal +y
+        cos_s = -w[:, :, 2] / r  # wall normal +z, direction wall -> floor
+        geomv = np.where((cos_p > 0) & (cos_s > 0),
+                         cos_p * cos_s / r2, 0.0) * E_s[None, :] * dA
+        steady_w[lo:hi] = geomv.sum(axis=-1)
+        opl = cam_dist[lo:hi, None] + r + opl_in[None, :]
+        b = np.floor((opl - B2_START) / B2_BINW).astype(np.int64)
+        ok = (b >= 0) & (b < B2_NBINS)
+        flat = (np.arange(hi - lo)[:, None] * B2_NBINS
+                + np.clip(b, 0, B2_NBINS - 1))
+        tr_w[lo:hi] = np.bincount(
+            flat[ok], weights=geomv[ok],
+            minlength=(hi - lo) * B2_NBINS).reshape(hi - lo, B2_NBINS)
+
+    col = (RHO / np.pi) * (WALL_RHO / np.pi) * PL_I  # (3,)
+    steady = (steady_w[:, None] * col[None, :]).reshape(
+        H, W, jit_k, jit_k, 3).mean(axis=(2, 3))
+    transient = (tr_w[:, :, None] * col[None, None, :]).reshape(
+        H, W, jit_k, jit_k, B2_NBINS, 3).mean(axis=(2, 3))
+    return steady, transient
+
+
+@pytest.fixture(scope="module")
+def rendered_two_bounce():
+    scene = mitr.load_dict(two_bounce_scene())
+    steady, transient = mitr.render(scene, spp=4096, seed=5)
+    return np.asarray(steady, np.float64), np.asarray(transient, np.float64)
+
+
+def test_two_bounce_steady_radiometry(rendered_two_bounce):
+    """Depth-3 absolute radiometry vs independent float64 quadrature —
+    locks the recursive estimator (BSDF-sampled continuation pdf, second
+    NEE, throughput chaining), not just the direct term."""
+    steady, _ = rendered_two_bounce
+    ref, _reft = _quad_two_bounce()
+    assert ref.min() > 0
+    assert np.abs(steady.mean() / ref.mean() - 1.0) < 1e-2
+    rel = np.abs(steady - ref) / ref
+    # per-pixel MC noise at 4096 spp for a one-bounce-sampled quantity is
+    # larger than the direct case; 10% per pixel, 1% in aggregate
+    assert np.median(rel) < 5e-2
+    assert rel.max() < 2e-1
+
+
+def test_two_bounce_transient_bins(rendered_two_bounce):
+    """Per-bin two-bounce transient vs the oracle: validates OPL summation
+    across TWO path segments plus the laser-like delta third segment."""
+    _, transient = rendered_two_bounce
+    ref_s, ref_t = _quad_two_bounce()
+    np.testing.assert_allclose(ref_t.sum(axis=2), ref_s, rtol=1e-9)
+    prof = transient.mean(axis=(0, 1))
+    ref_prof = ref_t.mean(axis=(0, 1))
+    peak = ref_prof.max()
+    empty = ref_prof < 1e-12
+    assert prof[empty].max(initial=0.0) < 2e-3 * peak
+    sig = ref_prof > 0.05 * peak
+    rel = np.abs(prof[sig] - ref_prof[sig]) / ref_prof[sig]
+    assert np.median(rel) < 5e-2
+    assert rel.max() < 2e-1
+    assert np.abs(prof.sum() / ref_prof.sum() - 1.0) < 1e-2
