@@ -91,9 +91,9 @@ def render_sharded(
     if icfg.capture_type == "exhaustive" and (
             cfg.kind == "nlos_capture_meter"
             or icfg.kind == "transient_nlos_path"):
-        raise NotImplementedError(
-            "sharded exhaustive NLOS: shard the per-laser-pixel passes "
-            "instead (render_nlos_exhaustive)")
+        return render_nlos_exhaustive_sharded(
+            scene, mesh, spp=spp, seed=seed, sensor=sensor,
+            return_stats=return_stats)
     film_cfg = cfg.film
     ndev = mesh.size
     spp = spp if spp is not None else cfg.spp
@@ -181,6 +181,142 @@ def render_sharded(
         return steady, transient, {"rays": total_rays, "spp": total_spp,
                                    "devices": ndev}
     return steady, transient
+
+
+def render_nlos_exhaustive_sharded(
+    scene: Scene,
+    mesh: Mesh,
+    spp: int | None = None,
+    seed: int = 0,
+    sensor: int = 0,
+    max_lanes: int = 1 << 21,
+    progress_callback=None,
+    return_stats: bool = False,
+):
+    """Distributed exhaustive NLOS capture: the laser grid is round-robined
+    over the mesh — each device renders WHOLE illumination points with the
+    full spp budget and the identical pass/stream layout as the local
+    ``render_nlos_exhaustive`` (every laser point shares the same sample
+    streams by design, matching the reference's sample-sharing inner laser
+    loop, transientnlospath.py:597-628) — so the sharded 6-D film equals the
+    local one bit-for-bit while the wall-clock divides by ``mesh.size``.
+
+    Per round, the per-device NLOS contexts (the laser-dependent hoisted
+    constants of prepare_nlos) are stacked on a leading device axis and
+    sharded; transient slabs come back stacked and the host scatters them
+    into the (h, w, lh, lw, T, C) film.
+    """
+    import numpy as np
+
+    from ..integrators.nlos_path import (
+        can_skip_le,
+        prepare_nlos,
+        sample_nlos_primal,
+        sample_nlos_rays,
+    )
+    from ..nlos import focus_emitter_at_relay_wall_3dpoint
+
+    cfg = scene.sensors[sensor]
+    film_cfg = cfg.film
+    if not film_cfg.exhaustive_scan:
+        raise ValueError("exhaustive capture requires a film with "
+                         "exhaustive_scan=True (transient_hdr_film.py:80-88)")
+    lw, lh = film_cfg.laser_scan_width, film_cfg.laser_scan_height
+    if lw <= 0 or lh <= 0:
+        raise ValueError("laser_scan_width/height must be set for "
+                         "exhaustive captures")
+    spp = spp if spp is not None else cfg.spp
+    hw = film_cfg.width * film_cfg.height
+    h, w = film_cfg.height, film_cfg.width
+    polarized = scene.variant.polarized
+    C_film = scene.variant.color_channels * (4 if polarized else 1)
+    T = film_cfg.temporal_bins
+    ndev = mesh.size
+
+    wall_shape = scene.shapes[cfg.shape_index]
+    px, py = np.meshgrid(np.arange(lw), np.arange(lh))
+    uv = np.stack([(px.ravel() + 0.5) / lw, (py.ravel() + 0.5) / lh], -1)
+    laser_targets = wall_shape.position_from_uv(uv).astype(np.float32)
+    n_pts = lh * lw
+
+    # identical pass/stream layout as the local driver (render_nlos)
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    total_spp = spp_chunk * n_passes
+
+    saved_icfg = scene.integrator
+    scene.integrator = saved_icfg._replace(capture_type="single")
+    icfg = scene.integrator
+    try:
+        skip_le = can_skip_le(scene.data)
+        ctxs = []
+        for i in range(n_pts):
+            focus_emitter_at_relay_wall_3dpoint(laser_targets[i], scene)
+            ctxs.append(prepare_nlos(scene, cfg))
+    finally:
+        scene.integrator = saved_icfg
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("shard"), P(), P()),
+        out_specs=((P("shard"), P("shard")), P("shard")),
+        check_vma=False,
+    )
+    def one_round(sd, ctx_b, seed_, pass_idx):
+        ctx_ = jax.tree.map(lambda a: a[0], ctx_b)  # this device's context
+        sampler = Sampler(seed_, hw * spp_chunk, stream=pass_idx)
+        film = film_init(film_cfg, C_film, scan_pixels=hw)
+        ray, ray_weight = sample_nlos_rays(ctx_, spp_chunk, hw)
+        film, L, _valid, n_rays = sample_nlos_primal(
+            sd, ctx_, sampler, ray, ray_weight, film, film_cfg, icfg,
+            sample_scale=1.0 / total_spp, base_dim=2, spp=spp_chunk,
+            polarized=polarized, spectral=scene.variant.spectral,
+            skip_le=skip_le,
+        )
+        film = splat_steady(film, spp_chunk, L, ray_weight)
+        tr = film.transient[None]  # (1, C, T_pad, HW_pad) -> stacked
+        st = (film.steady / jnp.maximum(film.steady_weight, 1.0)[:, None])[
+            None]
+        return (tr, st), n_rays[None]
+
+    one_round_jit = jax.jit(one_round)
+    sd = replicate(scene.data, mesh)
+
+    out = np.zeros((h, w, lh, lw, T, C_film), np.float32)
+    steady_acc = np.zeros((h, w, C_film), np.float32)
+    total_rays = 0.0
+    n_rounds = (n_pts + ndev - 1) // ndev
+    for r in range(n_rounds):
+        idx = [min(r * ndev + k, n_pts - 1) for k in range(ndev)]
+        ctx_b = jax.tree.map(
+            lambda *leaves: jnp.stack(leaves), *[ctxs[i] for i in idx])
+        tr_acc = None
+        st_acc = None
+        for p in range(n_passes):
+            (tr, st), nr = one_round_jit(sd, ctx_b, jnp.uint32(seed),
+                                         jnp.uint32(p))
+            tr_acc = tr if tr_acc is None else tr_acc + tr
+            st_acc = st if st_acc is None else st_acc + st
+            total_rays += float(jnp.sum(nr))
+        tr_np = np.asarray(tr_acc)  # (ndev, C, T_pad, HW_pad)
+        st_np = np.asarray(st_acc) / n_passes
+        for k in range(ndev):
+            i = r * ndev + k
+            if i >= n_pts:
+                break
+            ly, lx = divmod(i, lw)
+            slab = np.transpose(tr_np[k][:, :T, :hw], (2, 1, 0)).reshape(
+                h, w, T, C_film)
+            out[:, :, ly, lx] = slab
+            steady_acc += st_np[k].reshape(h, w, C_film) / n_pts
+        if progress_callback is not None:
+            progress_callback((r + 1) / n_rounds)
+
+    if return_stats:
+        return steady_acc, out, {"rays": total_rays, "spp": spp * n_pts,
+                                 "devices": ndev}
+    return steady_acc, out
 
 
 def _grads_to_paths(scene: Scene, grads) -> dict:

@@ -144,3 +144,32 @@ def test_sharded_polarized():
         assert float(jnp.sum(s_sh[..., 0])) > 0
     finally:
         mitr.set_variant(old)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multiple devices")
+def test_sharded_exhaustive_matches_local():
+    """Sharded exhaustive NLOS (laser-point round-robin over the mesh) must
+    reproduce the local exhaustive capture bit-for-bit: identical pass/
+    stream layout per laser point, whole points per device (VERDICT r2
+    task 6; film semantics transientnlospath.py:597-628)."""
+    from tests.test_nlos import nlos_scene
+
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 3
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+
+    scene = mitr.load_dict(d)
+    s_loc, t_loc = mitr.render(scene, spp=16, seed=0)
+
+    scene2 = mitr.load_dict(d)
+    mesh = make_mesh(4)  # 6 laser points over 4 devices: 2 uneven rounds
+    s_sh, t_sh, stats = render_sharded(scene2, mesh, spp=16, seed=0,
+                                       return_stats=True)
+    assert stats["devices"] == 4
+    assert np.asarray(t_sh).shape == (2, 2, 2, 3, 300, 3)
+    np.testing.assert_array_equal(np.asarray(t_sh), np.asarray(t_loc))
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_loc),
+                               rtol=1e-5, atol=1e-7)
+    assert float(np.asarray(t_sh).sum()) > 0
