@@ -260,3 +260,12 @@ class SpectralCtx:
     def to_film(self, vals):
         """(n, N_WL) radiance -> (n, 3) linear sRGB for splatting."""
         return spectrum_to_srgb(vals, self.wl, self.wl_pdf)
+
+    def to_film_stokes(self, vals):
+        """(n, 4*N_WL) packed Stokes -> (n, 12): each Stokes component is
+        an independent spectral radiance-like quantity, converted to sRGB
+        per row (the spectral_polarized splat packing)."""
+        n = vals.shape[0]
+        x = vals.reshape(n, 4, -1)
+        rgb = spectrum_to_srgb(x, self.wl[:, None, :], self.wl_pdf[:, None, :])
+        return rgb.reshape(n, 12)

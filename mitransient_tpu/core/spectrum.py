@@ -31,9 +31,8 @@ class Variant(NamedTuple):
 
     @property
     def name(self) -> str:
-        if self.spectral:
-            return "spectral"
-        base = "mono" if self.color_channels == 1 else "rgb"
+        base = ("spectral" if self.spectral
+                else ("mono" if self.color_channels == 1 else "rgb"))
         return base + ("_polarized" if self.polarized else "")
 
 
@@ -46,6 +45,9 @@ _KNOWN = {
     # uplifted per bounce (core/spectra.py); splats convert to sRGB like
     # the reference's spectrum_to_srgb packing
     "spectral": Variant(3, False, True),
+    # spectral_polarized: Mueller chains evaluated per hero wavelength
+    # (per-wavelength Fresnel), Stokes splats converted to sRGB per row
+    "spectral_polarized": Variant(3, True, True),
 }
 
 # Module-global default for API parity with mi.set_variant; compiled scenes

@@ -61,6 +61,11 @@ from ..scene.shapes import Rectangle
 NLOS_DIMS_PER_BOUNCE = 10
 
 
+def _sctx_film(sctx, v, polarized: bool):
+    """Spectral splat conversion: per-Stokes-row sRGB when polarized."""
+    return sctx.to_film_stokes(v) if polarized else sctx.to_film(v)
+
+
 def can_skip_le(sd: SceneData) -> bool:
     """True when every emitter is delta (projector/point) so the Le term is
     identically zero and its film event can be elided (host-side check on
@@ -494,8 +499,6 @@ def sample_nlos_primal(
     ``spectral=True`` gives each lane N_WL hero wavelengths (the same
     machinery as sample_primal's spectral path; splats convert to sRGB so
     the film stays 3-channel)."""
-    if spectral and polarized:
-        raise NotImplementedError("spectral_polarized is not supported")
     n = ray.o.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
@@ -603,7 +606,7 @@ def sample_nlos_primal(
                 wi_world=st["d"], polarized=polarized, sctx=sctx,
             )
 
-        Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
+        Lr_f = _sctx_film(sctx, Lr_dir, polarized) if sctx is not None else Lr_dir
         if skip_le:
             film_st = splat_transient_pair(
                 st["film"], film_cfg, spp,
@@ -612,7 +615,7 @@ def sample_nlos_primal(
                 icfg.temporal_filter, icfg.gaussian_stddev,
             )
         else:
-            Le_f = sctx.to_film(Le) if sctx is not None else Le
+            Le_f = _sctx_film(sctx, Le, polarized) if sctx is not None else Le
             film_st = splat_transient_pair(
                 st["film"], film_cfg, spp,
                 distance, Le_f * splat_w[:, None],
@@ -726,7 +729,7 @@ def sample_nlos_primal(
         )
 
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    L_out = sctx.to_film(final["L"]) if sctx is not None else final["L"]
+    L_out = _sctx_film(sctx, final["L"], polarized) if sctx is not None else final["L"]
     return final["film"], L_out, final["depth"] > 0, final["n_rays"]
 
 

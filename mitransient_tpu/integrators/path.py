@@ -102,8 +102,6 @@ def sample_primal(
     time exactly like the reference's spectrum_to_srgb block packing
     (transient_image_block.py:91).
     """
-    if spectral and polarized:
-        raise NotImplementedError("spectral_polarized is not supported")
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
@@ -113,7 +111,11 @@ def sample_primal(
         C = _sp.N_WL
         _spectral_lb = sctx.uplift_lb
         _spectral_emission = sctx.emission
-        _to_film = sctx.to_film
+        # spectral_polarized: contributions are packed Stokes vectors
+        # (n, 4*N_WL); each Stokes row converts to sRGB independently (the
+        # Mueller chain is per-wavelength: uplifted eta tables give
+        # per-wavelength Fresnel)
+        _to_film = sctx.to_film_stokes if polarized else sctx.to_film
 
     distance0 = (
         initial_distance

@@ -56,6 +56,11 @@ RATIO_STEPS = 16  # ratio-tracking taps per heterogeneous shadow segment
 GRID_STREAM_TAG = 0x6D50  # rng sub-stream for the tracking loops
 
 
+def _sctx_film(sctx, v, polarized: bool):
+    """Spectral splat conversion: per-Stokes-row sRGB when polarized."""
+    return sctx.to_film_stokes(v) if polarized else sctx.to_film(v)
+
+
 def _has_grids(sd: SceneData) -> bool:
     """Static (shape-level) test: does any medium carry a density grid?"""
     return sd.medium.grid.shape[1:] != (1, 1, 1)
@@ -260,8 +265,6 @@ def sample_volpath_primal(
     mueller.depolarizer); absorption is polarization-neutral.  This EXCEEDS
     the reference, whose transient_prbvolpath is unpolarized
     (transient_prbvolpath.py docstring :40-48)."""
-    if spectral and polarized:
-        raise NotImplementedError("spectral_polarized is not supported")
     n = pix.shape[0]
     C = sd.bsdf.reflectance.shape[-1]
     key = sampler.key
@@ -461,8 +464,8 @@ def sample_volpath_primal(
             )
 
         if enable_film:
-            Le_f = sctx.to_film(Le) if sctx is not None else Le
-            Lr_f = sctx.to_film(Lr_dir) if sctx is not None else Lr_dir
+            Le_f = _sctx_film(sctx, Le, polarized) if sctx is not None else Le
+            Lr_f = _sctx_film(sctx, Lr_dir, polarized) if sctx is not None else Lr_dir
             film_st = splat_pair_any(
                 st["film"], film_cfg, spp,
                 distance, Le_f * splat_w[:, None],
@@ -565,5 +568,5 @@ def sample_volpath_primal(
         )
 
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
-    L_out = sctx.to_film(final["L"]) if sctx is not None else final["L"]
+    L_out = _sctx_film(sctx, final["L"], polarized) if sctx is not None else final["L"]
     return final["film"], L_out, final["depth"] > 0, final["n_rays"]

@@ -118,3 +118,88 @@ def test_spectral_volumetric_render():
     la = (a * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
     lb = (b * [0.2126, 0.7152, 0.0722]).sum(-1).mean()
     assert abs(la - lb) / max(la, 1e-9) < 0.15
+
+
+def test_spectral_polarized_matches_spectral_s0():
+    """spectral_polarized: S0 (intensity) must agree with the unpolarized
+    spectral render of the same diffuse scene — Mueller chains through
+    Lambertian depolarizers preserve intensity (VERDICT r2 task 8: the
+    variant matrix corner, Mitsuba's *_spectral_polarized)."""
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 12
+    d["sensor"]["film"]["height"] = 12
+    d["sensor"]["film"]["temporal_bins"] = 48
+    d["integrator"]["max_depth"] = 3
+
+    mitr.set_variant("spectral")
+    try:
+        s_sp, t_sp = mitr.render(mitr.load_dict(d), spp=64, seed=0)
+        mitr.set_variant("spectral_polarized")
+        sc = mitr.load_dict(d)
+        assert sc.variant.spectral and sc.variant.polarized
+        s_pol, t_pol = mitr.render(sc, spp=64, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    s_sp = np.asarray(s_sp)
+    s_pol = np.asarray(s_pol)
+    assert s_pol.shape == (12, 12, 12)  # 4 Stokes x 3 sRGB
+    assert np.isfinite(s_pol).all()
+    s0 = s_pol[..., 0:3]  # Stokes-0 rows of the packed layout
+    # same sample stream, same estimator modulo the Mueller algebra
+    np.testing.assert_allclose(s0, s_sp, rtol=2e-2, atol=1e-4)
+    tp = np.asarray(t_pol)
+    assert tp.shape == (12, 12, 48, 12)
+    assert np.isfinite(tp).all() and tp[..., 0:3].sum() > 0
+
+
+def test_spectral_polarized_gold_polarizes():
+    """A gold GGX conductor under spectral_polarized must produce nonzero
+    linear polarization (S1/S2) — the per-wavelength Fresnel Mueller chain
+    is actually engaged (polarization ipynb workload pattern)."""
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 40
+    d["integrator"]["max_depth"] = 4
+    d["small-box"]["bsdf"] = {
+        "type": "roughconductor", "material": "Au", "alpha": 0.05}
+    mitr.set_variant("spectral_polarized")
+    try:
+        s, _t = mitr.render(mitr.load_dict(d), spp=48, seed=0)
+    finally:
+        mitr.set_variant("rgb")
+    s = np.asarray(s)
+    s0 = np.abs(s[..., 0:3]).sum()
+    s12 = np.abs(s[..., 3:9]).sum()
+    assert s0 > 0 and np.isfinite(s).all()
+    assert s12 > 1e-4 * s0
+
+
+def test_spectral_polarized_nlos_and_volumetric_run():
+    """The variant corner runs through all three integrators."""
+    from tests.test_nlos import nlos_scene
+
+    mitr.set_variant("spectral_polarized")
+    try:
+        sc = mitr.load_dict(nlos_scene(sx=2, sy=2, spp=8))
+        mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], sc)
+        s, t = mitr.render(sc, spp=8, seed=0)
+        assert np.asarray(t).shape == (2, 2, 300, 12)
+        assert np.isfinite(np.asarray(t)).all()
+
+        d = mitr.cornell_box()
+        d["sensor"]["film"]["width"] = 4
+        d["sensor"]["film"]["height"] = 4
+        d["sensor"]["film"]["temporal_bins"] = 32
+        d["integrator"] = {"type": "transient_prbvolpath", "max_depth": 4}
+        d["small-box"]["bsdf"] = {"type": "null"}
+        d["small-box"]["medium"] = {
+            "type": "homogeneous", "sigma_t": 1.0,
+            "albedo": {"type": "rgb", "value": [0.8, 0.8, 0.8]},
+            "phase": {"type": "hg", "g": 0.2},
+        }
+        sv, tv = mitr.render(mitr.load_dict(d), spp=8, seed=0)
+        assert np.asarray(tv).shape == (4, 4, 32, 12)
+        assert np.isfinite(np.asarray(tv)).all()
+    finally:
+        mitr.set_variant("rgb")
