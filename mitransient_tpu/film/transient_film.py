@@ -243,3 +243,59 @@ def develop_any(state, cfg: FilmConfig, shape_hw=None):
 
         return develop_phasor(state, cfg)
     return develop(state, cfg, shape_hw)
+
+
+def splat_steady_gaussian(
+    state: TransientFilmState,
+    h: int,
+    w: int,
+    spp: int,
+    value: jnp.ndarray,  # (N, C) per-lane radiance, spp-major lanes
+    weight: jnp.ndarray,  # (N,) sample weights
+    jitter: jnp.ndarray,  # (N, 2) subpixel position in [0,1)^2
+    stddev: float = 0.5,
+):
+    """Steady-image accumulation under a truncated gaussian spatial
+    reconstruction filter (Mitsuba's ``gaussian`` rfilter on the child
+    hdrfilm: eval = exp(-x^2/2s^2) - exp(-r^2/2s^2), radius r = 4s).
+
+    Scatter-free: for each of the (2r+1)^2 integer pixel offsets the whole
+    wavefront's weighted contribution is a dense spp-reduction followed by a
+    statically-shifted image add — the TPU-native form of Mitsuba's
+    ImageBlock border splatting."""
+    import math as _m
+
+    radius = max(1, int(_m.ceil(4.0 * stddev)))
+    C = value.shape[-1]
+    v = (value * weight[:, None]).reshape(spp, h, w, C)
+    wg = weight.reshape(spp, h, w)
+    jx = jitter[:, 0].reshape(spp, h, w)
+    jy = jitter[:, 1].reshape(spp, h, w)
+    cut = _m.exp(-(radius * radius) / (2.0 * stddev * stddev))
+
+    acc = jnp.zeros((h, w, C), jnp.float32)
+    wacc = jnp.zeros((h, w), jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            # distance from the sample position (px + jx) to the center of
+            # target pixel (px + dx): (dx + 0.5) - jx
+            ox = (dx + 0.5) - jx
+            oy = (dy + 0.5) - jy
+            fx = jnp.maximum(jnp.exp(-ox * ox / (2.0 * stddev * stddev))
+                             - cut, 0.0)
+            fy = jnp.maximum(jnp.exp(-oy * oy / (2.0 * stddev * stddev))
+                             - cut, 0.0)
+            f = fx * fy
+            contrib = (v * f[..., None]).sum(axis=0)  # (h, w, C)
+            wsum = (wg * f).sum(axis=0)
+            # add into the target pixels shifted by (dy, dx)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            acc = acc.at[ys, xs].add(contrib[yd, xd])
+            wacc = wacc.at[ys, xs].add(wsum[yd, xd])
+    return state._replace(
+        steady=state.steady + acc.reshape(h * w, C),
+        steady_weight=state.steady_weight + wacc.reshape(h * w),
+    )

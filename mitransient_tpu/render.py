@@ -72,7 +72,16 @@ def _perspective_pass(
             polarized=polarized, cam_vertical=cam.R[:, 1],
             spectral=spectral,
         )
-    film = splat_steady(film, spp_chunk, L, ray_weight)
+    if film_cfg.rfilter == "gaussian":
+        from .film.transient_film import splat_steady_gaussian
+
+        # reproduce the camera jitter (sampler dims 0-1 of this stream)
+        jit2 = Sampler(seed, n, stream=pass_idx).next_2d()
+        film = splat_steady_gaussian(
+            film, height, width, spp_chunk, L, ray_weight, jit2,
+            stddev=film_cfg.rfilter_stddev)
+    else:
+        film = splat_steady(film, spp_chunk, L, ray_weight)
     return film, n_rays
 
 
@@ -153,6 +162,7 @@ def render(
             and not icfg.camera_unwarp
             and not scene.variant.spectral
             and icfg.temporal_filter != "gaussian"
+            and film_cfg.rfilter == "box"
             and spp >= 8
         )
     if film_state is not None:
@@ -520,3 +530,53 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
         film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
         height=film_cfg.height, spp=spp,
     )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "channels"))
+def _aov_pass(sd, cam, seed, *, width, height, spp, channels):
+    n = width * height * spp
+    sampler = Sampler(jnp.uint32(seed), n, stream=jnp.uint32(0))
+    ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
+    from .scene.scene import ray_intersect
+    from .bsdf import api as bsdf_api
+
+    si = ray_intersect(sd, ray, jnp.ones((n,), bool))
+    lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+    hitf = si.valid.astype(jnp.float32)
+    albedo = jnp.where(si.valid[:, None], lb.reflectance, 0.0)
+    normal = jnp.where(si.valid[:, None], si.frame.n, 0.0)
+    depth = jnp.where(si.valid, si.t, 0.0)
+    position = jnp.where(si.valid[:, None], si.p, 0.0)
+
+    def avg(x, c):
+        return x.reshape(spp, width * height, c).mean(axis=0).reshape(
+            height, width, c)
+
+    return {
+        "albedo": avg(albedo, channels),
+        "sh_normal": avg(normal, 3),
+        "depth": avg(depth[:, None], 1),
+        "position": avg(position, 3),
+        "alpha": avg(hitf[:, None], 1),
+    }
+
+
+def render_aovs(scene: Scene, spp: int = 16, seed: int = 0, sensor: int = 0,
+                aovs=("albedo", "sh_normal", "depth", "position", "alpha")):
+    """First-hit arbitrary output variables for the steady image.
+
+    Parity surface of the reference film's appended AOV channels
+    (transient_hdr_film.py:176-190, driven by Mitsuba's ``aov`` plugin
+    names): per-pixel averages over jittered camera rays of the hit
+    albedo / shading normal / depth / world position / hit coverage.
+    Returns {name: (H, W, k) jnp array}.
+    """
+    cfg = scene.sensors[sensor]
+    if cfg.kind == "nlos_capture_meter":
+        raise ValueError("AOVs apply to perspective sensors")
+    film_cfg = cfg.film
+    cam = build_camera(cfg)
+    out = _aov_pass(
+        scene.data, cam, seed, width=film_cfg.width, height=film_cfg.height,
+        spp=spp, channels=scene.variant.color_channels)
+    return {k: v for k, v in out.items() if k in aovs}

@@ -330,6 +330,11 @@ class FilmConfig(NamedTuple):
     # emit one leveled warning per render from the counters
     warn_negative: bool = False
     warn_invalid: bool = False
+    # steady-image spatial reconstruction filter (the transient block stays
+    # box-only like the reference, transient_image_block.py:150-151; the
+    # steady child hdrfilm accepts a gaussian rfilter)
+    rfilter: str = "box"  # "box" | "gaussian"
+    rfilter_stddev: float = 0.5
 
     @property
     def end_opl(self) -> float:
@@ -408,6 +413,11 @@ def _parse_film(d: dict) -> FilmConfig:
         wl_sigma=float(d.get("wl_sigma", 1000.0)),
         warn_negative=bool(d.get("warn_negative", False)),
         warn_invalid=bool(d.get("warn_invalid", False)),
+        rfilter=str((d.get("rfilter") or {}).get("type", "box")
+                    if isinstance(d.get("rfilter"), dict)
+                    else d.get("rfilter", "box")).lower(),
+        rfilter_stddev=float((d.get("rfilter") or {}).get("stddev", 0.5)
+                             if isinstance(d.get("rfilter"), dict) else 0.5),
     )
 
 

@@ -158,3 +158,60 @@ def test_sample_validation_stats_surface():
                               regenerate=False)
     assert stats["n_negative"] == 0.0
     assert stats["n_invalid"] == 0.0
+
+
+def test_gaussian_spatial_rfilter():
+    """Steady image under the gaussian rfilter: energy-preserving blur of
+    the box-filtered image (reference: the steady child hdrfilm accepts a
+    gaussian rfilter; transient_hdr_film.py:130-144)."""
+    import mitransient_tpu as mitr
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 32
+    d["sensor"]["film"]["height"] = 32
+    d["sensor"]["film"]["temporal_bins"] = 32
+    d["sensor"]["film"]["bin_width_opl"] = 0.4
+    d["integrator"]["max_depth"] = 3
+    s_box, _ = mitr.render(mitr.load_dict(d), spp=32, seed=0,
+                           regenerate=False)
+    d["sensor"]["film"]["rfilter"] = {"type": "gaussian", "stddev": 0.8}
+    scene = mitr.load_dict(d)
+    assert scene.sensors[0].film.rfilter == "gaussian"
+    s_g, t_g = mitr.render(scene, spp=32, seed=0)
+    s_box, s_g = np.asarray(s_box), np.asarray(s_g)
+    assert np.all(np.isfinite(s_g))
+    # weight normalization keeps the mean (interior loses nothing)
+    assert abs(s_g.mean() / s_box.mean() - 1.0) < 0.02
+    # wider filter smooths: total variation strictly decreases
+    tv = lambda x: np.abs(np.diff(x, axis=0)).sum() + np.abs(
+        np.diff(x, axis=1)).sum()
+    assert tv(s_g) < 0.9 * tv(s_box)
+    # transient stays box-binned and consistent
+    assert np.asarray(t_g).sum() > 0
+
+
+def test_render_aovs():
+    """First-hit AOVs (reference film's appended AOV channels,
+    transient_hdr_film.py:176-190)."""
+    import mitransient_tpu as mitr
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 16
+    d["sensor"]["film"]["height"] = 16
+    scene = mitr.load_dict(d)
+    aovs = mitr.render_aovs(scene, spp=8, seed=0)
+    assert set(aovs) == {"albedo", "sh_normal", "depth", "position", "alpha"}
+    alb = np.asarray(aovs["albedo"])
+    nrm = np.asarray(aovs["sh_normal"])
+    dep = np.asarray(aovs["depth"])
+    assert alb.shape == (16, 16, 3) and dep.shape == (16, 16, 1)
+    # interior camera rays all hit geometry
+    assert np.allclose(np.asarray(aovs["alpha"])[4:12, 4:12], 1.0)
+    # left column of the cbox view is the red wall: albedo red-dominant,
+    # normal along +-x
+    assert alb[8, 0, 0] > alb[8, 0, 1] * 2
+    assert abs(nrm[8, 0, 0]) > 0.7
+    # back wall normal along the view axis
+    assert abs(nrm[8, 8, 2]) > 0.7
+    # depth increases toward the back wall vs the near-side walls
+    assert dep[8, 8, 0] > dep[8, 0, 0]
