@@ -1,15 +1,25 @@
-"""Benchmark: transient Cornell box rays/sec/chip (BASELINE.md headline).
+"""Benchmark: transient Cornell box + NLOS rays/sec/chip (BASELINE.md).
 
-Workload: the canonical transient cbox — 256x256 px, 300 time bins,
-start_opl 3.5, bin_width_opl 0.02, max_depth 8 (reference
-mitransient/utils.py:78-220).  Prints ONE JSON line:
-``{"metric", "value", "unit", "vs_baseline"}``.
+Workloads:
+* the canonical transient cbox — 256x256 px, 300 time bins, start_opl 3.5,
+  bin_width_opl 0.02, max_depth 8 (reference mitransient/utils.py:78-220)
+* NLOS single capture — 32x32 scan, 300 bins, laser + hidden-geometry
+  sampling at spp 2048 (nlos-z-simple.xml pattern / tests/test_nlos.py)
+
+Prints one JSON line per workload (``{"metric", "value", "unit",
+"vs_baseline"}``); the driver parses the LAST line, so the flagship cbox
+metric is printed first as the fallback if the budget expires mid-NLOS.
 
 ``value`` counts rays actually traced (closest-hit wavefront rays + NEE
 shadow rays, i.e. active lanes per bounce — not the lanes*max_depth upper
 bound), divided by wall time on one chip.  The reference publishes no
-numbers (BASELINE.md), so ``vs_baseline`` is reported against the driver's
-qualitative target of parity (1.0 == assumed baseline parity placeholder).
+numbers (BASELINE.md), so ``vs_baseline`` is None.
+
+Axon-tunnel note (measured in round 3, BASELINE.md): the FIRST
+loop-containing XLA program of a process pays a one-time multi-minute
+execution cost server-side; a tiny fori_loop program absorbs it up front so
+the real workloads compile+run in tens of seconds and the timed reps are
+warm either way.
 """
 from __future__ import annotations
 
@@ -17,51 +27,67 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
+
+
+def _warm_tunnel():
+    """Absorb the per-process first-loop-program cost with a 128-float
+    fori_loop before any real workload compiles."""
+    x = jnp.ones((128,))
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, 2, lambda i, a: a + 1.0,
+                                            x).sum())
+    float(f(x))
+
+
+def _bench(name, scene, spp, img, reps=3, **kw):
+    import mitransient_tpu as mitr
+    import numpy as np
+
+    # warmup / compile (same per-pass shape as the measured run)
+    s, t, stats = mitr.render(scene, spp=spp, seed=0, return_stats=True,
+                              **kw)
+    float(np.asarray(s).sum())  # full host sync (block_until_ready is
+    # unreliable through the axon tunnel)
+    best = None
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        s, t, stats = mitr.render(scene, spp=spp, seed=1 + rep,
+                                  return_stats=True, **kw)
+        float(np.asarray(s).sum()) + float(np.asarray(t).ravel()[0])
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+    rays = float(stats["rays"])
+    print(json.dumps({
+        "metric": f"{name}_rays_per_sec_per_chip",
+        "value": rays / best,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "spp": int(stats["spp"]),
+            "wall_s": best,
+            "rays": rays,
+            "img": img,
+        },
+    }), flush=True)
 
 
 def main():
     import mitransient_tpu as mitr
 
-    scene = mitr.load_dict(mitr.cornell_box())
-    spp = 1024
+    _warm_tunnel()
 
-    import numpy as np
+    _bench("transient_cbox", mitr.load_dict(mitr.cornell_box()), 1024,
+           [256, 256, 300])
 
-    # warmup / compile (same per-pass shape as the measured run)
-    s, t, stats = mitr.render(scene, spp=spp, seed=0, return_stats=True)
-    float(np.asarray(s).sum())  # full host sync (block_until_ready is
-    # unreliable through the axon tunnel)
+    # NLOS single capture (BASELINE.md row; the verdict-tracked workload)
+    import tests.test_nlos as fx
 
-    best = None
-    for rep in range(3):
-        t0 = time.perf_counter()
-        s, t, stats = mitr.render(scene, spp=spp, seed=1 + rep,
-                                  return_stats=True)
-        float(np.asarray(s).sum()) + float(np.asarray(t[0, 0, 0]).sum())
-        dt = time.perf_counter() - t0
-        if best is None or dt < best:
-            best = dt
-    dt = best
-    rays = float(stats["rays"])
-    rays_per_sec = rays / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "transient_cbox_rays_per_sec_per_chip",
-                "value": rays_per_sec,
-                "unit": "rays/s",
-                "vs_baseline": None,
-                "detail": {
-                    "device": str(jax.devices()[0]),
-                    "spp": int(stats["spp"]),
-                    "wall_s": dt,
-                    "rays": rays,
-                    "img": [256, 256, 300],
-                },
-            }
-        )
-    )
+    d = fx.nlos_scene(sx=32, sy=32)
+    nscene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([16.0, 16.0], nscene)
+    _bench("nlos_single", nscene, 2048, [32, 32, 300])
 
 
 if __name__ == "__main__":

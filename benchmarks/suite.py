@@ -174,6 +174,18 @@ ALL = {
 
 def main():
     names = sys.argv[1:] or list(ALL)
+    # absorb the axon tunnel's per-process first-loop-program cost (multi-
+    # minute; measured in round 3 — see bench.py docstring) up front so
+    # every workload's warm run is fast
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, 2, lambda i, a: a + 1.0,
+                                            x).sum())
+    float(f(jnp.ones((128,))))
+    print(f"# tunnel warm-up {_t.perf_counter()-t0:.1f}s", flush=True)
     for name in names:
         make, spp = ALL[name]
         try:

@@ -21,9 +21,29 @@ import jax as _jax
 if not _os.environ.get("MITR_NO_COMPILE_CACHE"):
     try:
         if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            # Scope the cache directory by the host's CPU feature set:
+            # XLA:CPU AOT executables compiled on a machine with different
+            # ISA extensions load with a feature-mismatch warning and can
+            # SIGILL/segfault mid-run (observed round 3: a stale avx512
+            # cache from another host crashed the test suite)
+            def _cpu_tag():
+                import hashlib
+
+                try:
+                    with open("/proc/cpuinfo") as fh:
+                        for line in fh:
+                            if line.startswith("flags"):
+                                return hashlib.sha1(
+                                    line.encode()).hexdigest()[:12]
+                except OSError:
+                    pass
+                import platform
+
+                return platform.machine()
+
             _cache = _os.path.join(
                 _os.path.expanduser("~"), ".cache", "mitransient_tpu",
-                "jax_cache")
+                f"jax_cache-{_cpu_tag()}")
             _os.makedirs(_cache, exist_ok=True)
             _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

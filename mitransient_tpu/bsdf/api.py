@@ -21,7 +21,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..core.math import safe_div, safe_rcp, safe_sqrt
+from ..core.math import safe_div, safe_rcp, safe_sqrt, stable_normalize
 from ..core.records import BSDFSample
 from ..core.warp import (
     square_to_cosine_hemisphere,
@@ -176,8 +176,15 @@ def _maybe_flip(lb: LaneBSDF, wi: jnp.ndarray):
 # is alpha_u == alpha_v.
 # --------------------------------------------------------------------------
 
+GGX_ALPHA_MIN = 1e-4  # Mitsuba-style roughness floor: keeps the GGX chain
+# (and its alpha-VJP) finite when the dense all-kinds dispatch evaluates the
+# lobe on lanes whose BSDF row carries alpha = 0 (non-GGX materials)
+
+
 def _ggx_ndf(m: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
     """D(m) = 1 / (pi au av ((x/au)^2 + (y/av)^2 + z^2)^2), m.z > 0."""
+    au = jnp.maximum(au, GGX_ALPHA_MIN)
+    av = jnp.maximum(av, GGX_ALPHA_MIN)
     cz = jnp.maximum(m[..., 2], 0.0)
     sx = safe_div(m[..., 0], au)
     sy = safe_div(m[..., 1], av)
@@ -188,6 +195,8 @@ def _ggx_ndf(m: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
 def _ggx_g1(v: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
     """Smith masking with direction-dependent projected roughness:
     G1 = 2 / (1 + sqrt(1 + (au^2 x^2 + av^2 y^2) / z^2))."""
+    au = jnp.maximum(au, GGX_ALPHA_MIN)
+    av = jnp.maximum(av, GGX_ALPHA_MIN)
     cz = v[..., 2]
     a2t2 = safe_div(
         au * au * v[..., 0] ** 2 + av * av * v[..., 1] ** 2, cz * cz)
@@ -197,6 +206,8 @@ def _ggx_g1(v: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray) -> jnp.ndarray:
 def _ggx_sample_vndf(wi: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray,
                      u: jnp.ndarray):
     """Heitz 2018 visible-normal sampling; wi must have wi.z > 0."""
+    au = jnp.maximum(au, GGX_ALPHA_MIN)
+    av = jnp.maximum(av, GGX_ALPHA_MIN)
     vh = jnp.stack(
         [au * wi[..., 0], av * wi[..., 1], wi[..., 2]], axis=-1
     )
@@ -215,8 +226,11 @@ def _ggx_sample_vndf(wi: jnp.ndarray, au: jnp.ndarray, av: jnp.ndarray,
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
-    p3 = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+    # clamped-sqrt floors keep the sqrt VJP finite when the argument touches
+    # 0 exactly (disk-boundary samples); the 1e-6 floor on the resulting
+    # component is far below sampling noise
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 1e-12)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 1e-12))
     nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
     m = jnp.stack(
         [au * nh[..., 0], av * nh[..., 1],
@@ -262,8 +276,7 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
         lobes.append((lb.kind == BSDF_DIFFUSE, f_diff, pdf_diff))
 
     if has_rough or has_plast:
-        m = wi_l + wo_l
-        m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+        m = stable_normalize(wi_l + wo_l)
         d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
         g1_i = _ggx_g1(wi_l, lb.alpha, lb.alpha_v)
         g = g1_i * _ggx_g1(wo_l, lb.alpha, lb.alpha_v)
@@ -353,7 +366,13 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
 
     if has_rough or has_plast:
         # ---- GGX VNDF microfacet sample (shared rough/plastic) ------------
-        m = _ggx_sample_vndf(wi_l, lb.alpha, lb.alpha_v, u2)
+        # Sanitize dead/backfacing lanes (wi.z <= 0, e.g. miss lanes whose
+        # garbage wi is masked downstream): the VNDF warp's AD otherwise
+        # produces NaN there (normalize-at-zero / sqrt-at-zero VJPs) which
+        # poisons full-loop gradients through the where-mask.
+        wi_v = jnp.where((wi_l[..., 2] > 1e-6)[..., None], wi_l,
+                         jnp.array([0.0, 0.0, 1.0], wi_l.dtype))
+        m = _ggx_sample_vndf(wi_v, lb.alpha, lb.alpha_v, u2)
         wo_rough = _reflect(wi_l, m)
         co_r = wo_rough[..., 2]
         d_ndf = _ggx_ndf(m, lb.alpha, lb.alpha_v)
@@ -405,9 +424,7 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         pick_spec = u1 < Fi_pl
         wo_plast = jnp.where(pick_spec[..., None], wo_rough, wo_diff)
         co_pl = wo_plast[..., 2]
-        m_pl = wi_l + wo_plast
-        m_pl = m_pl / jnp.maximum(
-            jnp.linalg.norm(m_pl, axis=-1, keepdims=True), 1e-12)
+        m_pl = stable_normalize(wi_l + wo_plast)
         d_pl = _ggx_ndf(m_pl, lb.alpha, lb.alpha_v)
         g_pl = (_ggx_g1(wi_l, lb.alpha, lb.alpha_v)
                 * _ggx_g1(wo_plast, lb.alpha, lb.alpha_v))

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.math import safe_sqrt
+from ..core.math import safe_sqrt, stable_sqrt
 
 
 def fresnel_conductor(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
@@ -22,9 +22,12 @@ def fresnel_conductor(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
     etak2 = 2.0 * eta_re * eta_im
 
     t0 = eta2 - si2
-    a2b2 = safe_sqrt(t0 * t0 + etak2 * etak2)
+    # stable_sqrt: on lanes whose BSDF row is a non-conductor (eta = k = 0,
+    # evaluated anyway by the dense kind dispatch) both sqrt arguments hit 0
+    # exactly and sqrt's infinite VJP would poison masked gradients
+    a2b2 = stable_sqrt(t0 * t0 + etak2 * etak2)
     t1 = a2b2 + ci2
-    a = safe_sqrt(0.5 * (a2b2 + t0))
+    a = stable_sqrt(0.5 * (a2b2 + t0))
     t2 = 2.0 * a * ci
     rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
     t3 = ci2 * a2b2 + si2 * si2
@@ -47,7 +50,7 @@ def fresnel_dielectric(cos_theta_i: jnp.ndarray, eta: jnp.ndarray):
     ci = jnp.abs(cos_theta_i)
     st2 = jnp.maximum(1.0 - ci * ci, 0.0) * (eta_ti * eta_ti)
     tir = st2 >= 1.0
-    ct = safe_sqrt(1.0 - st2)
+    ct = stable_sqrt(1.0 - st2)  # finite VJP at the TIR boundary
 
     rs = (ci - eta_it * ct) / jnp.maximum(ci + eta_it * ct, 1e-20)
     rp = (eta_it * ci - ct) / jnp.maximum(eta_it * ci + ct, 1e-20)

@@ -30,25 +30,49 @@ def squared_norm(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(a: jnp.ndarray) -> jnp.ndarray:
-    n = norm(a)
-    return a / jnp.maximum(n, 1e-20)[..., None]
+    # sqrt-of-clamped-square keeps the VJP finite for zero vectors (sqrt's
+    # VJP at 0 is inf, which poisons masked gradients as inf * 0 = NaN);
+    # identical to the naive form whenever |a| >= 1e-12
+    n2 = dot(a, a)
+    return a / jnp.sqrt(jnp.maximum(n2, 1e-24))[..., None]
 
 
 def safe_rcp(x: jnp.ndarray) -> jnp.ndarray:
     """Reciprocal that returns 0 where ``x == 0`` (Dr.Jit's masked ``dr.rcp``
     idiom used e.g. in the reference russian roulette,
     mitransient/integrators/transientpath.py:255)."""
-    return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+    nz = jnp.abs(x) > 1e-20
+    return jnp.where(nz, 1.0 / jnp.where(nz, x, 1.0), 0.0)
 
 
 def safe_div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """``a / b`` with 0 where ``b == 0`` (broadcasts)."""
-    bz = b == 0.0
+    """``a / b`` with 0 where ``|b|`` is (denormal-)zero (broadcasts).
+
+    The threshold (vs ``b == 0``) keeps degenerate-geometry divisions
+    (sliver-triangle barycentric determinants etc.) from producing primal
+    infs that turn into NaN gradients through downstream masks."""
+    bz = jnp.abs(b) < 1e-20
     return jnp.where(bz, 0.0, a / jnp.where(bz, 1.0, b))
 
 
 def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def stable_sqrt(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt clamped at 0 like safe_sqrt but with a FINITE gradient when the
+    argument touches 0 (sqrt's VJP is 1/(2 sqrt) -> inf at 0, which turns
+    into NaN through any downstream where-mask: inf * 0).  Value deviates
+    only for x in (0, eps): sqrt(eps) = 1e-6."""
+    return jnp.sqrt(jnp.maximum(x, eps)) * (x > 0.0)
+
+
+def stable_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """normalize() whose VJP stays finite for zero-length vectors
+    (jnp.linalg.norm's VJP is v/|v| -> NaN at 0, which poisons masked
+    gradients); returns 0 for the zero vector."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def lerp(a, b, t):
