@@ -788,9 +788,12 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
     film = film_init(film_cfg, film_channels, scan_pixels=hw)
     total_rays = 0.0
+    from ..scene.scene import primal_sd
+
     for p in range(n_passes):
         film, n_rays = one_pass(
-            scene.data, ctx, film, jnp.uint32(seed), jnp.uint32(p),
+            primal_sd(scene.data), ctx, film, jnp.uint32(seed),
+            jnp.uint32(p),
             jnp.float32(1.0 / total_spp),
             film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw,
         )

@@ -165,8 +165,10 @@ def render_sharded(
         n_rays = jax.lax.psum(n_rays, "shard")
         return film, n_rays
 
+    from ..scene.scene import primal_sd
+
     one_pass_jit = jax.jit(one_pass)
-    sd, ctx = replicate((scene.data, ctx), mesh)
+    sd, ctx = replicate((primal_sd(scene.data), ctx), mesh)
 
     acc = None
     total_rays = 0.0
@@ -280,8 +282,10 @@ def render_nlos_exhaustive_sharded(
             None]
         return (tr, st), n_rays[None]
 
+    from ..scene.scene import primal_sd
+
     one_round_jit = jax.jit(one_round)
-    sd = replicate(scene.data, mesh)
+    sd = replicate(primal_sd(scene.data), mesh)
 
     out = np.zeros((h, w, lh, lw, T, C_film), np.float32)
     steady_acc = np.zeros((h, w, C_film), np.float32)

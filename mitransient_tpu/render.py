@@ -173,9 +173,11 @@ def render(
         film = film_init(
             film_cfg,
             scene.variant.color_channels * (4 if polarized_v else 1))
+        from .scene.scene import primal_sd
+
         with jax.profiler.TraceAnnotation("mitr:render_regen"):
             film, n_rays, iters = _regen_render(
-                scene.data, cam, film, jnp.uint32(seed),
+                primal_sd(scene.data), cam, film, jnp.uint32(seed),
                 film_cfg=film_cfg, icfg=icfg, spp_total=spp,
                 lanes_per_pixel=lanes_per_pixel, polarized=polarized_v)
         if progress_callback is not None:
@@ -205,9 +207,12 @@ def render(
     else:
         done_passes, total_rays = 0, 0.0
     for p in range(done_passes, n_passes):
+        from .scene.scene import primal_sd
+
         with jax.profiler.TraceAnnotation("mitr:render_pass"):
             film, n_rays = _perspective_pass(
-                scene.data, cam, film, jnp.uint32(seed), jnp.uint32(p),
+                primal_sd(scene.data), cam, film, jnp.uint32(seed),
+                jnp.uint32(p),
                 jnp.float32(1.0 / total_spp),
                 film_cfg=film_cfg, icfg=icfg,
                 width=film_cfg.width, height=film_cfg.height,
@@ -364,8 +369,11 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
           else jnp.asarray(grad_transient, jnp.float32).reshape(hw * T, C))
 
     cam = build_camera(cfg)
+    from .scene.scene import primal_sd
+
     grads = _backward_pass(
-        scene.data, cam, gs, gt, jnp.uint32(seed), jnp.float32(1.0 / spp),
+        primal_sd(scene.data), cam, gs, gt, jnp.uint32(seed),
+        jnp.float32(1.0 / spp),
         film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
         height=film_cfg.height, spp=spp,
     )
@@ -430,10 +438,13 @@ def render_backward_volpath(scene: Scene, grad_in, spp: int | None = None,
     total_spp = spp_chunk * n_passes
 
     cam = build_camera(cfg)
+    from .scene.scene import primal_sd
+
     grads = None
     for p in range(n_passes):
         g = _backward_pass_vol(
-            scene.data, cam, gs, gt, jnp.uint32(seed), jnp.uint32(p),
+            primal_sd(scene.data), cam, gs, gt, jnp.uint32(seed),
+            jnp.uint32(p),
             jnp.float32(1.0 / total_spp),
             film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
             height=film_cfg.height, spp=spp_chunk,

@@ -270,22 +270,60 @@ def _perturbed_normal(bp: BSDFParams, bsdf_id, ng, uv, e1, e2, uv_e1, uv_e2):
     return jnp.where((perturbed & ok_uv)[:, None], n_new, ng)
 
 
-def geom_delta_of(geom: GeomParams, shape_ids: jnp.ndarray):
-    """Per-lane rigid delta for ``shape_ids`` (clamped): returns
-    (R (N, 3, 3), shift (N, 3)) with points moving as ``R @ p + shift``.
+class GeomDelta(NamedTuple):
+    """Per-lane rigid delta in Rodrigues *vector* form: a point moves as
+    ``p + a w x (p - piv) + b w x (w x (p - piv)) + tr`` and a direction as
+    the same without pivot/translation.  At zero deltas every term is
+    EXACTLY zero (no pivot round-trip, no 3x3 matrices), so the attach
+    changes no primal bit and costs two cross products per vector —
+    TPU-friendly elementwise math instead of batched tiny matmuls."""
 
-    At zero deltas R is EXACTLY the identity and shift exactly zero (the
-    pivot round-trip is formulated as ``tr + piv - R @ piv``), so attaching
-    geometry changes no primal bit."""
-    from ..core.math import matvec3, rodrigues
+    w: jnp.ndarray  # (N, 3) axis-angle
+    a: jnp.ndarray  # (N,) sin(t)/t
+    b: jnp.ndarray  # (N,) (1-cos t)/t^2
+    tr: jnp.ndarray  # (N, 3)
+    piv: jnp.ndarray  # (N, 3)
 
+    def point(self, p: jnp.ndarray) -> jnp.ndarray:
+        from ..core.math import cross
+
+        q = p - self.piv
+        c1 = cross(self.w, q)
+        c2 = cross(self.w, c1)
+        return p + self.a[:, None] * c1 + self.b[:, None] * c2 + self.tr
+
+    def vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        from ..core.math import cross
+
+        c1 = cross(self.w, v)
+        c2 = cross(self.w, c1)
+        return v + self.a[:, None] * c1 + self.b[:, None] * c2
+
+
+def primal_sd(sd: "SceneData") -> "SceneData":
+    """Strip the differentiable geometry deltas for PRIMAL rendering: the
+    attach path in ray_intersect exists only so ``jax.grad`` can flow
+    through hit points (full-AD backward); in a plain render it costs
+    ~20% (per-bounce delta gather + plane-eq re-derivation) and changes no
+    bit of output.  Differential drivers that differentiate through
+    ray_intersect (integrators/fullad.py) keep ``sd.geom``."""
+    return sd._replace(geom=None) if sd.geom is not None else sd
+
+
+def geom_delta_of(geom: GeomParams, shape_ids: jnp.ndarray) -> GeomDelta:
+    """Per-lane rigid delta for ``shape_ids`` (clamped)."""
     gcols = columns_lookup(
         {"tr": geom.translate, "rot": geom.rotate, "piv": geom.pivot},
         jnp.maximum(shape_ids, 0),
     )
-    R = rodrigues(gcols["rot"])
-    shift = gcols["tr"] + gcols["piv"] - matvec3(R, gcols["piv"])
-    return R, shift
+    w = gcols["rot"]
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-12))
+    small = theta2 < 1e-12
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-12))
+    return GeomDelta(w=w, a=a, b=b, tr=gcols["tr"], piv=gcols["piv"])
 
 
 def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceInteraction:
@@ -323,15 +361,13 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
     )
     ng = cols["ng"]
     if sd.geom is not None:
-        from ..core.math import matvec3
-
         sid = jnp.round(cols["shape_id"]).astype(jnp.int32)
-        R, shift = geom_delta_of(sd.geom, sid)
+        gd = geom_delta_of(sd.geom, sid)
         cols = dict(cols)
-        cols["v0"] = matvec3(R, cols["v0"]) + shift
-        cols["e1"] = matvec3(R, cols["e1"])
-        cols["e2"] = matvec3(R, cols["e2"])
-        ng = matvec3(R, ng)
+        cols["v0"] = gd.point(cols["v0"])
+        cols["e1"] = gd.vector(cols["e1"])
+        cols["e2"] = gd.vector(cols["e2"])
+        ng = gd.vector(ng)
         # attached hit distance from the (moved) triangle's plane equation;
         # primal stays the traversal kernel's t bit-for-bit (replace_grad)
         denom = dot(ray.d, ng)
@@ -459,14 +495,12 @@ def _uniform_triangle_point(sd: SceneData, tri: jnp.ndarray,
         # d(NEE)/d(emitter pose) flows (the reference gets the analogue via
         # attached si when paths HIT the emitter; NEE-side attachment makes
         # the light-transport gradient of a moving light exact)
-        from ..core.math import matvec3
-
         scols = columns_lookup(
             {"sid": em.em_tri_shape.astype(jnp.float32)}, slot)
         sid = jnp.round(scols["sid"]).astype(jnp.int32)
-        R, shift = geom_delta_of(sd.geom, sid)
-        p = matvec3(R, p) + shift
-        ng = matvec3(R, ng)
+        gd = geom_delta_of(sd.geom, sid)
+        p = gd.point(p)
+        ng = gd.vector(ng)
     return p, ng
 
 
