@@ -33,7 +33,11 @@ from ..core.math import cross, dot, normalize
 from ..core.mueller import (
     rotate_mueller_product,
     rotate_stokes_basis,
+    rotator_angles,
+    specular_abcs,
     specular_reflection_mueller,
+    specular_sandwich,
+    specular_sandwich_col0,
     stokes_basis,
 )
 from ..scene.scene import (
@@ -78,39 +82,37 @@ def polarization_factor(
     ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
 
     if has_cond or has_diel:
-        # rotate from canonical bases into the s/p basis and back:
-        # basis perpendicular to the plane of incidence
+        # rotator angles from canonical bases into the s/p basis and back:
+        # basis perpendicular to the plane of incidence (fused closed-form
+        # sandwich instead of two unrolled 4x4 products — the polarized hot
+        # path's dominant cost)
         sp = cross(p_in, p_out)
         sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
         degenerate = sp_len < 1e-6
         s_axis = jnp.where(
             degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
         )
-        r_in = rotate_stokes_basis(p_in, stokes_basis(p_in), s_axis)
-        r_out = rotate_stokes_basis(p_out, s_axis, stokes_basis(p_out))
+        ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
+        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        ci2, si2 = ci2[:, None], si2[:, None]
+        co2, so2 = co2[:, None], so2[:, None]
 
     if has_cond:
-        # specular s/p-basis Mueller for complex IOR, normalized by F_unpol
-        Ms = []
-        for c in range(C):
-            M = specular_reflection_mueller(ci, lb.eta_re[:, c],
-                                            lb.eta_im[:, c])
-            F = jnp.maximum(M[..., 0, 0], 1e-12)
-            Ms.append(M / F[..., None, None])
-        M_spec = jnp.stack(Ms, axis=-1)  # (N, 4, 4, C)
-        M_spec = rotate_mueller_product(r_out, M_spec, r_in)
+        # specular s/p components for complex IOR, normalized by F_unpol
+        A, B, Cc, S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                    lb.eta_re, lb.eta_im)
+        inv_a = 1.0 / jnp.maximum(A, 1e-12)
+        M_spec = specular_sandwich(jnp.ones_like(A), B * inv_a, Cc * inv_a,
+                                   S * inv_a, ci2, si2, co2, so2)
 
     if has_diel:
         # dielectric: real-IOR reflection Mueller; transmission ~ depolarizer
-        eta_d = jnp.stack([lb.eta_ratio] * C, axis=-1)
-        Md = []
-        for c in range(C):
-            M = specular_reflection_mueller(ci, eta_d[:, c],
-                                            jnp.zeros_like(eta_d[:, c]))
-            F = jnp.maximum(M[..., 0, 0], 1e-12)
-            Md.append(M / F[..., None, None])
-        M_diel = jnp.stack(Md, axis=-1)
-        M_diel = rotate_mueller_product(r_out, M_diel, r_in)
+        eta_d = lb.eta_ratio[:, None] * jnp.ones((1, C))
+        A, B, Cc, S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                    eta_d, jnp.zeros_like(eta_d))
+        inv_a = 1.0 / jnp.maximum(A, 1e-12)
+        M_diel = specular_sandwich(jnp.ones_like(A), B * inv_a, Cc * inv_a,
+                                   S * inv_a, ci2, si2, co2, so2)
         if transmitted is not None:
             M_diel = jnp.where(
                 transmitted[:, None, None, None], _depolarizer_P(n, C),
@@ -127,6 +129,49 @@ def polarization_factor(
     if has_null:
         P = jnp.where(k == BSDF_NULL, _identity_P(n, C), P)
     return P
+
+
+def polarization_factor_col0(
+    lb: LaneBSDF,
+    p_in: jnp.ndarray,
+    p_out: jnp.ndarray,
+    cos_theta_i: jnp.ndarray,
+) -> jnp.ndarray:
+    """Column 0 of :func:`polarization_factor` (N, 4, C) — all an
+    UNPOLARIZED source needs (NEE to an emitter: contribution Stokes =
+    beta @ (P f)[:, 0] * E), at ~1/8 the cost of building the full P.
+
+    col0 of R_out @ F @ R_in is [A, co2 B, -so2 B, 0] (R_in drops out
+    against the unpolarized column e0)."""
+    n = p_in.shape[0]
+    C = lb.reflectance.shape[-1]
+    ks = lb.ks
+    has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_null = ks.has(BSDF_NULL)
+
+    # diffuse / rough-plastic / dielectric-NEE default: depolarizer col0 = e0
+    e0 = jnp.zeros((n, 4, C), jnp.float32).at[:, 0, :].set(1.0)
+    P0 = e0
+    if has_cond:
+        ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
+        sp = cross(p_in, p_out)
+        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
+        degenerate = sp_len < 1e-6
+        s_axis = jnp.where(
+            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
+        )
+        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        A, B, _Cc, _S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                      lb.eta_re, lb.eta_im)
+        Bn = B / jnp.maximum(A, 1e-12)
+        col = specular_sandwich_col0(jnp.ones_like(Bn), Bn,
+                                     co2[:, None], so2[:, None])
+        k = lb.kind[:, None, None]
+        P0 = jnp.where(
+            (k == BSDF_CONDUCTOR) | (k == BSDF_ROUGH_CONDUCTOR), col, P0)
+    if has_null:
+        P0 = jnp.where(lb.kind[:, None, None] == BSDF_NULL, e0, P0)
+    return P0
 
 
 def sensor_alignment_mueller(ray_d: jnp.ndarray,

@@ -162,6 +162,21 @@ def specular_reflection_mueller(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
     Returns shape ``(..., 4, 4)`` in the s/p basis.  Implements the standard
     Fresnel equations for complex eta = eta_re + i*eta_im.
     """
+    A, B, C, S = specular_abcs(cos_theta_i, eta_re, eta_im)
+    z = jnp.zeros_like(A)
+    rows = [
+        jnp.stack([A, B, z, z], axis=-1),
+        jnp.stack([B, A, z, z], axis=-1),
+        jnp.stack([z, z, C, S], axis=-1),
+        jnp.stack([z, z, -S, C], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def specular_abcs(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
+                  eta_im: jnp.ndarray):
+    """The four independent entries (A, B, C, S) of the s/p-basis specular
+    Mueller matrix [[A,B,0,0],[B,A,0,0],[0,0,C,S],[0,0,-S,C]]."""
     ci = jnp.clip(jnp.abs(cos_theta_i), 1e-6, 1.0)
     si2 = 1.0 - ci * ci
     eta2_re = eta_re * eta_re - eta_im * eta_im
@@ -193,14 +208,7 @@ def specular_reflection_mueller(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
     B = 0.5 * (Rs - Rp)
     C = amp * cos_d
     S = amp * sin_d
-    z = jnp.zeros_like(A)
-    rows = [
-        jnp.stack([A, B, z, z], axis=-1),
-        jnp.stack([B, A, z, z], axis=-1),
-        jnp.stack([z, z, C, S], axis=-1),
-        jnp.stack([z, z, -S, C], axis=-1),
-    ]
-    return jnp.stack(rows, axis=-2)
+    return A, B, C, S
 
 
 def depolarizer(value: jnp.ndarray) -> jnp.ndarray:
@@ -215,3 +223,51 @@ def depolarizer(value: jnp.ndarray) -> jnp.ndarray:
         jnp.stack([z, z, z, z], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)
+
+
+def rotator_angles(w, basis_current, basis_target):
+    """(cos 2theta, sin 2theta) of the rotator re-expressing Stokes bases
+    (the trig-free core of rotate_stokes_basis, without building the 4x4)."""
+    from .math import normalize as _nrm
+
+    a = _nrm(basis_current)
+    b = _nrm(basis_target)
+    c = jnp.clip(dot(a, b), -1.0, 1.0)
+    s = dot(w, cross(a, b))
+    return 2.0 * c * c - 1.0, 2.0 * c * s
+
+
+def specular_sandwich(A, B, C, S, ci2, si2, co2, so2):
+    """Closed form of ``R_out @ F @ R_in`` for the specular Mueller F
+    ([[A,B,0,0],[B,A,0,0],[0,0,C,S],[0,0,-S,C]]) between rotators with
+    (cos 2t, sin 2t) = (ci2, si2) / (co2, so2): 16 multiplies instead of two
+    unrolled 4x4 products (the polarized hot path's dominant cost).
+    All args (..., C)-broadcastable; returns (..., 4, 4[, C])."""
+    z = jnp.zeros_like(A)
+    r0 = jnp.stack([A, B * ci2, B * si2, z], axis=-2)
+    r1 = jnp.stack([co2 * B, co2 * A * ci2 - so2 * C * si2,
+                    co2 * A * si2 + so2 * C * ci2, so2 * S], axis=-2)
+    r2 = jnp.stack([-so2 * B, -so2 * A * ci2 - co2 * C * si2,
+                    -so2 * A * si2 + co2 * C * ci2, co2 * S], axis=-2)
+    r3 = jnp.stack([z, S * si2, -S * ci2, C], axis=-2)
+    return jnp.stack([r0, r1, r2, r3], axis=-3)
+
+
+def specular_sandwich_col0(A, B, co2, so2):
+    """Column 0 of ``R_out @ F @ R_in``: [A, co2*B, -so2*B, 0] — all an
+    unpolarized source needs (emission Stokes = E * column 0)."""
+    z = jnp.zeros_like(A)
+    return jnp.stack([A, co2 * B, -so2 * B, z], axis=-2)
+
+
+def mueller_matvec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched per-channel ``m @ v`` for m (..., 4, 4, C), v (..., 4, C):
+    16 multiply-adds (vs 64 for a full mueller_product whose result is then
+    reduced to one column)."""
+    outs = []
+    for i in range(4):
+        s = m[..., i, 0, :] * v[..., 0, :]
+        for k in range(1, 4):
+            s = s + m[..., i, k, :] * v[..., k, :]
+        outs.append(s)
+    return jnp.stack(outs, axis=-2)

@@ -362,7 +362,6 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         lb2 = sctx.uplift_lb(lb2)
     if polarized:
         M1 = P1 * f1[:, None, None, :]
-        beta2 = mueller_product(beta, M1)
     else:
         beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
@@ -389,21 +388,24 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         em_val = sctx.emission(em_val)
 
     if polarized:
-        from ..bsdf.polarized import polarization_factor
+        from ..bsdf.polarized import polarization_factor_col0
+        from ..core.mueller import mueller_matvec
 
         C = f2.shape[-1]
         m_h2 = wi2 + wo2
         m_h2 = m_h2 / jnp.maximum(
             jnp.linalg.norm(m_h2, axis=-1, keepdims=True), 1e-12)
         cos_i2 = jnp.abs(jnp.sum(wi2 * m_h2, axis=-1))
-        P2 = polarization_factor(lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)),
-                                 -d1, cos_i2)
-        M2 = P2 * f2[:, None, None, :]
-        A = mueller_product(beta2, M2)
-        # emission is unpolarized: Stokes = E * first Mueller column
+        # emission is unpolarized: only column 0 of the full chain is
+        # needed -> two matvecs (M1 @ (P2 f2)[:,0], then beta @ .) instead
+        # of two full 4x4 Mueller products
+        P2c = polarization_factor_col0(
+            lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)), -d1, cos_i2)
+        t_col = mueller_matvec(M1, P2c * f2[:, None, :])
+        col = mueller_matvec(beta, t_col)
         Lr = jnp.where(
             active_e[:, None],
-            (A[:, :, 0, :] * em_val[:, None, :]).reshape(n, 4 * C),
+            (col * em_val[:, None, :]).reshape(n, 4 * C),
             0.0,
         )
     else:
@@ -443,7 +445,8 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         active_e = active_e & (it_depth > 2)
 
     if polarized:
-        from ..bsdf.polarized import polarization_factor
+        from ..bsdf.polarized import polarization_factor_col0
+        from ..core.mueller import mueller_matvec
 
         n_l = si.t.shape[0]
         C = f2.shape[-1]
@@ -451,13 +454,12 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         m_h = m_h / jnp.maximum(
             jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
         cos_i2 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-        P2 = polarization_factor(lb, -d2, -wi_world, cos_i2)
-        M2 = P2 * f2[:, None, None, :]
-        A = mueller_product(beta, M2)
-        # emission is unpolarized: Stokes = E * first Mueller column
+        # emission is unpolarized: column 0 only -> one matvec
+        P2c = polarization_factor_col0(lb, -d2, -wi_world, cos_i2)
+        col = mueller_matvec(beta, P2c * f2[:, None, :])
         Lr = jnp.where(
             active_e[:, None],
-            (A[:, :, 0, :] * em_val[:, None, :]).reshape(n_l, 4 * C),
+            (col * em_val[:, None, :]).reshape(n_l, 4 * C),
             0.0,
         )
     else:

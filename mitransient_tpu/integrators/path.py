@@ -217,7 +217,8 @@ def sample_primal(
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
-            from ..bsdf.polarized import polarization_factor
+            from ..bsdf.polarized import polarization_factor_col0
+            from ..core.mueller import mueller_matvec
 
             # Fresnel incidence cosine at the half vector (local frame)
             m_h = si.wi + wo_em
@@ -225,15 +226,14 @@ def sample_primal(
                 jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
             wo_em_world = ds.d
-            P_em = polarization_factor(
-                lb, -wo_em_world, -st.d, cos_i_em)
-            M_em = P_em * f_em[:, None, None, :]
-            A = mueller_product(st.beta, M_em)
+            # NEE sources are unpolarized, so only column 0 of the Mueller
+            # factor survives: one matvec instead of a full 4x4 product
+            P0 = polarization_factor_col0(lb, -wo_em_world, -st.d, cos_i_em)
+            col = mueller_matvec(st.beta, P0 * f_em[:, None, :])
             Lr_dir = jnp.where(
                 active_em[:, None],
-                (A[:, :, 0, :]
-                 * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
-                     n, 4 * C),
+                (col * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
+                    n, 4 * C),
                 0.0,
             )
         else:

@@ -436,18 +436,19 @@ def sample_volpath_primal(
         pdf_for_mis = jnp.where(medium_scatter, pdf_phase, pdf_srf)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_for_mis))
         if polarized:
-            from ..bsdf.polarized import polarization_factor
+            from ..bsdf.polarized import polarization_factor_col0
+            from ..core.mueller import mueller_matvec
 
-            # surface lanes: full polarized BSDF factor; medium lanes: the
+            # surface lanes: column 0 of the polarized BSDF factor (NEE
+            # sources are unpolarized -> one matvec); medium lanes: the
             # HG scatter depolarizes, so the NEE Stokes is column 0 of the
             # throughput times the scalar phase value
             m_h = si.wi + wo_em
             m_h = m_h / jnp.maximum(
                 jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-            P_em = polarization_factor(lb, -ds.d, -st["d"], cos_i_em)
-            M_em = P_em * f_srf[:, None, None, :]
-            A_srf = mueller_product(beta, M_em)[:, :, 0, :]
+            P0 = polarization_factor_col0(lb, -ds.d, -st["d"], cos_i_em)
+            A_srf = mueller_matvec(beta, P0 * f_srf[:, None, :])
             A_med = beta[:, :, 0, :] * f_phase[:, None, :]
             A = jnp.where(medium_scatter[:, None, None], A_med, A_srf)
             Lr_dir = jnp.where(

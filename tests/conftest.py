@@ -18,3 +18,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Stability: the full suite compiles many hundreds of distinct XLA:CPU
+# programs in one process; with all of them held live the process
+# segfaults near the end of the run (observed round 3, reproducibly at
+# ~95% through `pytest tests/`).  Dropping the in-memory executable caches
+# between test modules bounds that accumulation; the on-disk compilation
+# cache keeps re-compiles cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
