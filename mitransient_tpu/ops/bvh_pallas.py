@@ -44,7 +44,11 @@ TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
 # Candidates emitted per select pass: each ray advances through up to
 # SELECT_K chunks per (select, sort, sweep) round, amortizing the dense
 # chunk-slab selection scan and the wavefront sort over K chunk visits.
-SELECT_K = 4
+# Measured on the staircase (262k tris, TPU v5e, round 3): K=1 0.64 Mrays/s,
+# K=2 0.35, K=4 0.32 — the K-sorted register bubble in the select kernel and
+# the K extra sort payloads cost more than the amortization saves, so the
+# round-2 default of 4 was a 2x regression.  Keep K=1.
+SELECT_K = 1
 
 
 def _pad_reshape(x, fill):

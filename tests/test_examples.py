@@ -20,6 +20,7 @@ SCRIPTS = [
     "polarization/render_cbox_polarized.py",
     "polarization/transient_nlos_polarization.py",
     "diff_transient/optimize_reflectance.py",
+    "diff_transient/optimize_staircase_texture.py",
     "diff_transient/forward_time_gradients.py",
     "angulararea_emitter/render_angular_vs_area.py",
 ]
