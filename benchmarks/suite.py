@@ -172,6 +172,47 @@ ALL = {
 }
 
 
+def bench_confocal_scan(spp=512, points=16, reps=1):
+    """The real confocal workload: a loop of focused per-scan-point renders
+    (the 1x1-film single render is a degenerate 512-lane wavefront).  Scans
+    ``points`` of the 32x32 virtual grid; laser focus changes only array
+    VALUES, so every point reuses one compiled pass."""
+    import mitransient_tpu as mitr
+
+    scene = make_nlos_confocal()
+    pts = [(x + 0.5, y + 0.5) for y in range(4) for x in range(4)][:points]
+
+    def sweep(seed):
+        rays = 0.0
+        for px, py in pts:
+            mitr.nlos.focus_emitter_at_relay_wall_pixel([px * 8, py * 8],
+                                                        scene)
+            s, t, st = mitr.render(scene, spp=spp, seed=seed,
+                                   return_stats=True)
+            rays += float(st["rays"])
+        import numpy as np
+
+        float(np.asarray(s).sum())
+        return rays
+
+    sweep(0)  # warm/compile
+    best = None
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        rays = sweep(1 + rep)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best, best_rays = dt, rays
+    print(json.dumps({
+        "metric": "nlos_confocal_scan_rays_per_sec_per_chip",
+        "value": best_rays / best,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "detail": {"wall_s": best, "rays": best_rays, "spp": spp,
+                   "scan_points": len(pts)},
+    }), flush=True)
+
+
 def main():
     names = sys.argv[1:] or list(ALL)
     # absorb the axon tunnel's per-process first-loop-program cost (multi-
@@ -187,6 +228,13 @@ def main():
     float(f(jnp.ones((128,))))
     print(f"# tunnel warm-up {_t.perf_counter()-t0:.1f}s", flush=True)
     for name in names:
+        if name == "nlos_confocal":
+            try:
+                bench_confocal_scan()
+            except Exception as e:
+                print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                      flush=True)
+            continue
         make, spp = ALL[name]
         try:
             bench(name, make, spp)
