@@ -37,7 +37,7 @@ def main():
         print("reference staircase scene not mounted; nothing to do")
         return
     if args.quick:
-        res, bins, binw, spp, iters, md, lr = (12, 48, 0.25, 4, 4, 3, 0.25)
+        res, bins, binw, spp, iters, md, lr = (10, 48, 0.25, 4, 2, 3, 0.25)
     else:
         res, bins, binw, spp, iters, md, lr = (64, 200, 0.1, 64, 40, 8, 0.1)
     spp = args.spp or spp

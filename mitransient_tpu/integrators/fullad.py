@@ -117,9 +117,9 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
             raise ValueError(
                 "Exhaustive capture is not supported in differentiable "
                 "rendering (transientnlospath.py:729-731)")
-        from .nlos_path import prepare_nlos
+        from .nlos_path import prepare_nlos_cached
 
-        ctx = prepare_nlos(scene, cfg)
+        ctx = prepare_nlos_cached(scene, cfg, sensor)
     else:
         from ..sensors.perspective import build_camera
 

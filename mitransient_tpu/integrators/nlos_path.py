@@ -68,11 +68,15 @@ def _sctx_film(sctx, v, polarized: bool):
 
 def can_skip_le(sd: SceneData) -> bool:
     """True when every emitter is delta (projector/point) so the Le term is
-    identically zero and its film event can be elided (host-side check on
-    concrete scene data; do NOT call on traced values)."""
-    import numpy as _np
-
+    identically zero and its film event can be elided.  Uses the STATIC
+    kind set when available (no device->host sync — a ~0.3 s tunnel round
+    trip per render otherwise); falls back to a host read."""
     from ..scene.scene import EM_POINT
+
+    ks = sd.emitter.ks
+    if ks.kinds:
+        return all(k in (EM_PROJECTOR, EM_POINT) for k in ks.kinds)
+    import numpy as _np
 
     kinds = _np.asarray(sd.emitter.kind)
     return kinds.size > 0 and bool(
@@ -265,6 +269,34 @@ def prepare_nlos(scene: Scene, sensor_cfg: SensorConfig) -> NLOSContext:
         hg_tri_cdf=jnp.asarray(cdf),
         hg_total_area=jnp.float32(total),
     )
+
+
+def prepare_nlos_cached(scene: Scene, sensor_cfg: SensorConfig,
+                        sensor: int = 0) -> NLOSContext:
+    """Per-scene memoized :func:`prepare_nlos`.
+
+    prepare_nlos runs ~6 host<->device round trips (tiny intersects +
+    np.asarray syncs) which cost ~2 s through the axon tunnel — a FIXED
+    per-render cost that dominated every NLOS workload (measured round 3:
+    wall time was flat at ~2.1 s from 0.25M to 8.4M lanes).  The context
+    only depends on the laser focus, the sensor config and the integrator
+    config — all hashable — so repeat renders reuse it; params.update()
+    re-bakes (_compile) invalidate the cache."""
+    import numpy as _np
+
+    key = (
+        sensor,
+        bool(scene.laser_focused),
+        tuple(_np.asarray(scene.laser_target).ravel().tolist()),
+        sensor_cfg,
+        scene.integrator,
+    )
+    cache = getattr(scene, "_nlos_ctx_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    ctx = prepare_nlos(scene, sensor_cfg)
+    scene._nlos_ctx_cache = (key, ctx)
+    return ctx
 
 
 def sample_nlos_rays(ctx: NLOSContext, spp: int, hw: int):
@@ -739,6 +771,31 @@ def sample_nlos_primal(
 # Driver
 # --------------------------------------------------------------------------
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit,
+          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_",
+                           "polarized_", "spectral_", "skip_le_"),
+          donate_argnames=("film",))
+def _nlos_one_pass(sd, ctx_, film, seed_, pass_idx, inv_total, *,
+                   film_cfg_, icfg_, spp_, hw_, polarized_, spectral_,
+                   skip_le_):
+    """Module-level jitted NLOS pass: defining this inside render_nlos made
+    every render call a fresh closure -> a full re-TRACE per call (~1.5 s
+    host time through the tunnel), which dominated all NLOS wall times."""
+    n = spp_ * hw_
+    sampler = Sampler(seed_, n, stream=pass_idx)
+    ray, ray_weight = sample_nlos_rays(ctx_, spp_, hw_)
+    film, L, valid, n_rays = sample_nlos_primal(
+        sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
+        inv_total, base_dim=2, spp=spp_, polarized=polarized_,
+        spectral=spectral_, skip_le=skip_le_,
+    )
+    film = splat_steady(film, spp_, L, ray_weight)
+    return film, n_rays
+
+
 def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
                 max_lanes=1 << 21, progress_callback=None,
                 return_stats: bool = False):
@@ -762,7 +819,7 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
             scene, spp=spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
             progress_callback=progress_callback, return_stats=return_stats)
 
-    ctx = prepare_nlos(scene, cfg)
+    ctx = prepare_nlos_cached(scene, cfg, sensor)
 
     spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
     n_passes = (spp + spp_chunk - 1) // spp_chunk
@@ -771,33 +828,19 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
 
     skip_le = can_skip_le(scene.data)
 
-    @partial(jax.jit,
-             static_argnames=("film_cfg_", "icfg_", "spp_", "hw_"),
-             donate_argnames=("film",))
-    def one_pass(sd, ctx_, film, seed_, pass_idx, inv_total, *,
-                 film_cfg_, icfg_, spp_, hw_):
-        n = spp_ * hw_
-        sampler = Sampler(seed_, n, stream=pass_idx)
-        ray, ray_weight = sample_nlos_rays(ctx_, spp_, hw_)
-        film, L, valid, n_rays = sample_nlos_primal(
-            sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
-            inv_total, base_dim=2, spp=spp_, polarized=polarized,
-            spectral=scene.variant.spectral, skip_le=skip_le,
-        )
-        film = splat_steady(film, spp_, L, ray_weight)
-        return film, n_rays
-
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
     film = film_init(film_cfg, film_channels, scan_pixels=hw)
     total_rays = 0.0
     from ..scene.scene import primal_sd
 
     for p in range(n_passes):
-        film, n_rays = one_pass(
+        film, n_rays = _nlos_one_pass(
             primal_sd(scene.data), ctx, film, jnp.uint32(seed),
             jnp.uint32(p),
             jnp.float32(1.0 / total_spp),
             film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw,
+            polarized_=polarized, spectral_=scene.variant.spectral,
+            skip_le_=skip_le,
         )
         total_rays = total_rays + n_rays
         if progress_callback is not None:

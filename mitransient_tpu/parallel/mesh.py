@@ -63,9 +63,9 @@ def _sensor_context(scene: Scene, cfg):
     nlos = (cfg.kind == "nlos_capture_meter"
             or scene.integrator.kind == "transient_nlos_path")
     if nlos:
-        from ..integrators.nlos_path import prepare_nlos
+        from ..integrators.nlos_path import prepare_nlos_cached
 
-        return True, prepare_nlos(scene, cfg)
+        return True, prepare_nlos_cached(scene, cfg)
     return False, build_camera(cfg)
 
 

@@ -860,6 +860,7 @@ class Scene:
 
     # ------------------------------------------------------------------
     def _compile(self):
+        self._nlos_ctx_cache = None  # geometry changed: NLOS targets stale
         C = self.variant.color_channels
         # Triangle soup
         tri_v0, tri_v1, tri_v2 = [], [], []
