@@ -21,13 +21,66 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+_checksum_fn = None
+
+
+def _sync(*arrays) -> float:
+    """One fused device-side reduce + one scalar fetch: forces every
+    producing program to finish without transferring the tensors over the
+    ~30 MB/s axon tunnel (block_until_ready is unreliable through it; a
+    full np.asarray inside the timed region is what corrupted BENCH_r03 —
+    see bench.py)."""
+    global _checksum_fn
+    import jax
+    import jax.numpy as jnp
+
+    if _checksum_fn is None:
+        def _cs(xs):
+            total = jnp.zeros((), jnp.float32)
+            for a in xs:
+                total = total + jnp.sum(a).astype(jnp.float32)
+            return total
+
+        _checksum_fn = jax.jit(_cs)
+    return float(_checksum_fn(tuple(arrays)))
+
+
+def _history():
+    """Previous-round recorded numbers (benchmarks/history.json): the
+    regression reference for vs_prev.  Update the file in the same commit
+    as any perf-affecting change (VERDICT r3 'weak' items 3/6)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "history.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _report(name, value, best, rays, spp, **extra):
+    prev = _history().get(name)
+    vs_prev = (value / prev) if prev else None
+    print(json.dumps({
+        "metric": f"{name}_rays_per_sec_per_chip",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "detail": {"wall_s": best, "rays": rays, "spp": spp,
+                   "vs_prev": vs_prev, **extra},
+    }), flush=True)
+    if vs_prev is not None and vs_prev < 0.9:
+        print(f"# REGRESSION: {name} at {vs_prev:.2f}x of previous round "
+              f"({value/1e6:.1f} M vs {prev/1e6:.1f} M rays/s)", flush=True)
+
+
 def _run(scene, spp, seed=0, **kw):
     import mitransient_tpu as mitr
 
     s, t, stats = mitr.render(scene, spp=spp, seed=seed, return_stats=True,
                               **kw)
-    # full host sync (block_until_ready is unreliable through axon)
-    float(np.asarray(s).sum())
+    _sync(s, t)
     return stats
 
 
@@ -43,13 +96,7 @@ def bench(name, make_scene, spp, reps=2, **kw):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     rays = float(stats["rays"])
-    print(json.dumps({
-        "metric": f"{name}_rays_per_sec_per_chip",
-        "value": rays / best,
-        "unit": "rays/s",
-        "vs_baseline": None,
-        "detail": {"wall_s": best, "rays": rays, "spp": spp},
-    }), flush=True)
+    _report(name, rays / best, best, rays, spp)
 
 
 def cbox(**over):
@@ -190,9 +237,7 @@ def bench_confocal_scan(spp=512, points=16, reps=1):
             s, t, st = mitr.render(scene, spp=spp, seed=seed,
                                    return_stats=True)
             rays += float(st["rays"])
-        import numpy as np
-
-        float(np.asarray(s).sum())
+        _sync(s, t)
         return rays
 
     sweep(0)  # warm/compile
@@ -203,14 +248,8 @@ def bench_confocal_scan(spp=512, points=16, reps=1):
         dt = time.perf_counter() - t0
         if best is None or dt < best:
             best, best_rays = dt, rays
-    print(json.dumps({
-        "metric": "nlos_confocal_scan_rays_per_sec_per_chip",
-        "value": best_rays / best,
-        "unit": "rays/s",
-        "vs_baseline": None,
-        "detail": {"wall_s": best, "rays": best_rays, "spp": spp,
-                   "scan_points": len(pts)},
-    }), flush=True)
+    _report("nlos_confocal_scan", best_rays / best, best, best_rays, spp,
+            scan_points=len(pts))
 
 
 def main():

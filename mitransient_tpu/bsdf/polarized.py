@@ -174,6 +174,130 @@ def polarization_factor_col0(
     return P0
 
 
+def polarization_factor_soa(
+    lb: LaneBSDF,
+    p_in: jnp.ndarray,
+    p_out: jnp.ndarray,
+    cos_theta_i: jnp.ndarray,
+    transmitted: jnp.ndarray | None = None,
+) -> tuple:
+    """SoA form of :func:`polarization_factor`: tuple of 16 (N, C) arrays
+    (see core/mueller.py msoa_* — avoids the rank-4 carry whose mixed TPU
+    layouts dominated the polarized render cost, round-4 HLO measurement).
+    Entries are numerically identical to the dense version."""
+    from ..core.mueller import specular_sandwich_soa
+
+    n = p_in.shape[0]
+    C = lb.reflectance.shape[-1]
+    ks = lb.ks
+    has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_diel = ks.has(BSDF_DIELECTRIC)
+    has_null = ks.has(BSDF_NULL)
+
+    ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
+
+    if has_cond or has_diel:
+        sp = cross(p_in, p_out)
+        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
+        degenerate = sp_len < 1e-6
+        s_axis = jnp.where(
+            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
+        )
+        ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
+        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        ci2, si2 = ci2[:, None], si2[:, None]
+        co2, so2 = co2[:, None], so2[:, None]
+
+    zz = jnp.zeros((n, C), jnp.float32)
+    oo = jnp.ones((n, C), jnp.float32)
+    # diffuse / rough-plastic default: ideal depolarizer (entry 0 only)
+    P = [oo] + [zz] * 15
+
+    if has_cond:
+        A, B, Cc, S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                    lb.eta_re, lb.eta_im)
+        inv_a = 1.0 / jnp.maximum(A, 1e-12)
+        M_spec = specular_sandwich_soa(
+            jnp.ones_like(A), B * inv_a, Cc * inv_a, S * inv_a,
+            ci2, si2, co2, so2)
+        m = ((lb.kind == BSDF_CONDUCTOR)
+             | (lb.kind == BSDF_ROUGH_CONDUCTOR))[:, None]
+        P = [jnp.where(m, e, p) for e, p in zip(M_spec, P)]
+
+    if has_diel:
+        eta_d = lb.eta_ratio[:, None] * jnp.ones((1, C))
+        A, B, Cc, S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                    eta_d, jnp.zeros_like(eta_d))
+        inv_a = 1.0 / jnp.maximum(A, 1e-12)
+        M_diel = list(specular_sandwich_soa(
+            jnp.ones_like(A), B * inv_a, Cc * inv_a, S * inv_a,
+            ci2, si2, co2, so2))
+        if transmitted is not None:
+            tm = transmitted[:, None]
+            depol = [oo] + [zz] * 15
+            M_diel = [jnp.where(tm, d, e)
+                      for d, e in zip(depol, M_diel)]
+        m = (lb.kind == BSDF_DIELECTRIC)[:, None]
+        P = [jnp.where(m, e, p) for e, p in zip(M_diel, P)]
+
+    if has_null:
+        eye = [oo if i == j else zz for i in range(4) for j in range(4)]
+        m = (lb.kind == BSDF_NULL)[:, None]
+        P = [jnp.where(m, e, p) for e, p in zip(eye, P)]
+    return tuple(P)
+
+
+def polarization_factor_col0_soa(
+    lb: LaneBSDF,
+    p_in: jnp.ndarray,
+    p_out: jnp.ndarray,
+    cos_theta_i: jnp.ndarray,
+) -> tuple:
+    """SoA column 0 of the polarization factor: tuple of 4 (N, C) arrays
+    (entries identical to :func:`polarization_factor_col0`)."""
+    n = p_in.shape[0]
+    C = lb.reflectance.shape[-1]
+    ks = lb.ks
+    has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
+
+    zz = jnp.zeros((n, C), jnp.float32)
+    oo = jnp.ones((n, C), jnp.float32)
+    P0 = [oo, zz, zz, zz]  # depolarizer / null col0 = e0
+    if has_cond:
+        ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
+        sp = cross(p_in, p_out)
+        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
+        degenerate = sp_len < 1e-6
+        s_axis = jnp.where(
+            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
+        )
+        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        A, B, _Cc, _S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                      lb.eta_re, lb.eta_im)
+        Bn = B / jnp.maximum(A, 1e-12)
+        col = (jnp.ones_like(Bn), co2[:, None] * Bn, -so2[:, None] * Bn, zz)
+        m = ((lb.kind == BSDF_CONDUCTOR)
+             | (lb.kind == BSDF_ROUGH_CONDUCTOR))[:, None]
+        P0 = [jnp.where(m, e, p) for e, p in zip(col, P0)]
+    return tuple(P0)
+
+
+def sensor_alignment_soa(ray_d: jnp.ndarray, vertical: jnp.ndarray,
+                         C: int) -> tuple:
+    """SoA beta_init: the sensor Stokes-frame alignment rotator as a tuple
+    of 16 (N, C) arrays (reference utils.py:9-21)."""
+    from ..core.mueller import rotator_angles as _ra, rotator_soa
+
+    w = -ray_d
+    current = stokes_basis(w)
+    target = normalize(cross(ray_d, jnp.broadcast_to(vertical, ray_d.shape)))
+    c2, s2 = _ra(w, current, target)
+    n = ray_d.shape[0]
+    return tuple(
+        jnp.broadcast_to(e[:, None], (n, C)).astype(jnp.float32)
+        for e in rotator_soa(c2, s2))
+
+
 def sensor_alignment_mueller(ray_d: jnp.ndarray,
                              vertical: jnp.ndarray) -> jnp.ndarray:
     """beta_init (reference utils.py:9-21): rotate the Stokes basis of the

@@ -271,3 +271,81 @@ def mueller_matvec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
             s = s + m[..., i, k, :] * v[..., k, :]
         outs.append(s)
     return jnp.stack(outs, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# SoA Mueller representation: tuple of 16 (..., C) arrays, row-major
+# (entry (i, j) at index 4*i + j).
+#
+# WHY: carrying (N, 4, 4, C) rank-4 tensors through the polarized wavefront
+# loop makes XLA:TPU assign MULTIPLE layouts to the same logical shape
+# (measured round 4 on the polarized cbox pass: 92 buffers
+# {0,3,2,1:T(1,128)}, 46 {0,1,3,2:T(4,128)}, 11 row-major — every domain
+# boundary is a relayout copy of a 128 MB buffer inside the loop; the cost
+# survives even when the Mueller arithmetic is stubbed out, BASELINE.md
+# "Polarized headroom").  Sixteen rank-2 (N, C) arrays are the same shape
+# class as every unpolarized carry, get one canonical layout, and fuse.
+# ---------------------------------------------------------------------------
+
+def msoa_product(a: tuple, b: tuple) -> tuple:
+    """SoA Mueller product a @ b: 64 elementwise multiply-adds."""
+    out = []
+    for i in range(4):
+        for j in range(4):
+            s = a[4 * i] * b[j]
+            for k in range(1, 4):
+                s = s + a[4 * i + k] * b[4 * k + j]
+            out.append(s)
+    return tuple(out)
+
+
+def msoa_matvec(m: tuple, v: tuple) -> tuple:
+    """SoA m @ v for a 4-component Stokes tuple v: 16 multiply-adds."""
+    out = []
+    for i in range(4):
+        s = m[4 * i] * v[0]
+        for k in range(1, 4):
+            s = s + m[4 * i + k] * v[k]
+        out.append(s)
+    return tuple(out)
+
+
+def msoa_scale(m: tuple, s: jnp.ndarray) -> tuple:
+    return tuple(e * s for e in m)
+
+
+def msoa_where(mask: jnp.ndarray, a: tuple, b: tuple) -> tuple:
+    return tuple(jnp.where(mask, x, y) for x, y in zip(a, b))
+
+
+def msoa_from_dense(M: jnp.ndarray) -> tuple:
+    """(..., 4, 4, C) -> tuple16 of (..., C)."""
+    return tuple(M[..., i, j, :] for i in range(4) for j in range(4))
+
+
+def msoa_to_dense(m: tuple) -> jnp.ndarray:
+    rows = [jnp.stack(m[4 * i : 4 * i + 4], axis=-2) for i in range(4)]
+    return jnp.stack(rows, axis=-3)
+
+
+def specular_sandwich_soa(A, B, C, S, ci2, si2, co2, so2) -> tuple:
+    """SoA form of :func:`specular_sandwich` (R_out @ F @ R_in)."""
+    z = jnp.zeros_like(A)
+    return (
+        A, B * ci2, B * si2, z,
+        co2 * B, co2 * A * ci2 - so2 * C * si2,
+        co2 * A * si2 + so2 * C * ci2, so2 * S,
+        -so2 * B, -so2 * A * ci2 - co2 * C * si2,
+        -so2 * A * si2 + co2 * C * ci2, co2 * S,
+        z, S * si2, -S * ci2, C,
+    )
+
+
+def rotator_soa(c2, s2) -> tuple:
+    """SoA Mueller rotator from (cos 2theta, sin 2theta)."""
+    z = jnp.zeros_like(c2)
+    o = jnp.ones_like(c2)
+    return (o, z, z, z,
+            z, c2, s2, z,
+            z, -s2, c2, z,
+            z, z, z, o)

@@ -38,16 +38,39 @@ from ..ops.splat_pallas import PIXEL_BLOCK, round_up, splat_accumulate
 from ..scene.schema import FilmConfig
 
 _IS_TPU = None
+_FORCE_XLA_SPLAT = False  # trace-time override for AD paths (see below)
 
 
 def _on_tpu() -> bool:
     global _IS_TPU
+    if _FORCE_XLA_SPLAT:
+        return False
     if _IS_TPU is None:
         try:
             _IS_TPU = jax.default_backend() == "tpu"
         except Exception:
             _IS_TPU = False
     return _IS_TPU
+
+
+class xla_splat_scope:
+    """Route transient splats through the XLA scatter path while tracing.
+
+    The Pallas splat kernel (ops/splat_pallas.py) has no AD rules, so any
+    program that differentiates THROUGH the film scatter (full-loop AD /
+    forward-mode jvp) must trace the `.at[].add` form instead — XLA's
+    scatter-add has exact built-in JVP/transpose.  Primal renders keep the
+    Pallas kernel.  The flag is read at TRACE time, so wrap the call that
+    triggers tracing of the differentiated program."""
+
+    def __enter__(self):
+        global _FORCE_XLA_SPLAT
+        self._saved = _FORCE_XLA_SPLAT
+        _FORCE_XLA_SPLAT = True
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_SPLAT
+        _FORCE_XLA_SPLAT = self._saved
 
 
 class TransientFilmState(NamedTuple):
@@ -129,6 +152,34 @@ def splat_transient_pair(
     tr = _scatter_layout(state.transient, spp, hw, bins_a, va)
     if bins_b is not None:
         tr = _scatter_layout(tr, spp, hw, bins_b, vb)
+    return state._replace(transient=tr)
+
+
+def splat_transient_flat(
+    state: TransientFilmState,
+    cfg: FilmConfig,
+    spp: int,
+    hw_total: int,
+    dist: jnp.ndarray,  # (N',) OPL, N' = spp * hw_total, spp-major
+    val: jnp.ndarray,  # (N', C) scaled values
+    active: jnp.ndarray,  # (N',) bool
+) -> TransientFilmState:
+    """Splat into a film whose pixel axis is an arbitrary flat layout of
+    ``hw_total`` slots (used by the exhaustive capture, where slot =
+    laser_index * scan_pixels + scan_pixel — the 6-D film of
+    transient_image_block.py:63-68 flattened).  Lanes are spp-major over
+    the hw_total slots; the steady accumulator is NOT touched."""
+    bins, _ = time_bin(cfg, dist)
+    v = jnp.where(active[:, None], val, 0.0)
+    if (cfg.warn_negative or cfg.warn_invalid) and state.n_negative is not None:
+        state = _count_suspect(state, cfg, val, None, active)
+    if _on_tpu():
+        tr = splat_accumulate(
+            state.transient, bins, v, None, None, spp=spp, hw=hw_total,
+            n_bins=cfg.temporal_bins,
+        )
+        return state._replace(transient=tr)
+    tr = _scatter_layout(state.transient, spp, hw_total, bins, v)
     return state._replace(transient=tr)
 
 

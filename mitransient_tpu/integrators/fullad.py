@@ -35,17 +35,25 @@ def _skip_le(scene) -> bool:
 
 def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
                  film_cfg, icfg, spp, hw, kind,
-                 skip_le: bool = False) -> DiffParams:
+                 skip_le: bool = False, polarized: bool = False,
+                 spectral: bool = False) -> DiffParams:
     """Parameter-gradient contribution of one spp-chunk sample stream.
 
     Traceable (no jit): parallel.mesh wraps it in shard_map with
     ``stream = pass * n_devices + device_index`` so the multi-chip gradient
-    is the psum of per-device calls of this function."""
+    is the psum of per-device calls of this function.
+
+    ``polarized``/``spectral`` must match the scene variant so the taped
+    estimator is the SAME estimator the primal rendered (film gets
+    4x channels for Stokes output; spectral lanes carry hero wavelengths
+    and splat in sRGB) — previously the flags were dropped and a polarized
+    scene was differentiated through an unpolarized RGB estimator."""
 
     def loss_fn(theta: DiffParams):
         sdt = insert_params(sd, theta)
         C = sdt.bsdf.reflectance.shape[-1]
-        film = film_init_any(film_cfg, C, scan_pixels=hw)
+        Cf = C * (4 if polarized else 1)
+        film = film_init_any(film_cfg, Cf, scan_pixels=hw)
         sampler = Sampler(seed, spp * hw, stream=stream)
         if kind == "transient_nlos_path":
             from .nlos_path import sample_nlos_primal, sample_nlos_rays
@@ -53,7 +61,8 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
             ray, rw = sample_nlos_rays(ctx, spp, hw)
             film, L, _v, _r = sample_nlos_primal(
                 sdt, ctx, sampler, ray, rw, film, film_cfg, icfg,
-                inv_total, base_dim=2, spp=spp, skip_le=skip_le)
+                inv_total, base_dim=2, spp=spp, skip_le=skip_le,
+                polarized=polarized, spectral=spectral)
         elif kind == "transient_path":
             from ..sensors.perspective import sample_rays
             from .path import sample_primal
@@ -62,7 +71,8 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
                                        film_cfg.height, spp)
             film, L, _v, _r = sample_primal(
                 sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
-                inv_total, base_dim=2, spp=spp)
+                inv_total, base_dim=2, spp=spp, polarized=polarized,
+                spectral=spectral, cam_vertical=ctx.R[:, 1])
         else:  # transient_prbvolpath
             from ..sensors.perspective import sample_rays
             from .volpath import sample_volpath_primal
@@ -71,12 +81,12 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
                                        film_cfg.height, spp)
             film, L, _v, _r = sample_volpath_primal(
                 sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
-                inv_total, base_dim=2, spp=spp)
+                inv_total, base_dim=2, spp=spp, spectral=spectral)
         _steady_dev, transient = develop_any(
             film, film_cfg, shape_hw=(film_cfg.height, film_cfg.width))
         # steady partial: per-pass sum of L * inv_total (box filter weights)
         steady_partial = (
-            L.reshape(spp, hw, C).sum(axis=0) * inv_total
+            L.reshape(spp, hw, L.shape[-1]).sum(axis=0) * inv_total
         )
         return (jnp.sum(gt_full * transient)
                 + jnp.sum(gs * steady_partial))
@@ -86,14 +96,16 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "icfg", "spp", "hw", "kind",
-                          "skip_le"),
+                          "skip_le", "polarized", "spectral"),
          donate_argnames=())
 def _fullad_pass(sd, ctx, gs, gt_full, seed, pass_idx, inv_total, *,
-                 film_cfg, icfg, spp, hw, kind, skip_le=False):
+                 film_cfg, icfg, spp, hw, kind, skip_le=False,
+                 polarized=False, spectral=False):
     """One spp-chunk's parameter-gradient contribution (single device)."""
     return fullad_grads(sd, ctx, gs, gt_full, seed, pass_idx, inv_total,
                         film_cfg=film_cfg, icfg=icfg, spp=spp, hw=hw,
-                        kind=kind, skip_le=skip_le)
+                        kind=kind, skip_le=skip_le, polarized=polarized,
+                        spectral=spectral)
 
 
 def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
@@ -104,10 +116,12 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
     kind = icfg.kind
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
-    C = scene.variant.color_channels
+    polarized = scene.variant.polarized
+    spectral = scene.variant.spectral
+    C = scene.variant.color_channels * (4 if polarized else 1)
     T = film_cfg.temporal_bins
 
-    if kind == "transient_prbvolpath" and scene.variant.polarized:
+    if kind == "transient_prbvolpath" and polarized:
         raise NotImplementedError(
             "polarized volumetric is primal-only (the reference has no "
             "polarized volumetric at all; its prbvolpath is unpolarized, "
@@ -138,13 +152,19 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
     spp_chunk = (spp + n_passes - 1) // n_passes
     total_spp = spp_chunk * n_passes
 
+    from ..film.transient_film import xla_splat_scope
+
     grads = None
     for p in range(n_passes):
-        g = _fullad_pass(
-            scene.data, ctx, gs, gt, jnp.uint32(seed), jnp.uint32(p),
-            jnp.float32(1.0 / total_spp),
-            film_cfg=film_cfg, icfg=icfg, spp=spp_chunk, hw=hw, kind=kind,
-            skip_le=(kind == "transient_nlos_path" and _skip_le(scene)))
+        with xla_splat_scope():  # AD through the film scatter needs XLA's
+            # scatter-add (the Pallas splat kernel has no AD rules)
+            g = _fullad_pass(
+                scene.data, ctx, gs, gt, jnp.uint32(seed), jnp.uint32(p),
+                jnp.float32(1.0 / total_spp),
+                film_cfg=film_cfg, icfg=icfg, spp=spp_chunk, hw=hw,
+                kind=kind,
+                skip_le=(kind == "transient_nlos_path" and _skip_le(scene)),
+                polarized=polarized, spectral=spectral)
         grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
 
     from .prb import grads_to_named

@@ -446,6 +446,217 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     return Lr, splat_dist
 
 
+class ExhaustiveLaser(NamedTuple):
+    """Stacked per-laser-point constants for the fused exhaustive capture
+    (one row per illumination point; the batched analogue of the hoisted
+    wall-vertex constants in :class:`NLOSContext`).  Semantics: each laser
+    point is treated as a REFOCUSED delta laser (the physical scanning
+    process, and bit-compatible with the previous per-point driver), so
+    ``wall_em`` is the on-axis emitter radiance at each point."""
+
+    laser_target: jnp.ndarray  # (L, 3)
+    wall_ng: jnp.ndarray  # (L, 3)
+    wall_n_sh: jnp.ndarray  # (L, 3)
+    wall_uv: jnp.ndarray  # (L, 2)
+    wall_bsdf_id: jnp.ndarray  # (L,) int32
+    wall_em: jnp.ndarray  # (L, C)
+    wall_dist2: jnp.ndarray  # (L,)
+    wall_d2: jnp.ndarray  # (L, 3)
+    wall_clear: jnp.ndarray  # (L,) bool
+
+
+def exhaustive_laser_targets(scene: Scene, cfg: SensorConfig,
+                             icfg: IntegratorConfig):
+    """Illumination grid for an exhaustive capture:
+    ((L, 3) world points, (L,) validity).
+
+    ``force_equal_illumination_scanning`` (default, transientnlospath.py
+    :126-131): the grid is the pixel-center scan grid on the relay wall at
+    (laser_scan_width x laser_scan_height) — identical to the sensor scan
+    grid when the resolutions match (the reference asserts equality; we
+    generalize to any wall grid).  Otherwise (:352-381): a discrete ray
+    scan from the emitter through a widened ``illumination_scan_fov``
+    frustum, intersected with the scene; points that miss keep
+    ``wall_clear = False`` downstream (reference warns and says to ignore
+    those slabs, :374-379)."""
+    fcfg = cfg.film
+    lw, lh = fcfg.laser_scan_width, fcfg.laser_scan_height
+    if icfg.force_equal_illumination_scanning:
+        wall_shape = scene.shapes[cfg.shape_index]
+        px, py = np.meshgrid(np.arange(lw), np.arange(lh))
+        uv = np.stack([(px.ravel() + 0.5) / lw, (py.ravel() + 0.5) / lh], -1)
+        t = wall_shape.position_from_uv(uv).astype(np.float32)
+        return t, np.ones(t.shape[0], bool)
+    # FOV scan from the emitter (reference's dummy wider-FOV projector)
+    sd = scene.data
+    epos = np.asarray(sd.emitter.position[0], np.float64)
+    zc = np.asarray(sd.emitter.direction[0], np.float64)
+    xc = np.asarray(sd.emitter.frame_s[0], np.float64)
+    yc = np.asarray(sd.emitter.frame_t[0], np.float64)
+    thf = np.tan(np.deg2rad(icfg.illumination_scan_fov) / 2.0)
+    # linspace(0, 1, res, endpoint=False) like the reference's ray grid
+    u, v = np.meshgrid(np.arange(lw) / lw, np.arange(lh) / lh)
+    x = (2.0 * u.ravel() - 1.0) * thf
+    y = (2.0 * v.ravel() - 1.0) * thf
+    d = x[:, None] * xc + y[:, None] * yc + zc
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    from ..ops.intersect import intersect_soup
+
+    n = d.shape[0]
+    t, prim, _u, _v = intersect_soup(
+        sd.tri.v0, sd.tri.e1, sd.tri.e2,
+        jnp.asarray(np.broadcast_to(epos, (n, 3)).copy(), jnp.float32),
+        jnp.asarray(d, jnp.float32),
+        jnp.full((n,), jnp.inf), jnp.ones((n,), bool))
+    prim_np = np.asarray(prim)
+    if not np.any(prim_np >= 0):
+        raise ValueError(
+            "The emitter did not intersect any geometry in the scene. "
+            "Please, make sure it is properly aimed towards the desired "
+            "relay surface. (transientnlospath.py:374-377)")
+    if not np.all(prim_np >= 0):
+        from ..log import warn as _warn
+
+        _warn("Part of the laser scan did not intersect the scene. "
+              "Results for those illumination points should be ignored. "
+              "(transientnlospath.py:378-379)")
+    t_np = np.where(prim_np >= 0, np.asarray(t), 0.0)
+    return (epos + d * t_np[:, None]).astype(np.float32), prim_np >= 0
+
+
+def prepare_exhaustive_lasers(scene: Scene,
+                              targets: np.ndarray) -> ExhaustiveLaser:
+    """Batched per-laser wall constants (vectorized prepare_nlos tail):
+    one closest hit + one occlusion test + the on-axis emitter radiance per
+    illumination point, all in two device calls."""
+    sd = scene.data
+    L = targets.shape[0]
+    epos = np.asarray(sd.emitter.position[0], np.float32)
+    to_wall = targets - epos
+    dist_ew = np.linalg.norm(to_wall, axis=-1)
+    d_ew = to_wall / np.maximum(dist_ew, 1e-12)[:, None]
+    o_b = jnp.asarray(np.broadcast_to(epos, (L, 3)).copy())
+    d_b = jnp.asarray(d_ew, jnp.float32)
+    si_w = ray_intersect(sd, Ray.make(o_b, d_b), jnp.ones((L,), bool))
+    tgt = jnp.asarray(targets)
+    d2 = -d_b
+    dist2 = jnp.asarray(dist_ew, jnp.float32)
+    occ2 = ray_test(sd, tgt + d2 * 1e-4, d2,
+                    jnp.maximum(dist2 - 2e-4, 0.0), jnp.ones((L,), bool))
+    # refocused delta laser: on-axis projector/point radiance / dist^2
+    from ..scene.scene import EM_POINT
+
+    kind0 = (sd.emitter.ks.kinds[0] if sd.emitter.ks.kinds
+             else int(np.asarray(sd.emitter.kind[0])))
+    if kind0 not in (EM_PROJECTOR, EM_POINT):
+        raise NotImplementedError(
+            "fused exhaustive capture requires a delta (projector/point) "
+            "laser emitter")
+    em = sd.emitter.radiance[0][None, :] / jnp.maximum(
+        dist2 * dist2, 1e-20)[:, None]
+    return ExhaustiveLaser(
+        laser_target=tgt,
+        wall_ng=si_w.n,
+        wall_n_sh=si_w.frame.n,
+        wall_uv=si_w.uv,
+        wall_bsdf_id=si_w.bsdf_id,
+        wall_em=em,
+        wall_dist2=dist2,
+        wall_d2=d2,
+        wall_clear=(~occ2) & si_w.valid,
+    )
+
+
+def _laser_nee_all(sd, lasers: ExhaustiveLaser, icfg, si, lb, beta, distance,
+                   eta, it_depth, active_e, account_last: bool, sctx=None):
+    """All-laser-points two-segment NEE from one path vertex — the fused
+    form of the reference's exhaustive inner laser loop
+    (transientnlospath.py:597-628): the SAME path sample feeds every laser
+    slab.  Returns (Lr (Lc, N, C), splat_dist (Lc, N), act (Lc, N)).
+
+    Unpolarized only (the per-point fallback driver covers polarized)."""
+    from ..core.frame import Frame
+
+    n = si.t.shape[0]
+    Lc = lasers.laser_target.shape[0]
+    C = beta.shape[-1]
+
+    # segment 1: path vertex -> each illuminated wall point
+    lt = lasers.laser_target  # (Lc, 3)
+    d1v = lt[:, None, :] - si.p[None, :, :]  # (Lc, N, 3)
+    dist1 = jnp.sqrt(jnp.maximum(jnp.sum(d1v * d1v, axis=-1), 1e-20))
+    d1 = d1v / dist1[..., None]
+    o_flat = jnp.broadcast_to(si.p[None], (Lc, n, 3)).reshape(Lc * n, 3)
+    act_b = jnp.broadcast_to(active_e[None], (Lc, n))
+    occ1 = ray_test(sd, o_flat + d1.reshape(Lc * n, 3) * 1e-4,
+                    d1.reshape(Lc * n, 3),
+                    (dist1 - 2e-4).reshape(Lc * n),
+                    act_b.reshape(Lc * n)).reshape(Lc, n)
+    act = act_b & ~occ1 & lasers.wall_clear[:, None]
+
+    # vertex BSDF toward each wall point
+    wo1 = jnp.stack([
+        jnp.sum(d1 * si.frame.s[None], axis=-1),
+        jnp.sum(d1 * si.frame.t[None], axis=-1),
+        jnp.sum(d1 * si.frame.n[None], axis=-1),
+    ], axis=-1)  # (Lc, N, 3)
+    lb_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (Lc,) + a.shape).reshape(
+            (Lc * n,) + a.shape[1:]), lb)
+    wi_b = jnp.broadcast_to(si.wi[None], (Lc, n, 3)).reshape(Lc * n, 3)
+    f1, _ = bsdf_api.eval_pdf(lb_b, wi_b, wo1.reshape(Lc * n, 3),
+                              act.reshape(Lc * n))
+    f1 = f1.reshape(Lc, n, -1)
+    act = act & (jnp.max(f1, axis=-1) > 1e-7)
+    cos_wl = jnp.sum(lasers.wall_ng[:, None, :] * (-d1), axis=-1)
+    act = act & (cos_wl > 0.0)
+    pdf_ls = dist1 * dist1 / jnp.maximum(cos_wl, 1e-9)
+    f1 = jnp.where(act[..., None], f1 / jnp.maximum(pdf_ls, 1e-9)[..., None],
+                   0.0)
+    dist_after1 = distance[None] + jnp.where(act, dist1, 0.0) * eta[None]
+
+    # segment 2: wall point -> (refocused delta) laser, per-point constants
+    wframe = Frame.from_normal(lasers.wall_n_sh)  # fields (Lc, 3)
+    wi2 = jnp.stack([
+        jnp.sum(-d1 * wframe.s[:, None, :], axis=-1),
+        jnp.sum(-d1 * wframe.t[:, None, :], axis=-1),
+        jnp.sum(-d1 * wframe.n[:, None, :], axis=-1),
+    ], axis=-1)  # (Lc, N, 3)
+    wo2 = jnp.stack([
+        jnp.sum(lasers.wall_d2 * wframe.s, axis=-1),
+        jnp.sum(lasers.wall_d2 * wframe.t, axis=-1),
+        jnp.sum(lasers.wall_d2 * wframe.n, axis=-1),
+    ], axis=-1)  # (Lc, 3)
+    wo2_b = jnp.broadcast_to(wo2[:, None, :], (Lc, n, 3))
+
+    it2 = it_depth + 2  # two extra path vertices (:489-492 gates)
+    if icfg.filter_depth != -1:
+        act = act & (it2 == icfg.filter_depth)
+    if icfg.discard_direct_paths:
+        act = act & (it2 > 2)
+
+    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, lasers.wall_bsdf_id,
+                                    lasers.wall_uv)  # leaves (Lc, ...)
+    if sctx is not None:
+        lb2 = sctx.uplift_lb(lb2)
+    lb2_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[:, None], (Lc, n) + a.shape[1:]).reshape(
+            (Lc * n,) + a.shape[1:]), lb2)
+    f2, _ = bsdf_api.eval_pdf(lb2_b, wi2.reshape(Lc * n, 3),
+                              wo2_b.reshape(Lc * n, 3), act.reshape(Lc * n))
+    f2 = f2.reshape(Lc, n, -1)
+    em_val = lasers.wall_em[:, None, :]  # (Lc, 1, C)
+    if sctx is not None:
+        em_val = sctx.emission(
+            jnp.broadcast_to(em_val, (Lc, n, em_val.shape[-1])).reshape(
+                Lc * n, -1)).reshape(Lc, n, -1)
+
+    Lr = jnp.where(act[..., None], beta[None] * f1 * f2 * em_val, 0.0)
+    splat_dist = dist_after1 + (
+        lasers.wall_dist2[:, None] * eta[None] if account_last else 0.0)
+    return Lr, splat_dist, act
+
+
 def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
                account_last: bool, wi_world=None, polarized: bool = False,
                sctx=None):
@@ -767,11 +978,204 @@ def sample_nlos_primal(
     return final["film"], L_out, final["depth"] > 0, final["n_rays"]
 
 
+def sample_nlos_exhaustive_primal(
+    sd: SceneData,
+    ctx: NLOSContext,
+    lasers: ExhaustiveLaser,  # (Lc, ...) this chunk's illumination points
+    sampler: Sampler,
+    ray: Ray,
+    ray_weight: jnp.ndarray,
+    film: TransientFilmState,  # transient pixel axis = Lc * hw (+pad)
+    film_cfg: FilmConfig,
+    icfg: IntegratorConfig,
+    sample_scale,  # 1 / total_spp (per-slab normalization)
+    spp: int,
+    hw: int,
+):
+    """Fused exhaustive NLOS wavefront: ONE camera-path wavefront feeds
+    every laser slab (the reference's per-bounce inner laser loop,
+    transientnlospath.py:597-628, vectorized over the laser axis).  Path
+    sampling (camera rays, HG/BSDF directions, RR) is laser-independent,
+    so each slab equals the corresponding single-capture render
+    bit-for-bit while the closest-hit/BSDF-sampling work is paid once.
+
+    Le is skipped unconditionally: exhaustive requires a delta laser
+    (reference skips it too, :775).  Unpolarized, non-spectral (the
+    per-point fallback driver covers those variants).
+
+    Returns (film, L_sum (N, C) summed over this chunk's lasers, valid,
+    n_rays)."""
+    from ..film.transient_film import splat_transient_flat
+
+    n = ray.o.shape[0]
+    C = sd.bsdf.reflectance.shape[-1]
+    key = sampler.key
+    Lc = lasers.laser_target.shape[0]
+    account = icfg.account_first_and_last_bounces
+    splat_w = ray_weight * sample_scale
+    hg_on = icfg.nlos_hidden_geometry_sampling
+    hg_rr = icfg.nlos_hidden_geometry_sampling_do_rroulette
+
+    state = dict(
+        o=ray.o, d=ray.d,
+        beta=jnp.ones((n, C), jnp.float32),
+        L=jnp.zeros((n, C), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        distance=jnp.zeros((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        film=film,
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(it, st):
+        from ..core.rng import draw_bounce_block
+
+        ub = draw_bounce_block(key, it, n, NLOS_DIMS_PER_BOUNCE)
+
+        def rnd1(k):
+            return ub[:, k]
+
+        def rnd2(k):
+            return ub[:, k : k + 2]
+
+        active = st["active"]
+        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
+        hit = active & si.valid
+
+        seg_ok = hit & (jnp.bool_(account) | (it > 0))
+        distance = st["distance"] + jnp.where(seg_ok, si.t, 0.0) * st["eta"]
+
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+
+        active_next = active & (it + 1 < icfg.max_depth) & si.valid
+        active_em = active_next & bsdf_api.is_smooth(lb)
+
+        # ---------------- all-laser-slab NEE -----------------------------
+        Lr_all, nee_dist, act_all = _laser_nee_all(
+            sd, lasers, icfg, si, lb, st["beta"], distance, st["eta"],
+            it, active_em, account_last=account,
+        )
+        # arrange (Lc, N=spp*hw, .) -> flat spp-major over Lc*hw slots:
+        # flat = s * (Lc*hw) + l * hw + p
+        def arrange(a, c=None):
+            shp = (Lc, spp, hw) + (() if c is None else (c,))
+            a = a.reshape(shp)
+            a = jnp.moveaxis(a, 0, 1)
+            return a.reshape((spp * Lc * hw,) + (() if c is None else (c,)))
+
+        film_st = splat_transient_flat(
+            st["film"], film_cfg, spp, Lc * hw,
+            arrange(nee_dist),
+            arrange(Lr_all * splat_w[None, :, None], C),
+            arrange(act_all),
+        )
+        L = st["L"] + jnp.sum(Lr_all, axis=0)
+
+        # ---------------- HG / BSDF direction sampling -------------------
+        # (identical decisions and RNG dims as sample_nlos_primal: the
+        # per-slab outputs stay bit-compatible with single captures)
+        if hg_on and hg_rr:
+            do_hg = rnd1(2) < 0.5
+            pdf_method = jnp.where(do_hg, 0.5, 0.5)
+        elif hg_on:
+            do_hg = jnp.ones((n,), bool)
+            pdf_method = jnp.ones((n,))
+        else:
+            do_hg = jnp.zeros((n,), bool)
+            pdf_method = jnp.ones((n,))
+
+        p_hg, n_hg, pdf_a = _sample_hidden_point(sd, ctx, rnd1(4), rnd1(5))
+        dvh = p_hg - si.p
+        dist_h = jnp.sqrt(jnp.maximum(jnp.sum(dvh * dvh, axis=-1), 1e-20))
+        dh = dvh / dist_h[:, None]
+        cos_i = dot(si.n, dh)
+        cos_g = dot(n_hg, -dh)
+        hg_ok = active_next & do_hg & (cos_i > 1e-7) & (cos_g > 1e-7)
+        wo_hg = si.frame.to_local(dh)
+        f_hg, _ = bsdf_api.eval_pdf(lb, si.wi, wo_hg, hg_ok)
+        pdf_hg = pdf_a * dist_h * dist_h / jnp.maximum(jnp.abs(cos_g), 1e-9)
+        hg_ok = hg_ok & (pdf_hg > 1e-9)
+        rcp_hg = jnp.where(hg_ok, 1.0 / jnp.maximum(pdf_hg, 1e-9), 0.0)
+        w_hg = f_hg * rcp_hg[:, None]
+
+        bs = bsdf_api.sample(lb, si.wi, rnd1(6), rnd2(7),
+                             active_next & ~do_hg)
+
+        wo = jnp.where(do_hg[:, None], wo_hg, bs.wo)
+        weight = jnp.where(do_hg[:, None], w_hg, bs.weight)
+        eta_s = jnp.where(do_hg, 1.0, bs.eta)
+
+        d_world = si.frame.to_world(wo)
+        new_ray = si.spawn_ray(d_world)
+
+        beta = jnp.where(
+            active_next[:, None],
+            st["beta"] * weight / pdf_method[:, None],
+            st["beta"],
+        )
+        eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
+
+        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
+        active_next = active_next & (beta_max != 0.0)
+        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+        active_next = active_next & (rr_prob > 0.0)
+        rr_active = it >= icfg.rr_depth
+        rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
+                             1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
+        rr_scale = jax.lax.stop_gradient(rr_scale)
+        beta = beta * rr_scale[:, None]
+        rr_continue = rnd1(9) < rr_prob
+        active_next = active_next & (~rr_active | rr_continue)
+
+        return dict(
+            o=new_ray.o, d=d_world, beta=beta, L=L, eta=eta,
+            distance=distance, active=active_next,
+            depth=st["depth"] + jnp.where(hit, 1, 0),
+            film=film_st,
+            # 1 closest hit + Lc shadow rays per active lane per bounce
+            n_rays=st["n_rays"]
+            + jnp.sum(active.astype(jnp.float32)) * (1.0 + Lc),
+        )
+
+    final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
+    return final["film"], final["L"], final["depth"] > 0, final["n_rays"]
+
+
 # --------------------------------------------------------------------------
 # Driver
 # --------------------------------------------------------------------------
 
 from functools import partial as _partial
+
+
+@_partial(jax.jit,
+          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_",
+                           "polarized_", "spectral_", "skip_le_",
+                           "channels_"),
+          )
+def _nlos_render_fused(sd, ctx_, seed_, inv_total, *,
+                       film_cfg_, icfg_, spp_, hw_, polarized_, spectral_,
+                       skip_le_, channels_):
+    """Single-pass NLOS render as ONE XLA program: film init + wavefront +
+    steady splat + develop fused.  The unfused driver pays ~15 eager
+    dispatches per render (5 zeros for film_init, ~8 develop ops) which is
+    ~30 ms of host round trips through the axon tunnel — a third of the
+    whole 32x32/2048spp capture's wall time (round-4 measurement: 0.100 s
+    unfused vs 0.068 s claimed in-process)."""
+    film = film_init(film_cfg_, channels_, scan_pixels=hw_)
+    n = spp_ * hw_
+    sampler = Sampler(seed_, n, stream=jnp.uint32(0))
+    ray, ray_weight = sample_nlos_rays(ctx_, spp_, hw_)
+    film, L, valid, n_rays = sample_nlos_primal(
+        sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
+        inv_total, base_dim=2, spp=spp_, polarized=polarized_,
+        spectral=spectral_, skip_le=skip_le_,
+    )
+    film = splat_steady(film, spp_, L, ray_weight)
+    steady, transient = develop(
+        film, film_cfg_, shape_hw=(film_cfg_.height, film_cfg_.width))
+    return steady, transient, n_rays
 
 
 @_partial(jax.jit,
@@ -806,6 +1210,9 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     cfg = scene.sensors[sensor]
     icfg = scene.integrator
     film_cfg = cfg.film
+    if film_cfg.is_cropped:
+        raise NotImplementedError(
+            "NLOS capture films do not support crop windows")
     if icfg.camera_unwarp:
         raise ValueError("Do not use camera_unwarp with transient_nlos_path; "
                          "use account_first_and_last_bounces "
@@ -829,10 +1236,27 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     skip_le = can_skip_le(scene.data)
 
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
-    film = film_init(film_cfg, film_channels, scan_pixels=hw)
-    total_rays = 0.0
     from ..scene.scene import primal_sd
 
+    if (n_passes == 1
+            and not (film_cfg.warn_negative or film_cfg.warn_invalid)):
+        # fast path: the whole render is one fused XLA program (same
+        # sampler stream 0 as the unfused single pass -> identical output)
+        steady, transient, n_rays = _nlos_render_fused(
+            primal_sd(scene.data), ctx, jnp.uint32(seed),
+            jnp.float32(1.0 / total_spp),
+            film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw,
+            polarized_=polarized, spectral_=scene.variant.spectral,
+            skip_le_=skip_le, channels_=film_channels,
+        )
+        if progress_callback is not None:
+            progress_callback(1.0)
+        if return_stats:
+            return steady, transient, {"rays": n_rays, "spp": total_spp}
+        return steady, transient
+
+    film = film_init(film_cfg, film_channels, scan_pixels=hw)
+    total_rays = 0.0
     for p in range(n_passes):
         film, n_rays = _nlos_one_pass(
             primal_sd(scene.data), ctx, film, jnp.uint32(seed),
@@ -856,22 +1280,207 @@ def render_nlos(scene: Scene, spp=None, seed=0, sensor=0,
     return steady, transient
 
 
+@_partial(jax.jit,
+          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_", "Lc_",
+                           "slab_stride_", "n_chunks_", "L_total_"),
+          donate_argnames=("film",))
+def _nlos_exhaustive_pass(sd, ctx_, lasers_c, film, seed_, pass_idx,
+                          chunk_idx, inv_total, *,
+                          film_cfg_, icfg_, spp_, hw_, Lc_, slab_stride_,
+                          n_chunks_, L_total_):
+    """One (spp-pass, laser-chunk) step of the fused exhaustive capture.
+    The film's transient pixel axis is ``n_chunks * slab_stride`` with
+    chunk ``c`` owning slots ``[c * slab_stride, c * slab_stride +
+    Lc * hw)``; the chunk's sub-film is carved out with a dynamic slice
+    (in-place under donation)."""
+    from ..film.transient_film import t_pad_of
+
+    C = sd.bsdf.reflectance.shape[-1]
+    T_pad = t_pad_of(film_cfg_)
+    n = spp_ * hw_
+    sampler = Sampler(seed_, n, stream=pass_idx)
+    ray, ray_weight = sample_nlos_rays(ctx_, spp_, hw_)
+    off = (chunk_idx * slab_stride_).astype(jnp.int32)
+    sub = jax.lax.dynamic_slice(
+        film.transient, (0, 0, off), (C, T_pad, slab_stride_))
+    substate = film._replace(transient=sub)
+    substate, L_sum, _valid, n_rays = sample_nlos_exhaustive_primal(
+        sd, ctx_, lasers_c, sampler, ray, ray_weight, substate, film_cfg_,
+        icfg_, inv_total, spp=spp_, hw=hw_,
+    )
+    film = film._replace(transient=jax.lax.dynamic_update_slice(
+        film.transient, substate.transient, (0, 0, off)))
+    # steady: mean over ALL lasers of the per-laser steady — each chunk
+    # contributes its partial sum with weight 1/n_chunks so the develop
+    # normalization (by total weight = spp) reproduces the mean
+    film = splat_steady(
+        film, spp_, L_sum * (n_chunks_ / L_total_),
+        ray_weight / n_chunks_)
+    return film, n_rays
+
+
 def render_nlos_exhaustive(scene: Scene, spp, seed=0, sensor=0,
                            max_lanes=1 << 21, progress_callback=None,
-                           return_stats: bool = False):
+                           return_stats: bool = False,
+                           laser_chunk: int | None = None):
     """Exhaustive NLOS capture: every scan pixel x every laser grid point
     (transientnlospath.py:597-628 + the 6-D film of
     transient_image_block.py:63-68).
 
-    Returns (steady (h, w, C), transient (h, w, lh, lw, T, C)).  The laser
-    grid is the pixel-center grid of (laser_scan_width x laser_scan_height)
-    on the relay wall; each grid point is rendered as a focused single
+    Returns (steady (h, w, C), transient (h, w, lh, lw, T, C)).
+
+    Fused sample sharing (the reference's per-bounce inner laser loop):
+    ONE camera-path wavefront feeds every laser slab per pass — path
+    sampling is laser-independent, so each slab is bit-compatible with a
+    per-point focused single capture while closest hits, BSDF sampling and
+    RR are paid once for the whole grid.  The laser grid follows
+    ``force_equal_illumination_scanning`` / ``illumination_scan_fov``
+    (:126-137, :352-381).  Each laser point is treated as a refocused
+    delta laser (see :class:`ExhaustiveLaser`).  Polarized / spectral
+    variants and non-delta emitters use the per-point fallback driver.
+    """
+    import numpy as np
+
+    cfg = scene.sensors[sensor]
+    film_cfg = cfg.film
+    icfg = scene.integrator
+    if not film_cfg.exhaustive_scan:
+        raise ValueError("exhaustive capture requires a film with "
+                         "exhaustive_scan=True (transient_hdr_film.py:80-88)")
+    lw = film_cfg.laser_scan_width
+    lh = film_cfg.laser_scan_height
+    if lw <= 0 or lh <= 0:
+        raise ValueError("laser_scan_width/height must be set for "
+                         "exhaustive captures")
+
+    from ..scene.scene import EM_POINT
+
+    kinds = scene.data.emitter.ks.kinds
+    delta_laser = kinds and all(k in (EM_PROJECTOR, EM_POINT)
+                                for k in kinds)
+    if (scene.variant.polarized or scene.variant.spectral
+            or not delta_laser or not icfg.nlos_laser_sampling):
+        return _render_nlos_exhaustive_perpoint(
+            scene, spp, seed=seed, sensor=sensor, max_lanes=max_lanes,
+            progress_callback=progress_callback, return_stats=return_stats)
+
+    targets, tvalid = exhaustive_laser_targets(scene, cfg, icfg)
+    lasers = prepare_exhaustive_lasers(scene, targets)
+    lasers = lasers._replace(
+        wall_clear=lasers.wall_clear & jnp.asarray(tvalid))
+    L = targets.shape[0]
+    h, w = film_cfg.height, film_cfg.width
+    hw = h * w
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+
+    # the fused loop needs a prepared context for sensor targets / hidden-
+    # geometry tables; give prepare a valid laser focus (grid center) if
+    # the scene has none — the scalar laser fields are unused here
+    if not scene.laser_focused:
+        from ..nlos import focus_emitter_at_relay_wall_3dpoint
+
+        # any VALID grid point works (scan misses carry a degenerate
+        # target at the emitter origin)
+        focus_emitter_at_relay_wall_3dpoint(
+            targets[int(np.argmax(tvalid))], scene)
+    saved_icfg = scene.integrator
+    scene.integrator = icfg._replace(capture_type="single")
+    try:
+        ctx = prepare_nlos_cached(scene, cfg, sensor)
+    finally:
+        scene.integrator = saved_icfg
+
+    # spp pass-splitting identical to render_nlos (slabs stay
+    # bit-compatible with per-point captures at the same budget)
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    total_spp = spp_chunk * n_passes
+
+    # laser-chunking bounds the (Lc x N) NEE intermediates; ~2^24
+    # lane-laser pairs keeps them at a few hundred MB
+    n_lanes = spp_chunk * hw
+    if laser_chunk is None:
+        laser_chunk = max(1, min(L, (1 << 24) // max(n_lanes, 1)))
+    Lc = laser_chunk
+    n_chunks = (L + Lc - 1) // Lc
+    L_pad = n_chunks * Lc
+    if L_pad > L:
+        # padded rows: zeroed via wall_clear so they contribute nothing
+        pad = L_pad - L
+        lasers = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0), lasers)
+        lasers = lasers._replace(
+            wall_clear=lasers.wall_clear.at[L:].set(False))
+
+    from ..ops.splat_pallas import PIXEL_BLOCK, round_up
+    from ..film.transient_film import t_pad_of
+
+    slab_stride = round_up(Lc * hw, PIXEL_BLOCK)
+    film = TransientFilmState(
+        steady=jnp.zeros((hw, C), jnp.float32),
+        steady_weight=jnp.zeros((hw,), jnp.float32),
+        transient=jnp.zeros((C, t_pad_of(film_cfg), n_chunks * slab_stride),
+                            jnp.float32),
+        n_negative=jnp.zeros((), jnp.float32),
+        n_invalid=jnp.zeros((), jnp.float32),
+    )
+
+    from ..scene.scene import primal_sd
+
+    sdp = primal_sd(scene.data)
+    total_rays = 0.0
+    step = 0
+    for c in range(n_chunks):
+        lasers_c = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, c * Lc, Lc, axis=0),
+            lasers)
+        for p in range(n_passes):
+            film, n_rays = _nlos_exhaustive_pass(
+                sdp, ctx, lasers_c, film, jnp.uint32(seed), jnp.uint32(p),
+                jnp.uint32(c), jnp.float32(1.0 / total_spp),
+                film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw,
+                Lc_=Lc, slab_stride_=slab_stride, n_chunks_=n_chunks,
+                L_total_=L,
+            )
+            total_rays = total_rays + float(n_rays)
+            step += 1
+            if progress_callback is not None:
+                progress_callback(step / (n_chunks * n_passes))
+
+    # develop: steady normalization + 6-D assembly on host
+    wgt = np.asarray(film.steady_weight)
+    wgt = np.where(wgt == 0.0, 1.0, wgt)
+    steady = (np.asarray(film.steady) / wgt[:, None]).reshape(h, w, C)
+    tr = np.asarray(film.transient)  # (C, T_pad, n_chunks*slab_stride)
+    out = np.zeros((h, w, lh, lw, T, C), np.float32)
+    for c in range(n_chunks):
+        blk = tr[:, :T, c * slab_stride : c * slab_stride + Lc * hw]
+        blk = blk.reshape(C, T, Lc, hw)
+        for l_loc in range(Lc):
+            i = c * Lc + l_loc
+            if i >= L:
+                break
+            ly, lx = divmod(i, lw)
+            out[:, :, ly, lx] = np.transpose(
+                blk[:, :, l_loc, :], (2, 1, 0)).reshape(h, w, T, C)
+    if return_stats:
+        return steady, out, {"rays": total_rays, "spp": spp * L}
+    return steady, out
+
+
+def _render_nlos_exhaustive_perpoint(scene: Scene, spp, seed=0, sensor=0,
+                                     max_lanes=1 << 21,
+                                     progress_callback=None,
+                                     return_stats: bool = False):
+    """Per-illumination-point fallback driver (polarized / spectral /
+    non-delta emitters): each grid point is rendered as a focused single
     capture with the *same* seed — the sample-sharing structure of the
     reference's inner laser loop, expressed as an outer loop over laser
-    points (identical estimator; contributions for laser point (lx, ly) land
-    in slab [:, :, ly, lx]).  With a projector emitter, emitter-hit (Le)
-    terms are identically zero, matching the reference's exhaustive-mode Le
-    skip (:775).
+    points (identical estimator; contributions for laser point (lx, ly)
+    land in slab [:, :, ly, lx]).
     """
     import numpy as np
 

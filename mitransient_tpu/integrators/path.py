@@ -129,12 +129,15 @@ def sample_primal(
     splat_w = ray_weight * sample_scale
 
     if polarized:
-        from ..bsdf.polarized import sensor_alignment_mueller
+        from ..bsdf.polarized import sensor_alignment_soa
 
         vert = cam_vertical if cam_vertical is not None else jnp.array(
             [0.0, 1.0, 0.0])
-        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
-        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        # SoA Mueller throughput: tuple of 16 (N, C) arrays — rank-2 like
+        # every unpolarized carry, so XLA assigns ONE layout (the rank-4
+        # (N, 4, 4, C) carry got three competing TPU layouts and relayout
+        # copies dominated the loop; see core/mueller.py msoa_* notes)
+        beta0 = sensor_alignment_soa(ray.d, vert, C)
         L0 = jnp.zeros((n, 4 * C), jnp.float32)
     else:
         beta0 = jnp.ones((n, C), jnp.float32)
@@ -187,12 +190,12 @@ def sample_primal(
         le_mask = hit & ~jnp.bool_(icfg.discard_direct_light)
         if polarized:
             # emission is unpolarized: contribution Stokes = E * mis *
-            # (first column of the Mueller throughput)
-            b_col = st.beta[:, :, 0, :]  # (N, 4, C)
+            # (first column of the Mueller throughput; SoA entries 4i)
+            w_le = mis[:, None] * Le_raw
             Le = jnp.where(
                 le_mask[:, None],
-                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
-                    n, 4 * C),
+                jnp.concatenate(
+                    [st.beta[4 * i] * w_le for i in range(4)], axis=-1),
                 0.0,
             )
         else:
@@ -217,8 +220,8 @@ def sample_primal(
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
-            from ..bsdf.polarized import polarization_factor_col0
-            from ..core.mueller import mueller_matvec
+            from ..bsdf.polarized import polarization_factor_col0_soa
+            from ..core.mueller import msoa_matvec
 
             # Fresnel incidence cosine at the half vector (local frame)
             m_h = si.wi + wo_em
@@ -228,12 +231,13 @@ def sample_primal(
             wo_em_world = ds.d
             # NEE sources are unpolarized, so only column 0 of the Mueller
             # factor survives: one matvec instead of a full 4x4 product
-            P0 = polarization_factor_col0(lb, -wo_em_world, -st.d, cos_i_em)
-            col = mueller_matvec(st.beta, P0 * f_em[:, None, :])
+            P0 = polarization_factor_col0_soa(lb, -wo_em_world, -st.d,
+                                              cos_i_em)
+            col = msoa_matvec(st.beta, tuple(p * f_em for p in P0))
+            w_em = mis_em[:, None] * em_weight
             Lr_dir = jnp.where(
                 active_em[:, None],
-                (col * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
-                    n, 4 * C),
+                jnp.concatenate([c * w_em for c in col], axis=-1),
                 0.0,
             )
         else:
@@ -263,7 +267,8 @@ def sample_primal(
 
         L = st.L + Le + Lr_dir
         if polarized:
-            from ..bsdf.polarized import polarization_factor
+            from ..bsdf.polarized import polarization_factor_soa
+            from ..core.mueller import msoa_product, msoa_where
 
             m_h = si.wi + bs.wo
             m_h = m_h / jnp.maximum(
@@ -272,34 +277,38 @@ def sample_primal(
                 bs.delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
             transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
-            P_s = polarization_factor(
+            P_s = polarization_factor_soa(
                 lb, -d_world, -st.d, cos_i_s, transmitted=transmitted)
-            M_w = P_s * bs.weight[:, None, None, :]
-            beta = jnp.where(
-                active_next[:, None, None, None],
-                mueller_product(st.beta, M_w),
-                st.beta,
-            )
+            M_w = tuple(e * bs.weight for e in P_s)
+            beta = msoa_where(active_next[:, None],
+                              msoa_product(st.beta, M_w), st.beta)
         else:
             beta = jnp.where(active_next[:, None], st.beta * bs.weight,
                              st.beta)
         eta = jnp.where(active_next, st.eta * bs.eta, st.eta)
 
         # ---------------- stopping criteria --------------------------------
+        # RR is a detached sampling decision (reference detached PRB):
+        # without the stop_gradients, the VJP of 1/rr_prob underflows
+        # (x^2 -> 0 -> inf) on lanes with tiny throughput and the masked
+        # inf * 0 poisons full-loop AD (tests/test_grad_safety.py pattern)
         if polarized:
-            beta_max = jnp.max(beta[:, 0, 0, :], axis=-1)
+            beta_max = jax.lax.stop_gradient(jnp.max(beta[0], axis=-1))
         else:
-            beta_max = jnp.max(beta, axis=-1)
+            beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
         rr_active = it >= icfg.rr_depth
         rr_scale = jnp.where(rr_prob > 0.0,
                              1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)
+        rr_scale = jax.lax.stop_gradient(rr_scale)
         rr_mask = rr_active & active_next
         if polarized:
-            beta = jnp.where(rr_mask[:, None, None, None],
-                             beta * rr_scale[:, None, None, None], beta)
+            from ..core.mueller import msoa_where as _mw
+
+            beta = _mw(rr_mask[:, None],
+                       tuple(e * rr_scale[:, None] for e in beta), beta)
         else:
             beta = jnp.where(rr_mask[:, None], beta * rr_scale[:, None], beta)
         rr_continue = rnd1(5) < rr_prob

@@ -86,16 +86,14 @@ def sample_primal_regen(
     seed_u = jnp.uint32(seed)
     splat_scale = jnp.float32(1.0 / spp_total)
     if polarized:
-        from ..bsdf.polarized import (
-            polarization_factor,
-            sensor_alignment_mueller,
-        )
+        from ..bsdf.polarized import sensor_alignment_soa
 
         cam_vert = cam.R[:, 1]
 
+        # SoA Mueller throughput (tuple of 16 (N, C) arrays; see
+        # core/mueller.py msoa_* — no rank-4 carries)
         def beta_init(d):
-            b = sensor_alignment_mueller(d, cam_vert)[..., None]
-            return jnp.broadcast_to(b, (n, 4, 4, C)).astype(jnp.float32)
+            return sensor_alignment_soa(d, cam_vert, C)
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane % hw).astype(jnp.int32)
@@ -171,12 +169,12 @@ def sample_primal_regen(
         Le_raw = emitter_eval_hit(sd, si, st["d"])
         if polarized:
             # emission is unpolarized: Stokes = E * mis * column 0 of the
-            # Mueller throughput (sample_primal's polarized Le)
-            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+            # Mueller throughput (SoA entries 4i)
+            w_le = mis[:, None] * Le_raw
             Le = jnp.where(
                 le_mask[:, None],
-                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
-                    n, 4 * C),
+                jnp.concatenate(
+                    [st["beta"][4 * i] * w_le for i in range(4)], axis=-1),
                 0.0,
             )
         else:
@@ -192,20 +190,23 @@ def sample_primal_regen(
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
-            from ..core.mueller import mueller_product
+            from ..bsdf.polarized import polarization_factor_col0_soa
+            from ..core.mueller import msoa_matvec
 
             m_h = si.wi + wo_em
             m_h = m_h / jnp.maximum(
                 jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-            P_em = polarization_factor(lb, -ds.d, -st["d"], cos_i_em)
-            M_em = P_em * f_em[:, None, None, :]
-            A = mueller_product(st["beta"], M_em)
+            # NEE sources are unpolarized: only column 0 of the Mueller
+            # factor survives -> one 4-vector matvec instead of a full
+            # 4x4 product (the col0 fast path of 9d2b23, previously
+            # missing from the regen loop)
+            P0 = polarization_factor_col0_soa(lb, -ds.d, -st["d"], cos_i_em)
+            col = msoa_matvec(st["beta"], tuple(p * f_em for p in P0))
+            w_em = mis_em[:, None] * em_weight
             Lr_dir = jnp.where(
                 active_em[:, None],
-                (A[:, :, 0, :]
-                 * (mis_em[:, None] * em_weight)[:, None, :]).reshape(
-                     n, 4 * C),
+                jnp.concatenate([c * w_em for c in col], axis=-1),
                 0.0,
             )
         else:
@@ -227,7 +228,8 @@ def sample_primal_regen(
 
         L_acc = st["L"] + Le + Lr_dir
         if polarized:
-            from ..core.mueller import mueller_product
+            from ..bsdf.polarized import polarization_factor_soa
+            from ..core.mueller import msoa_product, msoa_where
 
             m_hs = si.wi + bs.wo
             m_hs = m_hs / jnp.maximum(
@@ -236,15 +238,12 @@ def sample_primal_regen(
                 bs.delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_hs, axis=-1)))
             transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
-            P_s = polarization_factor(lb, -d_world, -st["d"], cos_i_s,
-                                      transmitted=transmitted)
-            M_w = P_s * bs.weight[:, None, None, :]
-            beta = jnp.where(
-                cont[:, None, None, None],
-                mueller_product(st["beta"], M_w),
-                st["beta"],
-            )
-            beta_max = jnp.max(beta[:, 0, 0, :], axis=-1)
+            P_s = polarization_factor_soa(lb, -d_world, -st["d"], cos_i_s,
+                                          transmitted=transmitted)
+            M_w = tuple(e * bs.weight for e in P_s)
+            beta = msoa_where(cont[:, None],
+                              msoa_product(st["beta"], M_w), st["beta"])
+            beta_max = jnp.max(beta[0], axis=-1)
         else:
             beta = jnp.where(cont[:, None], st["beta"] * bs.weight,
                              st["beta"])
@@ -259,8 +258,10 @@ def sample_primal_regen(
                              1.0 / jnp.maximum(rr_prob, 1e-30), 0.0)
         rr_mask = rr_active & cont
         if polarized:
-            beta = jnp.where(rr_mask[:, None, None, None],
-                             beta * rr_scale[:, None, None, None], beta)
+            from ..core.mueller import msoa_where as _mw
+
+            beta = _mw(rr_mask[:, None],
+                       tuple(e * rr_scale[:, None] for e in beta), beta)
         else:
             beta = jnp.where(rr_mask[:, None], beta * rr_scale[:, None],
                              beta)
@@ -280,8 +281,9 @@ def sample_primal_regen(
         if polarized:
             # fresh samples restart from the sensor-alignment rotator of
             # their new camera ray
-            beta_next = jnp.where(regen[:, None, None, None],
-                                  beta_init(d_new), beta)
+            from ..core.mueller import msoa_where as _mw
+
+            beta_next = _mw(regen[:, None], beta_init(d_new), beta)
         else:
             beta_next = jnp.where(regen[:, None], 1.0, beta)
         out = dict(

@@ -85,12 +85,22 @@ def sample_volpath_adjoint(
     grads0 = jax.tree.map(jnp.zeros_like, theta0)
     splat_w = ray_weight * sample_scale
 
+    # camera_unwarp time-origin shift, matching the primal sweep
+    # (transient_prbvolpath.py:161-162); detached — the shift is a
+    # time-axis relabeling, not a differentiable quantity
+    if icfg.camera_unwarp:
+        from .volpath import first_surface_distance
+
+        distance0 = -jax.lax.stop_gradient(first_surface_distance(sd, ray))
+    else:
+        distance0 = jnp.zeros((n,), jnp.float32)
+
     carry0 = dict(
         o=ray.o, d=ray.d,
         beta=jnp.ones((n, C), jnp.float32),
         L_rest=L_total,
         eta=jnp.ones((n,), jnp.float32),
-        distance=jnp.zeros((n,), jnp.float32),
+        distance=distance0,
         active=jnp.ones((n,), bool),
         medium=jnp.full((n,), -1, jnp.int32),
         prev_p=ray.o,

@@ -61,6 +61,37 @@ def _sctx_film(sctx, v, polarized: bool):
     return sctx.to_film_stokes(v) if polarized else sctx.to_film(v)
 
 
+def first_surface_distance(sd: SceneData, ray: Ray,
+                           max_hops: int = 8) -> jnp.ndarray:
+    """Distance along each camera ray to the first NON-null surface,
+    walking through null (medium-boundary) BSDFs — the ``camera_unwarp``
+    origin shift of the reference's volumetric integrator
+    (transient_prbvolpath.py:514-528: first_surface; consumed at :161-162
+    as ``distance = -first_surface(...)``).
+
+    A bounded ``fori_loop`` over at most ``max_hops`` null crossings (the
+    reference's while-loop is data-dependent; nested media in practice need
+    only a few)."""
+    from ..bsdf.api import BSDF_NULL
+
+    n = ray.o.shape[0]
+
+    def hop(_, st):
+        o, dist, act = st
+        si = ray_intersect(sd, Ray.make(o, ray.d), act)
+        ok = act & si.valid
+        dist = dist + jnp.where(ok, si.t, 0.0)
+        kind = jnp.take(sd.bsdf.kind, jnp.maximum(si.bsdf_id, 0), axis=0)
+        act = ok & (kind == BSDF_NULL)
+        o = jnp.where(act[:, None], si.p + ray.d * 2e-4, o)
+        return (o, dist, act)
+
+    _, dist, _ = jax.lax.fori_loop(
+        0, max_hops, hop,
+        (ray.o, jnp.zeros((n,), jnp.float32), jnp.ones((n,), bool)))
+    return dist
+
+
 def _has_grids(sd: SceneData) -> bool:
     """Static (shape-level) test: does any medium carry a density grid?"""
     return sd.medium.grid.shape[1:] != (1, 1, 1)
@@ -287,12 +318,17 @@ def sample_volpath_primal(
         beta0 = jnp.ones((n, C), jnp.float32)
         L0 = jnp.zeros((n, C), jnp.float32)
 
+    # camera_unwarp: shift the time origin to the first real surface
+    # (through null medium boundaries), transient_prbvolpath.py:161-162
+    distance0 = (-first_surface_distance(sd, ray) if icfg.camera_unwarp
+                 else jnp.zeros((n,), jnp.float32))
+
     state = dict(
         o=ray.o, d=ray.d,
         beta=beta0,
         L=L0,
         eta=jnp.ones((n,), jnp.float32),
-        distance=jnp.zeros((n,), jnp.float32),
+        distance=distance0,
         active=jnp.ones((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),
         medium=jnp.full((n,), -1, jnp.int32),

@@ -50,6 +50,20 @@ TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
 # round-2 default of 4 was a 2x regression.  Keep K=1.
 SELECT_K = 1
 
+# Traversal mode: "chunk" = per-ray front-to-back CHUNK selection (one
+# 512-tri page per pass), "super" = per-ray front-to-back SUPER-CHUNK
+# selection (one pass sweeps all 8 contiguous chunk pages of the chosen
+# super).  The super mode amortizes the dense selection scan (S slab tests
+# instead of C = 8S per pick), the wavefront sort, and the pass fixed costs
+# over 8 chunk visits — the "hierarchical chunk selection" planned in
+# PARITY.md.  MEASURED on the 262k-tri staircase end-to-end (TPU v5e,
+# round 4, identical output checksums): chunk 0.71 Mrays/s, super
+# 0.61 Mrays/s — on incoherent bounce wavefronts the sorted tiles are
+# nearly single-chunk, so the 8x sweep rows per super visit cost more
+# than the 8x cheaper selection saves.  Default stays "chunk"; the super
+# path is kept as the measured branch point for future hierarchy work.
+BVH_MODE = "chunk"
+
 
 def _pad_reshape(x, fill):
     n = x.shape[0]
@@ -232,6 +246,378 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
         interpret=interpret,
     )(aabb_smem, accel.pages, *tiles)
     return best.reshape(-1)[:n], prim.reshape(-1)[:n]
+
+
+def _sweep_super_kernel(
+    chk_ref,                        # (8, C_pad) SMEM chunk bounds
+    pages_ref,                      # (C_pad, TRI_ROWS, 128) ANY (HBM)
+    sid_t, ox, oy, oz, dx, dy, dz, limit,   # VMEM ray tiles
+    best_t_ref, best_p_ref,         # VMEM outs
+    page_scr,                       # (2, 8*TRI_ROWS, 128) VMEM scratch
+    sem,                            # DMA sems (2,)
+    n_supers: int,
+):
+    """Sweep each ray tile against the 8 contiguous chunk pages of every
+    distinct super-chunk id bound to the tile.  One DMA streams the whole
+    super (8 pages); per chunk a tile-level AABB test skips chunks no ray
+    can improve against."""
+    sids = sid_t[...]
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    lim = limit[...]
+    sent = jnp.int32(n_supers)
+
+    best_t_ref[...] = lim
+    best_p_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    def fetch(sid, slot):
+        base = jnp.minimum(sid, sent - 1) * SUPER_CHUNKS
+        return pltpu.make_async_copy(
+            pages_ref.at[pl.ds(base, SUPER_CHUNKS)],
+            page_scr.at[slot],
+            sem.at[slot],
+        )
+
+    def tile_min_after(cur):
+        return jnp.min(jnp.where(sids > cur, sids, sent))
+
+    first = tile_min_after(jnp.int32(-1))
+
+    @pl.when(first < sent)
+    def _():
+        fetch(first, 0).start()
+
+    def body(carry):
+        cur, slot = carry
+        nxt = tile_min_after(cur)
+
+        @pl.when(nxt < sent)
+        def _():
+            fetch(nxt, 1 - slot).start()
+
+        fetch(cur, slot).wait()
+        for cc in range(SUPER_CHUNKS):
+            cid = cur * SUPER_CHUNKS + cc
+            bt = best_t_ref[...]
+            t0x = (chk_ref[0, cid] - rox) * ix
+            t0y = (chk_ref[1, cid] - roy) * iy
+            t0z = (chk_ref[2, cid] - roz) * iz
+            t1x = (chk_ref[3, cid] - rox) * ix
+            t1y = (chk_ref[4, cid] - roy) * iy
+            t1z = (chk_ref[5, cid] - roz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            mask = (tn <= tf) & (tn < bt)
+
+            @pl.when(jnp.any(mask))
+            def _(cc=cc, mask=mask):
+                bt = best_t_ref[...]
+                bp = best_p_ref[...]
+
+                def row(g, carry):
+                    bt, bp = carry
+                    blk = page_scr[slot, cc, pl.ds(g, 1), :]
+                    for kk in range(8):
+                        base = 16 * kk
+                        tri9 = tuple(blk[0, base + r] for r in range(9))
+                        prim = blk[0, base + 9].astype(jnp.int32)
+                        bt, bp = _moller_update(
+                            tri9, prim, rox, roy, roz, rdx, rdy, rdz,
+                            mask, bt, bp)
+                    return bt, bp
+
+                bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp))
+                best_t_ref[...] = bt
+                best_p_ref[...] = bp
+
+        return nxt, 1 - slot
+
+    jax.lax.while_loop(lambda s: s[0] < sent, body, (first, 0))
+
+
+def _super_tables(accel: Accel):
+    """Pages + chunk-bound tables padded to full supers (built once per
+    query, OUTSIDE the pass loop — the pad concat on the 16 MB page table
+    must not re-run per pass).  Pad chunks get zero triangle pages (det=0
+    -> never hit) and far-away bounds."""
+    n_chunks = accel.pages.shape[0]
+    n_supers = accel.sup_min.shape[0]
+    c_pad = n_supers * SUPER_CHUNKS
+    pages = accel.pages
+    chk = jnp.concatenate(
+        [accel.aabb_min.T, accel.aabb_max.T,
+         jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
+    if c_pad > n_chunks:
+        pages = jnp.concatenate([
+            pages,
+            jnp.zeros((c_pad - n_chunks,) + pages.shape[1:], pages.dtype)
+            .at[:, :, 9::16].set(-1.0),
+        ])
+        fill = jnp.concatenate([
+            jnp.full((6, c_pad - n_chunks), BIG, jnp.float32),
+            jnp.zeros((2, c_pad - n_chunks), jnp.float32),
+        ], axis=0)
+        chk = jnp.concatenate([chk, fill], axis=1)
+    return pages, chk
+
+
+def _sweep_super_pass(pages, chk, n_supers, sid, ray_o, ray_d, best_t,
+                      interpret):
+    """Sorted-wavefront sweep over super-chunk pages."""
+    n = ray_o.shape[0]
+    tiles = (
+        _pad_reshape(jnp.where(sid >= 0, sid, n_supers), n_supers),
+        _pad_reshape(ray_o[:, 0], 0.0),
+        _pad_reshape(ray_o[:, 1], 0.0),
+        _pad_reshape(ray_o[:, 2], 0.0),
+        _pad_reshape(ray_d[:, 0], 0.0),
+        _pad_reshape(ray_d[:, 1], 0.0),
+        _pad_reshape(ray_d[:, 2], 1.0),
+        _pad_reshape(jnp.minimum(best_t, BIG), -BIG),
+    )
+    rows = tiles[0].shape[0]
+    grid = (rows // SUBLANES,)
+    kernel = functools.partial(_sweep_super_kernel, n_supers=n_supers)
+    best, prim = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [_ray_spec()] * 8,
+        out_specs=(_ray_spec(), _ray_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SUPER_CHUNKS, TRI_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(chk, pages, *tiles)
+    return best.reshape(-1)[:n], prim.reshape(-1)[:n]
+
+
+def _select_super_kernel(
+    sup_ref,                      # (8, S) SMEM super bounds (6 rows + pad)
+    ox, oy, oz, dx, dy, dz, bt_in, ge_in, gc_in,   # VMEM tiles
+    e_out, c_out,
+    n_supers: int,
+):
+    """Per-ray front-to-back SUPER pick: the nearest super (by AABB entry)
+    strictly after the ray's (entry, super-id) lex gate whose entry beats
+    its best-t.  S slab tests per ray instead of C = 8S."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
+    bt = bt_in[...]
+    ge = ge_in[...]
+    gc = gc_in[...]
+
+    def body(si, carry):
+        be, bc = carry
+        t0x = (sup_ref[0, si] - rox) * ix
+        t0y = (sup_ref[1, si] - roy) * iy
+        t0z = (sup_ref[2, si] - roz) * iz
+        t1x = (sup_ref[3, si] - rox) * ix
+        t1y = (sup_ref[4, si] - roy) * iy
+        t1z = (sup_ref[5, si] - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        sif = jnp.float32(si)
+        after = (tn > ge) | ((tn == ge) & (sif > gc))
+        valid = (tn <= tf) & (tn < bt) & after
+        e = jnp.where(valid, tn, jnp.inf)
+        c = jnp.where(valid, sif, 1.0e30)
+        less = (e < be) | ((e == be) & (c < bc))
+        return jnp.where(less, e, be), jnp.where(less, c, bc)
+
+    shape = (SUBLANES, LANES)
+    be, bc = jax.lax.fori_loop(
+        0, n_supers, body,
+        (jnp.full(shape, jnp.inf, jnp.float32),
+         jnp.full(shape, 1.0e30, jnp.float32)))
+    found = jnp.isfinite(be)
+    e_out[...] = jnp.where(found, be, -jnp.inf)
+    c_out[...] = jnp.where(found & (bc < jnp.float32(n_supers)),
+                           bc.astype(jnp.int32), -1)
+
+
+def _select_super_pallas(accel: Accel, ray_o, ray_d, best_t, gate_e, gate_c,
+                         interpret=False):
+    n = ray_o.shape[0]
+    s_n = accel.sup_min.shape[0]
+    sup = jnp.concatenate([
+        accel.sup_min.T, accel.sup_max.T,
+        jnp.zeros((2, s_n), jnp.float32),
+    ], axis=0)
+    tiles = (
+        _pad_reshape(ray_o[:, 0], 0.0),
+        _pad_reshape(ray_o[:, 1], 0.0),
+        _pad_reshape(ray_o[:, 2], 0.0),
+        _pad_reshape(ray_d[:, 0], 0.0),
+        _pad_reshape(ray_d[:, 1], 0.0),
+        _pad_reshape(ray_d[:, 2], 1.0),
+        _pad_reshape(best_t, -BIG),
+        _pad_reshape(gate_e, jnp.inf),
+        _pad_reshape(gate_c.astype(jnp.float32), 0.0),
+    )
+    rows = tiles[0].shape[0]
+    grid = (rows // SUBLANES,)
+    kernel = functools.partial(_select_super_kernel, n_supers=s_n)
+    e, c = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_ray_spec()] * 9,
+        out_specs=(_ray_spec(), _ray_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(sup, *tiles)
+    return e.reshape(-1)[:n], c.reshape(-1)[:n]
+
+
+def _select_super_dense(accel: Accel, ray_o, ray_d, best_t, gate_e, gate_c,
+                        alive):
+    """XLA fallback (interpret/CPU): dense slab scan over super bounds."""
+    s_n = accel.sup_min.shape[0]
+    inv = _safe_inv(ray_d)
+    o = ray_o[:, None, :]
+    t0 = (accel.sup_min[None] - o) * inv[:, None, :]
+    t1 = (accel.sup_max[None] - o) * inv[:, None, :]
+    tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), RAY_EPS)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    sids = jnp.arange(s_n, dtype=jnp.int32)[None, :]
+    after = (tn > gate_e[:, None]) | (
+        (tn == gate_e[:, None]) & (sids > gate_c[:, None]))
+    valid = ((tn <= tf) & (tn < best_t[:, None]) & after & alive[:, None])
+    e = jnp.where(valid, tn, jnp.inf)
+    ej = jnp.min(e, axis=-1)
+    cj = jnp.min(jnp.where(e == ej[:, None], sids, jnp.int32(1 << 30)),
+                 axis=-1)
+    none = ~jnp.isfinite(ej)
+    return (jnp.where(none, -jnp.inf, ej),
+            jnp.where(none, -1, cj))
+
+
+def _query_super(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
+                 interpret: bool):
+    """Pass loop in super mode: select nearest SUPER front-to-back, sort by
+    super id, sweep its 8 chunk pages.  Same cascade as _query."""
+    n = ray_o.shape[0]
+    idx0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    n_supers = accel.sup_min.shape[0]
+    sent = jnp.int32(n_supers)
+    pages_pad, chk_pad = _super_tables(accel)
+
+    state = (
+        ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+        ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
+        jnp.where(active, jnp.minimum(maxt, BIG), -BIG),
+        jnp.full(n, -1, jnp.int32),
+        jnp.full(n, -jnp.inf, jnp.float32),
+        jnp.full(n, -1, jnp.int32),
+        idx0,
+    )
+
+    def pick(st):
+        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        if interpret:
+            e1, s1 = _select_super_dense(accel, o, d, bt, ge, gc, bt > 0)
+        else:
+            e1, s1 = _select_super_pallas(accel, o, d, bt, ge, gc)
+        valid = s1 >= 0
+        ge = jnp.where(valid, e1, ge)
+        gc = jnp.where(valid, s1, gc)
+        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
+        return st, (s1,)
+
+    def body(carry):
+        st, sids = carry
+        key = jnp.where(sids[0] >= 0, sids[0], sent)
+        sorted_ = jax.lax.sort((key,) + st, num_keys=1)
+        key = sorted_[0]
+        sid = jnp.where(key < sent, key, -1)
+        st = sorted_[1:]
+        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
+        o = jnp.stack([ox, oy, oz], -1)
+        d = jnp.stack([dx, dy, dz], -1)
+        t_new, p_new = _sweep_super_pass(pages_pad, chk_pad, n_supers, sid,
+                                         o, d, bt, interpret)
+        improved = p_new >= 0
+        bt = jnp.where(improved, t_new, bt)
+        bp = jnp.where(improved, p_new, bp)
+        if occlusion:
+            bt = jnp.where(bp >= 0, -BIG, bt)
+        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
+        return pick(st)
+
+    if interpret:
+        carry = pick(state)
+        steps = int(accel.sup_min.shape[0]) + 1
+        for _ in range(steps):
+            carry = body(carry)
+        st, _sids = carry
+    else:
+        st, sids = pick(state)
+        size = n
+        sizes = []
+        while size > 4 * TILE:
+            sizes.append(size)
+            size = max(size // 4, 4 * TILE)
+            size -= size % TILE
+        sizes.append(size)
+        for i, sz in enumerate(sizes):
+            last = i == len(sizes) - 1
+            head = tuple(a[:sz] for a in st)
+            sids_h = tuple(c[:sz] for c in sids)
+
+            if last:
+                def cond(c, sz=sz):
+                    return jnp.any(c[1][0] >= 0)
+            else:
+                def cond(c, sz=sz, nxt=sizes[i + 1]):
+                    return jnp.sum((c[1][0] >= 0).astype(jnp.int32)) > nxt
+
+            head, sids_h = jax.lax.while_loop(cond, body, (head, sids_h))
+            if not last:
+                key = jnp.where(sids_h[0] >= 0, sids_h[0], sent)
+                sorted_ = jax.lax.sort((key,) + head, num_keys=1)
+                key = sorted_[0]
+                sids_h = (jnp.where(key < sent, key, -1),)
+                head = sorted_[1:]
+            st = tuple(
+                jax.lax.dynamic_update_slice(a, h, (0,))
+                for a, h in zip(st, head)
+            )
+            sids = tuple(
+                jax.lax.dynamic_update_slice(a, h, (0,))
+                for a, h in zip(sids, sids_h)
+            )
+
+    (_, _, _, _, _, _, bt, bp, _, _, oidx) = st
+    res = jax.lax.sort((oidx, bt, bp), num_keys=1)
+    bt, bp = res[1], res[2]
+    t = jnp.where(bp < 0, jnp.inf, bt)
+    return t, bp
 
 
 def _select_kernel(
@@ -572,8 +958,9 @@ def closest_hit_bvh(accel: Accel, ray_o, ray_d, maxt, active,
 
     Returns (t (N,) f32 — +inf on miss, prim (N,) i32 — -1 on miss), with
     ``prim`` in the scene's original triangle numbering."""
-    return _query(accel, ray_o, ray_d, maxt, active, occlusion=False,
-                  interpret=interpret)
+    impl = _query_super if BVH_MODE == "super" else _query
+    return impl(accel, ray_o, ray_d, maxt, active, occlusion=False,
+                interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -583,6 +970,7 @@ def ray_test_bvh(accel: Accel, ray_o, ray_d, maxt, active,
 
     Same pass loop as closest-hit but a ray stops at its FIRST hit (its
     best_t collapses so no remaining chunk passes the entry test)."""
-    _, prim = _query(accel, ray_o, ray_d, maxt, active, occlusion=True,
-                     interpret=interpret)
+    impl = _query_super if BVH_MODE == "super" else _query
+    _, prim = impl(accel, ray_o, ray_d, maxt, active, occlusion=True,
+                   interpret=interpret)
     return prim >= 0

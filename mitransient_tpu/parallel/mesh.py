@@ -95,6 +95,9 @@ def render_sharded(
             scene, mesh, spp=spp, seed=seed, sensor=sensor,
             return_stats=return_stats)
     film_cfg = cfg.film
+    if film_cfg.is_cropped:
+        raise NotImplementedError(
+            "sharded rendering with a cropped film is not supported")
     ndev = mesh.size
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
@@ -159,7 +162,16 @@ def render_sharded(
                     polarized=polarized, spectral=spectral,
                     cam_vertical=ctx_.R[:, 1],
                 )
-        film = splat_steady(film, chunk, L, ray_weight)
+        if (not nlos) and film_cfg.rfilter == "gaussian":
+            from ..film.transient_film import splat_steady_gaussian
+
+            # reproduce the camera jitter (sampler dims 0-1 of this stream)
+            jit2 = Sampler(seed_, hw * chunk, stream=stream).next_2d()
+            film = splat_steady_gaussian(
+                film, film_cfg.height, film_cfg.width, chunk, L, ray_weight,
+                jit2, stddev=film_cfg.rfilter_stddev)
+        else:
+            film = splat_steady(film, chunk, L, ray_weight)
         # all-reduce partials: ICI within a host, DCN across hosts
         film = jax.tree.map(lambda x: jax.lax.psum(x, "shard"), film)
         n_rays = jax.lax.psum(n_rays, "shard")
@@ -195,19 +207,168 @@ def render_nlos_exhaustive_sharded(
     progress_callback=None,
     return_stats: bool = False,
 ):
-    """Distributed exhaustive NLOS capture: the laser grid is round-robined
-    over the mesh — each device renders WHOLE illumination points with the
-    full spp budget and the identical pass/stream layout as the local
-    ``render_nlos_exhaustive`` (every laser point shares the same sample
-    streams by design, matching the reference's sample-sharing inner laser
-    loop, transientnlospath.py:597-628) — so the sharded 6-D film equals the
-    local one bit-for-bit while the wall-clock divides by ``mesh.size``.
+    """Distributed exhaustive NLOS capture: the LASER AXIS is sharded over
+    the mesh — each device runs the fused all-laser-slab wavefront
+    (integrators/nlos_path.sample_nlos_exhaustive_primal) on its block of
+    illumination points with the identical sample streams as the local
+    driver (path sampling is laser-independent), so the sharded 6-D film
+    equals the local one bit-for-bit while the per-bounce NEE work divides
+    by ``mesh.size``.  Polarized/spectral variants and non-delta emitters
+    fall back to the per-point round-robin driver."""
+    import numpy as np
 
-    Per round, the per-device NLOS contexts (the laser-dependent hoisted
-    constants of prepare_nlos) are stacked on a leading device axis and
-    sharded; transient slabs come back stacked and the host scatters them
-    into the (h, w, lh, lw, T, C) film.
-    """
+    from ..integrators.nlos_path import (
+        EM_PROJECTOR,
+        exhaustive_laser_targets,
+        prepare_exhaustive_lasers,
+        prepare_nlos_cached,
+        sample_nlos_exhaustive_primal,
+        sample_nlos_rays,
+    )
+    from ..scene.scene import EM_POINT
+
+    cfg = scene.sensors[sensor]
+    film_cfg = cfg.film
+    kinds = scene.data.emitter.ks.kinds
+    delta_laser = kinds and all(k in (EM_PROJECTOR, EM_POINT)
+                                for k in kinds)
+    if (scene.variant.polarized or scene.variant.spectral
+            or not delta_laser or not scene.integrator.nlos_laser_sampling):
+        return _render_nlos_exhaustive_sharded_perpoint(
+            scene, mesh, spp=spp, seed=seed, sensor=sensor,
+            max_lanes=max_lanes, progress_callback=progress_callback,
+            return_stats=return_stats)
+    if not film_cfg.exhaustive_scan:
+        raise ValueError("exhaustive capture requires a film with "
+                         "exhaustive_scan=True (transient_hdr_film.py:80-88)")
+    lw, lh = film_cfg.laser_scan_width, film_cfg.laser_scan_height
+    if lw <= 0 or lh <= 0:
+        raise ValueError("laser_scan_width/height must be set for "
+                         "exhaustive captures")
+    icfg = scene.integrator
+    spp = spp if spp is not None else cfg.spp
+    h, w = film_cfg.height, film_cfg.width
+    hw = h * w
+    C = scene.variant.color_channels
+    T = film_cfg.temporal_bins
+    ndev = mesh.size
+
+    targets, tvalid = exhaustive_laser_targets(scene, cfg, icfg)
+    lasers = prepare_exhaustive_lasers(scene, targets)
+    lasers = lasers._replace(
+        wall_clear=lasers.wall_clear & jnp.asarray(tvalid))
+    L = targets.shape[0]
+
+    if not scene.laser_focused:
+        from ..nlos import focus_emitter_at_relay_wall_3dpoint
+
+        focus_emitter_at_relay_wall_3dpoint(
+            targets[int(np.argmax(tvalid))], scene)
+    saved_icfg = scene.integrator
+    scene.integrator = icfg._replace(capture_type="single")
+    try:
+        ctx = prepare_nlos_cached(scene, cfg, sensor)
+    finally:
+        scene.integrator = saved_icfg
+
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    total_spp = spp_chunk * n_passes
+
+    Ld = (L + ndev - 1) // ndev
+    L_pad = Ld * ndev
+    if L_pad > L:
+        pad = L_pad - L
+        lasers = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0), lasers)
+        lasers = lasers._replace(
+            wall_clear=lasers.wall_clear.at[L:].set(False))
+    lasers_b = jax.tree.map(
+        lambda a: a.reshape((ndev, Ld) + a.shape[1:]), lasers)
+
+    from ..film.transient_film import TransientFilmState, t_pad_of
+    from ..ops.splat_pallas import PIXEL_BLOCK, round_up
+
+    slab_stride = round_up(Ld * hw, PIXEL_BLOCK)
+    T_pad = t_pad_of(film_cfg)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("shard"), P("shard"), P(), P()),
+        out_specs=(P("shard"), P(), P()),
+        check_vma=False,
+    )
+    def one_pass(sd, ctx_, lasers_d, tr_d, seed_, pass_idx):
+        lasers_ = jax.tree.map(lambda a: a[0], lasers_d)
+        n = spp_chunk * hw
+        sampler = Sampler(seed_, n, stream=pass_idx)
+        ray, ray_weight = sample_nlos_rays(ctx_, spp_chunk, hw)
+        film = TransientFilmState(
+            steady=jnp.zeros((hw, C), jnp.float32),
+            steady_weight=jnp.zeros((hw,), jnp.float32),
+            transient=tr_d[0],
+            n_negative=jnp.zeros((), jnp.float32),
+            n_invalid=jnp.zeros((), jnp.float32),
+        )
+        film, L_sum, _valid, n_rays = sample_nlos_exhaustive_primal(
+            sd, ctx_, lasers_, sampler, ray, ray_weight, film, film_cfg,
+            icfg, 1.0 / total_spp, spp=spp_chunk, hw=hw,
+        )
+        L_tot = jax.lax.psum(L_sum, "shard")  # sum over the full grid
+        n_rays = jax.lax.psum(n_rays, "shard")
+        return film.transient[None], L_tot, n_rays
+
+    from ..scene.scene import primal_sd
+
+    one_pass_jit = jax.jit(one_pass, donate_argnums=(3,))
+    sd, ctx = replicate((primal_sd(scene.data), ctx), mesh)
+
+    tr = jnp.zeros((ndev, C, T_pad, slab_stride), jnp.float32)
+    steady_val = np.zeros((hw, C), np.float32)
+    total_rays = 0.0
+    for p in range(n_passes):
+        tr, L_tot, n_rays = one_pass_jit(sd, ctx, lasers_b, tr,
+                                         jnp.uint32(seed), jnp.uint32(p))
+        steady_val += np.asarray(L_tot).reshape(
+            spp_chunk, hw, C).sum(axis=0)
+        total_rays += float(np.asarray(n_rays))
+        if progress_callback is not None:
+            progress_callback((p + 1) / n_passes)
+
+    steady = (steady_val / (total_spp * L)).reshape(h, w, C)
+    tr_np = np.asarray(tr)  # (ndev, C, T_pad, slab_stride)
+    out = np.zeros((h, w, lh, lw, T, C), np.float32)
+    for k in range(ndev):
+        blk = tr_np[k][:, :T, : Ld * hw].reshape(C, T, Ld, hw)
+        for l_loc in range(Ld):
+            i = k * Ld + l_loc
+            if i >= L:
+                break
+            ly, lx = divmod(i, lw)
+            out[:, :, ly, lx] = np.transpose(
+                blk[:, :, l_loc, :], (2, 1, 0)).reshape(h, w, T, C)
+    if return_stats:
+        return steady, out, {"rays": total_rays, "spp": spp * L,
+                             "devices": ndev}
+    return steady, out
+
+
+def _render_nlos_exhaustive_sharded_perpoint(
+    scene: Scene,
+    mesh: Mesh,
+    spp: int | None = None,
+    seed: int = 0,
+    sensor: int = 0,
+    max_lanes: int = 1 << 21,
+    progress_callback=None,
+    return_stats: bool = False,
+):
+    """Per-point fallback (polarized / spectral / non-delta emitters): the
+    laser grid is round-robined over the mesh — each device renders WHOLE
+    illumination points with the full spp budget and the identical
+    pass/stream layout as the local per-point driver."""
     import numpy as np
 
     from ..integrators.nlos_path import (
@@ -353,19 +514,27 @@ def render_backward_sharded(
     cfg = scene.sensors[sensor]
     icfg = scene.integrator
     film_cfg = cfg.film
+    if film_cfg.is_cropped:
+        raise NotImplementedError(
+            "sharded rendering with a cropped film is not supported")
     ndev = mesh.size
     spp = spp if spp is not None else cfg.spp
     spp_dev = max(1, spp // ndev)
     total_spp = spp_dev * ndev
     hw = film_cfg.width * film_cfg.height
-    C = scene.variant.color_channels
+    polarized = scene.variant.polarized
+    spectral = scene.variant.spectral
+    C = scene.variant.color_channels * (4 if polarized else 1)
     T = film_cfg.temporal_bins
 
     grad_steady, grad_transient = grad_in
     gs = (jnp.zeros((hw, C), jnp.float32) if grad_steady is None
           else jnp.asarray(grad_steady, jnp.float32).reshape(hw, C))
 
-    if icfg.kind in ("transient_nlos_path", "transient_prbvolpath"):
+    if (icfg.kind in ("transient_nlos_path", "transient_prbvolpath")
+            or polarized or spectral):
+        # polarized/spectral transient_path also routes through full-loop
+        # AD: the PRB replay below is the unpolarized-RGB estimator
         from ..integrators.fullad import fullad_grads
 
         if icfg.capture_type == "exhaustive" and (
@@ -397,12 +566,16 @@ def render_backward_sharded(
                 sd, ctx_, gs_, gt_, seed_, didx, 1.0 / total_spp,
                 film_cfg=film_cfg, icfg=icfg, spp=spp_dev, hw=hw, kind=kind,
                 skip_le=(kind == "transient_nlos_path"
-                         and can_skip_le(scene.data)))
+                         and can_skip_le(scene.data)),
+                polarized=polarized, spectral=spectral)
             return jax.tree.map(lambda x: jax.lax.psum(x, "shard"), g)
 
         sd, ctx, gs, gt_full = replicate(
             (scene.data, ctx, gs, gt_full), mesh)
-        grads = jax.jit(step)(sd, ctx, gs, gt_full, jnp.uint32(seed))
+        from ..film.transient_film import xla_splat_scope
+
+        with xla_splat_scope():  # AD through the film scatter (see fullad)
+            grads = jax.jit(step)(sd, ctx, gs, gt_full, jnp.uint32(seed))
         return _grads_to_paths(scene, grads)
 
     # --- transient_path: PRB two-sweep replay per device -------------------

@@ -55,7 +55,12 @@ def _perspective_pass(
 ):
     n = width * height * spp_chunk
     sampler = Sampler(seed, n, stream=pass_idx)
-    ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp_chunk)
+    # width/height are the DATA (crop) dims; the uv mapping uses the full
+    # sensor (mi.Film crop semantics)
+    ray, pix, ray_weight = sample_rays(
+        cam, sampler, width, height, spp_chunk,
+        crop_offset=(film_cfg.crop_offset_x, film_cfg.crop_offset_y),
+        full_size=(film_cfg.width, film_cfg.height))
     if icfg.kind == "transient_prbvolpath":
         from .integrators.volpath import sample_volpath_primal as sample_fn
 
@@ -150,7 +155,8 @@ def render(
     icfg = scene.integrator
     film_cfg = cfg.film
     spp = spp if spp is not None else cfg.spp
-    hw = film_cfg.width * film_cfg.height
+    dw, dh = film_cfg.data_width, film_cfg.data_height
+    hw = dw * dh
 
     # Path-regeneration fast path: single while_loop consuming the whole spp
     # budget at ~full occupancy (integrators/path_regen.py).  Used for plain
@@ -163,6 +169,7 @@ def render(
             and not scene.variant.spectral
             and icfg.temporal_filter != "gaussian"
             and film_cfg.rfilter == "box"
+            and not film_cfg.is_cropped
             and spp >= 8
         )
     if film_state is not None:
@@ -198,7 +205,8 @@ def render(
     polarized = scene.variant.polarized
     spectral = scene.variant.spectral
     film_channels = scene.variant.color_channels * (4 if polarized else 1)
-    film = film_init(film_cfg, film_channels)
+    film = film_init(film_cfg, film_channels,
+                     scan_pixels=hw if film_cfg.is_cropped else None)
     if film_state is not None:
         film, done_passes, total_rays = film_state
         film = jax.tree_util.tree_map(jnp.asarray, film)
@@ -215,7 +223,7 @@ def render(
                 jnp.uint32(p),
                 jnp.float32(1.0 / total_spp),
                 film_cfg=film_cfg, icfg=icfg,
-                width=film_cfg.width, height=film_cfg.height,
+                width=dw, height=dh,
                 spp_chunk=spp_chunk, polarized=polarized,
                 spectral=spectral,
             )
@@ -229,7 +237,7 @@ def render(
             checkpoint_callback((
                 jax.tree_util.tree_map(_np.asarray, film), p + 1,
                 float(_np.asarray(total_rays))))
-    steady, transient = develop(film, film_cfg)
+    steady, transient = develop(film, film_cfg, shape_hw=(dh, dw))
     extra = surface_sample_validation(film, film_cfg)
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp,
@@ -293,6 +301,10 @@ def _prb_setup(scene: Scene, spp, seed, sensor):
     cfg = scene.sensors[sensor]
     icfg = scene.integrator
     film_cfg = cfg.film
+    if film_cfg.is_cropped:
+        raise NotImplementedError(
+            "differential rendering with a cropped film is not supported; "
+            "render the full film or crop the gradient instead")
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
     if hw * spp > DEFAULT_MAX_LANES * 4:
@@ -354,7 +366,12 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
                                        sensor=sensor)
     if (scene.integrator.kind in ("transient_nlos_path",
                                   "transient_prbvolpath")
+            or scene.variant.polarized or scene.variant.spectral
             or method == "fullad"):
+        # polarized/spectral transient_path routes through full-loop AD:
+        # the PRB replay below replays the unpolarized-RGB estimator, which
+        # is a DIFFERENT program than the polarized primal (round-3 advisor
+        # finding on fullad, applied to the dispatch as well)
         from .integrators.fullad import render_backward_fullad
 
         return render_backward_fullad(scene, grad_in, spp=spp, seed=seed,
@@ -498,22 +515,12 @@ def _forward_pass(sd, cam, tangents, seed, inv_spp, *, film_cfg, icfg,
     return develop(dfilm, film_cfg)
 
 
-def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
-                   seed: int = 0, sensor: int = 0):
-    """Forward-mode differential rendering (parity with
-    ``render_forward``, common.py:215-323): returns the derivative
-    (d_steady, d_transient) videos for a parameter perturbation direction.
-
-    ``tangent``: dict mapping traversal paths (or the whole-table keys
-    'bsdf.reflectance' / 'emitter.radiance') to tangent values.
-    """
-    from .integrators.prb import DiffParams
-
-    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
-    sd = scene.data
+def _build_tangents(scene: Scene, tangent: dict):
+    """Map a {traversal-path-or-table: value} tangent dict onto the
+    DiffParams pytree structure (jax.jvp requires exact structure match)."""
     from .integrators.prb import extract_params
 
-    # tangent structure must match extract_params exactly (jax.jvp)
+    sd = scene.data
     tangents = jax.tree_util.tree_map(jnp.zeros_like, extract_params(sd))
     tbl_attr = {
         "bsdf.reflectance": "bsdf_reflectance",
@@ -534,13 +541,126 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
                 tangents = tangents._replace(**{
                     attr: getattr(tangents, attr).at[idx].set(
                         jnp.asarray(val, jnp.float32))})
+    return tangents
 
-    cam = build_camera(cfg)
-    return _forward_pass(
-        scene.data, cam, tangents, jnp.uint32(seed), jnp.float32(1.0 / spp),
-        film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
-        height=film_cfg.height, spp=spp,
+
+@partial(jax.jit, static_argnames=("film_cfg", "icfg", "spp", "hw", "kind",
+                                   "skip_le", "polarized", "spectral"))
+def _forward_pass_jvp(sd, ctx, tangents, seed, inv_spp, *, film_cfg, icfg,
+                      spp, hw, kind, skip_le=False, polarized=False,
+                      spectral=False):
+    """Integrator-generic forward mode: jax.jvp straight through the primal
+    wavefront program (film init + loop + develop).  Forward-mode needs no
+    taping, so memory is O(1) in path depth — structurally the same cost
+    as the reference's Forward-mode replay pass (common.py:215-323)."""
+    from .film.transient_film import (
+        develop_any,
+        film_init_any,
+        splat_steady as _ss,
     )
+    from .integrators.prb import extract_params, insert_params
+
+    def f(theta):
+        sdt = insert_params(sd, theta)
+        C = sdt.bsdf.reflectance.shape[-1]
+        Cf = C * (4 if polarized else 1)
+        sampler = Sampler(seed, spp * hw, stream=jnp.uint32(0))
+        if kind == "transient_nlos_path":
+            from .integrators.nlos_path import (
+                sample_nlos_primal,
+                sample_nlos_rays,
+            )
+
+            film = film_init_any(film_cfg, Cf, scan_pixels=hw)
+            ray, rw = sample_nlos_rays(ctx, spp, hw)
+            film, L, _v, _r = sample_nlos_primal(
+                sdt, ctx, sampler, ray, rw, film, film_cfg, icfg,
+                inv_spp, base_dim=2, spp=spp, skip_le=skip_le,
+                polarized=polarized, spectral=spectral)
+        elif kind == "transient_prbvolpath":
+            from .integrators.volpath import sample_volpath_primal
+
+            film = film_init_any(film_cfg, Cf)
+            ray, pix, rw = sample_rays(ctx, sampler, film_cfg.width,
+                                       film_cfg.height, spp)
+            film, L, _v, _r = sample_volpath_primal(
+                sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
+                inv_spp, base_dim=2, spp=spp, spectral=spectral,
+                polarized=polarized, cam_vertical=ctx.R[:, 1])
+        else:
+            from .integrators.path import sample_primal as _sp
+
+            film = film_init_any(film_cfg, Cf)
+            ray, pix, rw = sample_rays(ctx, sampler, film_cfg.width,
+                                       film_cfg.height, spp)
+            film, L, _v, _r = _sp(
+                sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
+                inv_spp, base_dim=2, spp=spp, polarized=polarized,
+                spectral=spectral, cam_vertical=ctx.R[:, 1])
+        film = _ss(film, spp, L, rw)
+        return develop_any(
+            film, film_cfg,
+            shape_hw=(film_cfg.height, film_cfg.width))
+
+    _primals, tangents_out = jax.jvp(f, (extract_params(sd),), (tangents,))
+    return tangents_out
+
+
+def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
+                   seed: int = 0, sensor: int = 0):
+    """Forward-mode differential rendering (parity with
+    ``render_forward``, common.py:215-323): returns the derivative
+    (d_steady, d_transient) videos for a parameter perturbation direction.
+
+    ``tangent``: dict mapping traversal paths (or the whole-table keys
+    'bsdf.reflectance' / 'emitter.radiance') to tangent values.
+
+    Dispatch (integrator-generic like the reference): plain
+    ``transient_path`` uses the PRB-style forward replay (_forward_pass);
+    NLOS single/confocal and ``transient_prbvolpath`` run jax.jvp through
+    the full primal program (exceeding the reference, whose prbvolpath has
+    no forward mode, transient_prbvolpath.py:131-133).  Exhaustive NLOS is
+    refused like the reference (transientnlospath.py:729-731)."""
+    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
+    nlos = (cfg.kind == "nlos_capture_meter"
+            or icfg.kind == "transient_nlos_path")
+
+    if nlos and icfg.capture_type == "exhaustive":
+        raise ValueError(
+            "Exhaustive capture is not supported in differentiable "
+            "rendering (transientnlospath.py:729-731)")
+    tangents = _build_tangents(scene, tangent)
+
+    if (icfg.kind == "transient_path" and not nlos
+            and not scene.variant.polarized and not scene.variant.spectral):
+        cam = build_camera(cfg)
+        return _forward_pass(
+            scene.data, cam, tangents, jnp.uint32(seed),
+            jnp.float32(1.0 / spp),
+            film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+            height=film_cfg.height, spp=spp,
+        )
+
+    if nlos:
+        from .integrators.nlos_path import can_skip_le, prepare_nlos_cached
+
+        ctx = prepare_nlos_cached(scene, cfg, sensor)
+        kind = "transient_nlos_path"
+        skip_le = can_skip_le(scene.data)
+    else:
+        ctx = build_camera(cfg)
+        kind = icfg.kind
+        skip_le = False
+
+    from .film.transient_film import xla_splat_scope
+
+    with xla_splat_scope():  # jvp through the film scatter (no Pallas AD)
+        return _forward_pass_jvp(
+            scene.data, ctx, tangents, jnp.uint32(seed),
+            jnp.float32(1.0 / spp),
+            film_cfg=film_cfg, icfg=icfg, spp=spp, hw=hw, kind=kind,
+            skip_le=skip_le, polarized=scene.variant.polarized,
+            spectral=scene.variant.spectral)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "channels"))

@@ -338,9 +338,16 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
     TPU note: all per-hit attributes come from ONE packed one-hot lookup over
     the triangle table (ops/gather.py) and the barycentrics are reconstructed
     from the hit point — no XLA gathers anywhere on the hot path."""
+    # The traversal kernel produces a detached discrete choice (prim) and a
+    # raw primal t; derivatives re-enter via the plane-equation attach
+    # below.  Detaching the kernel INPUTS is required on TPU: the Pallas
+    # traversal kernels define no AD rules, and under jax.grad/jvp the ray
+    # origin/direction are attached through sampled BSDF lobes (alpha), so
+    # an undetached call fails to linearize (observed on-device, round 4).
+    sg = jax.lax.stop_gradient
     t, prim = _closest_hit_q(
-        sd.tri.v0, sd.tri.e1, sd.tri.e2, ray.o, ray.d, ray.maxt, active,
-        accel=sd.accel,
+        sd.tri.v0, sd.tri.e1, sd.tri.e2, sg(ray.o), sg(ray.d), sg(ray.maxt),
+        active, accel=sd.accel,
     )
     valid = prim >= 0
     prim_c = jnp.maximum(prim, 0)
@@ -373,9 +380,14 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
         denom = dot(ray.d, ng)
         ok_den = jnp.abs(denom) > 1e-12
         t_plane = dot(cols["v0"] - ray.o, ng) / jnp.where(ok_den, denom, 1.0)
+        # miss lanes carry t = inf; keep them out of the replace-grad
+        # arithmetic (inf - inf = NaN would poison debug_nans and any
+        # reduction that touches raw t)
+        t_fin = jnp.where(valid, t, 0.0)
         t_att = jnp.where(ok_den & valid, t_plane,
-                          jax.lax.stop_gradient(t))
-        t = t_att + jax.lax.stop_gradient(t - t_att)
+                          jax.lax.stop_gradient(t_fin))
+        t = jnp.where(valid, t_att + jax.lax.stop_gradient(t_fin - t_att),
+                      t)
     p = ray.o + ray.d * jnp.where(valid, t, 0.0)[:, None]
     # Barycentrics of p in the winning triangle (projection method).
     w = p - cols["v0"]
@@ -424,10 +436,15 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
 def ray_test(sd: SceneData, o: jnp.ndarray, d_unit: jnp.ndarray, dist: jnp.ndarray,
              active: jnp.ndarray) -> jnp.ndarray:
     """Occlusion query between ``o`` and ``o + d_unit * dist`` (shadow ray),
-    with epsilon shortening at both ends; cf. ``mi.Scene.ray_test``."""
+    with epsilon shortening at both ends; cf. ``mi.Scene.ray_test``.
+
+    Visibility is a detached binary decision (the reference likewise never
+    differentiates ray_test); detaching the inputs also lets the Pallas
+    any-hit kernel (no AD rules) sit under jax.grad/jvp on TPU."""
+    sg = jax.lax.stop_gradient
     maxt = dist * (1.0 - 1e-3)
-    return _ray_test_q(sd.tri.v0, sd.tri.e1, sd.tri.e2, o, d_unit, maxt,
-                       active, accel=sd.accel)
+    return _ray_test_q(sd.tri.v0, sd.tri.e1, sd.tri.e2, sg(o), sg(d_unit),
+                       sg(maxt), active, accel=sd.accel)
 
 
 # ---- emitters -------------------------------------------------------------

@@ -335,10 +335,33 @@ class FilmConfig(NamedTuple):
     # steady child hdrfilm accepts a gaussian rfilter)
     rfilter: str = "box"  # "box" | "gaussian"
     rfilter_stddev: float = 0.5
+    # crop window (mi.Film crop semantics inherited by the reference's
+    # transient film; the phasor film refuses crops,
+    # phasor_hdr_film.py:147-152): rendering is restricted to the window
+    # and the developed images have the crop size; the camera projection
+    # is unchanged (full-sensor uv mapping).
+    crop_offset_x: int = 0
+    crop_offset_y: int = 0
+    crop_width: int = 0  # 0 = full width
+    crop_height: int = 0  # 0 = full height
 
     @property
     def end_opl(self) -> float:
         return self.start_opl + self.bin_width_opl * self.temporal_bins
+
+    @property
+    def data_width(self) -> int:
+        """Stored/developed image width (crop window if set)."""
+        return self.crop_width if self.crop_width > 0 else self.width
+
+    @property
+    def data_height(self) -> int:
+        return self.crop_height if self.crop_height > 0 else self.height
+
+    @property
+    def is_cropped(self) -> bool:
+        return (self.crop_width > 0 or self.crop_height > 0
+                or self.crop_offset_x != 0 or self.crop_offset_y != 0)
 
 
 class IntegratorConfig(NamedTuple):
@@ -359,6 +382,9 @@ class IntegratorConfig(NamedTuple):
     nlos_hidden_geometry_sampling_do_rroulette: bool = False
     nlos_hidden_geometry_sampling_includes_relay_wall: bool = True
     account_first_and_last_bounces: bool = True
+    # exhaustive-capture illumination scanning (transientnlospath.py:126-137)
+    force_equal_illumination_scanning: bool = True
+    illumination_scan_fov: float = 20.0
     # transient_prbvolpath extras
     hide_emitters: bool = False
 
@@ -399,7 +425,7 @@ MAX_DEPTH_CAP = 32  # static bound substituted for max_depth = -1 (infinity)
 def _parse_film(d: dict) -> FilmConfig:
     kind = d.get("type", "transient_hdr_film")
     default_bins = 4096 if kind == "phasor_hdr_film" else 2048
-    return FilmConfig(
+    fc = FilmConfig(
         kind=kind,
         width=int(d.get("width", 256)),
         height=int(d.get("height", 256)),
@@ -418,7 +444,20 @@ def _parse_film(d: dict) -> FilmConfig:
                     else d.get("rfilter", "box")).lower(),
         rfilter_stddev=float((d.get("rfilter") or {}).get("stddev", 0.5)
                              if isinstance(d.get("rfilter"), dict) else 0.5),
+        crop_offset_x=int(d.get("crop_offset_x", 0)),
+        crop_offset_y=int(d.get("crop_offset_y", 0)),
+        crop_width=int(d.get("crop_width", 0)),
+        crop_height=int(d.get("crop_height", 0)),
     )
+    if fc.kind == "phasor_hdr_film" and fc.is_cropped:
+        raise ValueError("phasor_hdr_film does not support cropped films "
+                         "(phasor_hdr_film.py:147-152)")
+    if fc.is_cropped:
+        if (fc.crop_offset_x < 0 or fc.crop_offset_y < 0
+                or fc.crop_offset_x + fc.data_width > fc.width
+                or fc.crop_offset_y + fc.data_height > fc.height):
+            raise ValueError("crop window exceeds the film bounds")
+    return fc
 
 
 def _parse_integrator(d: dict) -> IntegratorConfig:
@@ -465,6 +504,10 @@ def _parse_integrator(d: dict) -> IntegratorConfig:
         account_first_and_last_bounces=bool(
             d.get("account_first_and_last_bounces", True)
         ),
+        force_equal_illumination_scanning=bool(
+            d.get("force_equal_illumination_scanning", True)
+        ),
+        illumination_scan_fov=float(d.get("illumination_scan_fov", 20.0)),
         hide_emitters=bool(d.get("hide_emitters", False)),
     )
 
@@ -1203,6 +1246,7 @@ class Scene:
         focus helpers, mirroring mitransient/nlos.py:17-24)."""
         e = self._emitters[em_idx]
         self._emitters[em_idx] = e._replace(to_world=t)
+        self._nlos_ctx_cache = None  # ctx bakes emitter pos/dir (wall_*)
         R = t.m[:3, :3]
         em = self.data.emitter
         self.data = self.data._replace(
@@ -1293,6 +1337,41 @@ class ParamMap:
         rebake = False
         for key, value in self._staged.items():
             table, idx = self.scene._param_paths[key]
+            # mirror device-table updates into the host-side objects that
+            # _compile() re-bakes from, so a geometry re-bake (this batch or
+            # a later one) doesn't silently revert them
+            if table == "bsdf.reflectance":
+                b = self.scene._bsdfs[idx]
+                self.scene._bsdfs[idx] = b._replace(
+                    reflectance=np.asarray(value, np.float32).reshape(
+                        b.reflectance.shape))
+            elif table == "emitter.radiance":
+                e = self.scene._emitters[idx]
+                self.scene._emitters[idx] = e._replace(
+                    radiance=np.asarray(value, np.float32).reshape(
+                        e.radiance.shape))
+            elif table in ("bsdf.alpha", "bsdf.alpha_u"):
+                b = self.scene._bsdfs[idx]
+                self.scene._bsdfs[idx] = b._replace(
+                    alpha=float(np.asarray(value)),
+                    alpha_v=(float(np.asarray(value))
+                             if table == "bsdf.alpha" else b.alpha_v))
+            elif table == "bsdf.alpha_v":
+                b = self.scene._bsdfs[idx]
+                self.scene._bsdfs[idx] = b._replace(
+                    alpha_v=float(np.asarray(value)))
+            elif table == "medium.sigma_t":
+                self.scene._media[idx]["sigma_t"] = float(np.asarray(value))
+            elif table == "emitter.position":
+                e = self.scene._emitters[idx]
+                m = e.to_world.m.copy()
+                m[:3, 3] = np.asarray(value, np.float64)
+                self.scene._emitters[idx] = e._replace(to_world=Transform4(m))
+            if table.startswith("emitter."):
+                # NLOS prepare bakes emitter position/direction/radiance
+                # into its context (wall_em, wall_d2, occlusion) — any
+                # emitter change must invalidate the memoized context
+                self.scene._nlos_ctx_cache = None
             if table == "emitter.to_world":
                 self.scene.replace_emitter_transform(idx, value)
             elif table == "shape.translate":
@@ -1320,6 +1399,11 @@ class ParamMap:
             # pivots and acceleration structure host-side (the geom deltas
             # in SceneData stay zero — they are pure gradient carriers)
             self.scene._compile()
+            # _compile rebuilt SceneData from the host objects; re-apply
+            # the device-table updates of THIS batch on top (tables whose
+            # values aren't mirrored host-side, e.g. textures, medium
+            # albedo, would otherwise be silently reverted)
+            self.scene.data = self.apply(self._staged, self.scene.data)
         self._staged = {}
 
     def apply(self, updates: dict, data: SceneData | None = None) -> SceneData:

@@ -57,23 +57,32 @@ def sample_rays(
     width: int,
     height: int,
     spp: int,
+    crop_offset: tuple[int, int] = (0, 0),
+    full_size: tuple[int, int] | None = None,
 ):
     """Generate ``H*W*spp`` lanes (spp-major: lane = s * HW + pix, the
     layout the Pallas transient-splat kernel requires).
 
+    ``width``/``height`` are the DATA (crop-window) dimensions; with a
+    crop, ``crop_offset`` places the window on the full sensor and
+    ``full_size`` gives the full film dimensions for the uv mapping
+    (mi.Film crop semantics: the projection is that of the full sensor).
+
     Returns (Ray, pix (N,) int32, ray_weight (N,)).  Consumes sampler dims
     0-1 (pixel jitter).
     """
+    fw, fh = full_size if full_size is not None else (width, height)
+    ox, oy = crop_offset
     hw = width * height
     n = hw * spp
     lane = jnp.arange(n, dtype=jnp.int32)
     pix = lane % hw
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
+    px = (pix % width).astype(jnp.float32) + float(ox)
+    py = (pix // width).astype(jnp.float32) + float(oy)
 
     jitter = sampler.next_2d()  # dims 0-1
-    u = (px + jitter[:, 0]) / width
-    v = (py + jitter[:, 1]) / height
+    u = (px + jitter[:, 0]) / fw
+    v = (py + jitter[:, 1]) / fh
 
     d_cam = jnp.stack(
         [

@@ -218,3 +218,40 @@ def test_traverse_exposes_new_paths():
     params[k] = 0.4
     params.update()
     assert abs(float(params[k]) - 0.4) < 1e-6
+
+
+def test_update_batch_device_tables_survive_rebake():
+    """A single update() batch staging a device-table edit (reflectance)
+    together with a geometry edit (shape.translate) must keep BOTH: the
+    rebake used to rebuild SceneData from host objects and silently discard
+    the device-table update (round-3 advisor finding)."""
+    d = cbox()
+    scene = mitr.load_dict(d)
+    params = mitr.traverse(scene)
+    rkey = next(k for k in params.keys() if k.startswith("white.reflectance"))
+    tkey = next(k for k in params.keys() if k.endswith("to_world.translate")
+                and "small-box" in k)
+    newr = np.array([0.123, 0.456, 0.789], np.float32)
+    params[rkey] = newr
+    params[tkey] = np.asarray(params[tkey]) + np.array([0.05, 0.0, 0.0])
+    params.update()
+    assert np.allclose(np.asarray(params[rkey]), newr, atol=1e-6)
+    # ... and a LATER geometry-only rebake must not revert it either
+    # (the value is mirrored into the host-side BSDF object)
+    params[tkey] = np.asarray(params[tkey]) + np.array([-0.05, 0.0, 0.0])
+    params.update()
+    assert np.allclose(np.asarray(params[rkey]), newr, atol=1e-6)
+
+
+def test_emitter_radiance_update_survives_rebake():
+    d = cbox()
+    scene = mitr.load_dict(d)
+    params = mitr.traverse(scene)
+    ekey = next(k for k in params.keys() if "radiance" in k)
+    tkey = next(k for k in params.keys() if k.endswith("to_world.translate")
+                and "small-box" in k)
+    base = np.asarray(params[ekey])
+    params[ekey] = base * 2.0
+    params[tkey] = np.asarray(params[tkey]) + np.array([0.02, 0.0, 0.0])
+    params.update()
+    assert np.allclose(np.asarray(params[ekey]), base * 2.0, rtol=1e-6)

@@ -215,3 +215,71 @@ def test_render_aovs():
     assert abs(nrm[8, 8, 2]) > 0.7
     # depth increases toward the back wall vs the near-side walls
     assert dep[8, 8, 0] > dep[8, 0, 0]
+
+
+def test_crop_window_render():
+    """mi.Film crop semantics (inherited by the reference's transient film):
+    rendering restricts to the crop window, developed images have the crop
+    size, and the projection is that of the full sensor — so the cropped
+    render matches the corresponding window of the full render."""
+    import mitransient_tpu as mitr
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 32
+    d["sensor"]["film"]["height"] = 32
+    d["sensor"]["film"]["temporal_bins"] = 100
+    d["sensor"]["film"]["start_opl"] = 3.5
+    d["sensor"]["film"]["bin_width_opl"] = 0.06
+    full = mitr.load_dict(d)
+    s_full, t_full = mitr.render(full, spp=160, seed=0)
+
+    d["sensor"]["film"]["crop_offset_x"] = 8
+    d["sensor"]["film"]["crop_offset_y"] = 4
+    d["sensor"]["film"]["crop_width"] = 12
+    d["sensor"]["film"]["crop_height"] = 16
+    crop = mitr.load_dict(d)
+    assert crop.sensors[0].film.data_width == 12
+    assert crop.sensors[0].film.data_height == 16
+    s_c, t_c = mitr.render(crop, spp=160, seed=0)
+    s_c, t_c = np.asarray(s_c), np.asarray(t_c)
+    assert s_c.shape == (16, 12, 3)
+    assert t_c.shape == (16, 12, 100, 3)
+    win = np.asarray(s_full)[4:20, 8:20]
+    # different per-lane jitter streams -> statistical agreement only
+    num = float((s_c * win).sum())
+    den = float(np.sqrt((s_c ** 2).sum() * (win ** 2).sum()))
+    assert den > 0 and num / den > 0.995, num / den
+    assert abs(s_c.mean() - win.mean()) / win.mean() < 0.1
+    tw = np.asarray(t_full)[4:20, 8:20]
+    assert abs(t_c.sum() - tw.sum()) / tw.sum() < 0.1
+
+
+def test_crop_window_validation_and_guards():
+    import mitransient_tpu as mitr
+    import pytest
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["crop_width"] = 300  # exceeds 256
+    with pytest.raises(ValueError, match="crop window"):
+        mitr.load_dict(d)
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["crop_width"] = 16
+    d["sensor"]["film"]["crop_height"] = 16
+    scene = mitr.load_dict(d)
+    with pytest.raises(NotImplementedError, match="crop"):
+        mitr.render_backward(scene, (None, None), spp=4)
+
+    # phasor refuses crops (phasor_hdr_film.py:147-152)
+    old = mitr.variant().name
+    mitr.set_variant("mono")
+    try:
+        d = mitr.cornell_box()
+        d["sensor"]["film"] = {
+            "type": "phasor_hdr_film", "width": 32, "height": 32,
+            "wl_mean": 100.0, "wl_sigma": 100.0, "crop_width": 8,
+        }
+        with pytest.raises(ValueError, match="crop"):
+            mitr.load_dict(d)
+    finally:
+        mitr.set_variant(old)

@@ -87,3 +87,50 @@ def test_volumetric_backward_surface_albedo_finite():
     grads = mitr.render_backward(scene, (None, ones), spp=8, seed=0)
     g = np.asarray(grads["white.reflectance.value"])
     assert np.all(np.isfinite(g)) and np.any(g != 0.0)
+
+
+def test_nlos_polarized_backward_vs_fd():
+    """Polarized NLOS full-loop AD: the round-3 advisor found the fullad
+    path silently dropped the polarized/spectral variant flags and
+    differentiated a different (unpolarized) estimator.  Gradient of the
+    S0-weighted transient sum wrt the hidden target's reflectance must
+    match a same-seed finite difference of the polarized primal."""
+    old = mitr.variant().name
+    mitr.set_variant("mono_polarized")
+    try:
+        d = nlos_scene(sx=2, sy=2)
+        d["integrator"]["rr_depth"] = 99
+        scene = mitr.load_dict(d)
+        mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+        fc = scene.sensors[0].film
+        # weight only the S0 (intensity) channel of the 4-Stokes output
+        gt = np.zeros((fc.height, fc.width, fc.temporal_bins, 4), np.float32)
+        gt[..., 0] = 1.0
+        grads = mitr.render_backward(scene, (None, gt), spp=16, seed=0)
+        key = next(k for k in grads if "hidden-target" in k)
+        g = np.asarray(grads[key])
+        assert np.all(np.isfinite(g))
+
+        params = mitr.traverse(scene)
+        base = np.asarray(params[key])
+        eps = 1e-3
+        v = np.ones_like(base)
+
+        def loss():
+            _s, t = mitr.render(scene, spp=16, seed=0)
+            return float(np.asarray(t)[..., 0].sum())
+
+        params[key] = base + eps * v
+        params.update()
+        lp = loss()
+        params[key] = base - eps * v
+        params.update()
+        lm = loss()
+        params[key] = base
+        params.update()
+        fd = (lp - lm) / (2 * eps)
+        an = float(np.sum(g * v))
+        assert fd != 0.0
+        assert abs(an - fd) / max(abs(fd), 1e-9) < 0.05, (an, fd)
+    finally:
+        mitr.set_variant(old)

@@ -216,3 +216,146 @@ def test_filter_bounces_and_depth_mutually_exclusive():
     d["integrator"]["filter_bounces"] = 2
     with pytest.raises(ValueError, match="filter_depth or filter_bounces"):
         mitr.load_dict(d)
+
+
+def test_emitter_update_invalidates_nlos_context():
+    """The memoized NLOS context bakes the emitter radiance into wall_em
+    (prepare_nlos); a traverse() update to the emitter must invalidate it —
+    round-3 advisor finding: the cache key omitted emitter state, so
+    repeat renders silently reused stale laser/wall constants."""
+    scene = mitr.load_dict(nlos_scene())
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([2.0, 2.0], scene)
+    _, t1 = mitr.render(scene, spp=32, seed=0)
+    params = mitr.traverse(scene)
+    ekey = next(k for k in params.keys()
+                if "laser" in k and "radiance" in k)
+    params[ekey] = np.asarray(params[ekey]) * 2.0
+    params.update()
+    _, t2 = mitr.render(scene, spp=32, seed=0)
+    t1, t2 = np.asarray(t1), np.asarray(t2)
+    assert t1.sum() > 0
+    assert np.allclose(t2, t1 * 2.0, rtol=1e-4), (t1.sum(), t2.sum())
+
+
+def test_nlos_forward_mode_vs_fd():
+    """Forward-mode differential rendering on an NLOS scene (round-3
+    verdict Missing 2: render_forward previously only supported
+    transient_path and crashed on NLOS scenes inside build_camera).
+    Parity: the reference's render_forward is integrator-generic
+    (common.py:215-323, exhaustive excluded)."""
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["rr_depth"] = 99
+    scene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+    key = next(k for k in mitr.traverse(scene).keys()
+               if "hidden-target" in k and "reflectance" in k)
+    v = np.array([1.0, 0.5, 0.25], np.float32)
+    ds, dt = mitr.render_forward(scene, {key: v}, spp=16, seed=0)
+    assert np.asarray(dt).shape == np.asarray(
+        mitr.render(scene, spp=16, seed=0)[1]).shape
+
+    params = mitr.traverse(scene)
+    base = np.asarray(params[key])
+    eps = 1e-3
+
+    def t_of():
+        _s, t = mitr.render(scene, spp=16, seed=0)
+        return np.asarray(t, np.float64)
+
+    params[key] = base + eps * v
+    params.update()
+    tp = t_of()
+    params[key] = base - eps * v
+    params.update()
+    tm = t_of()
+    params[key] = base
+    params.update()
+    fd = (tp - tm) / (2 * eps)
+    an = np.asarray(dt, np.float64)
+    assert np.all(np.isfinite(an))
+    assert fd.sum() != 0.0
+    assert abs(an.sum() - fd.sum()) / max(abs(fd.sum()), 1e-9) < 0.02
+    # element-wise: the jvp differentiates the exact splat program, so the
+    # derivative video matches FD bin-for-bin (same seed, linear param)
+    m = np.abs(fd) > 1e-6 * np.abs(fd).max()
+    assert np.allclose(an[m], fd[m], rtol=5e-2, atol=1e-9)
+
+
+def test_nlos_forward_exhaustive_refused():
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    scene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+    with pytest.raises(ValueError, match="xhaustive"):
+        mitr.render_forward(scene, {"bsdf.reflectance": None}, spp=4, seed=0)
+
+
+def test_exhaustive_fused_matches_perpoint():
+    """The fused all-laser-slab estimator must reproduce the per-point
+    focused captures (path sampling is laser-independent, so each slab is
+    the same estimator; transientnlospath.py:597-628 sample sharing)."""
+    from mitransient_tpu.integrators.nlos_path import (
+        _render_nlos_exhaustive_perpoint,
+    )
+
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 3
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    scene = mitr.load_dict(d)
+    s_f, t_f = mitr.render(scene, spp=16, seed=0)
+
+    scene2 = mitr.load_dict(d)
+    s_p, t_p, _st = _render_nlos_exhaustive_perpoint(
+        scene2, 16, seed=0, return_stats=True)
+    t_f, t_p = np.asarray(t_f), np.asarray(t_p)
+    assert t_f.shape == t_p.shape == (2, 2, 2, 3, 300, 3)
+    assert t_p.sum() > 0
+    np.testing.assert_allclose(t_f, t_p, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_p),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_exhaustive_laser_chunking_invariant():
+    """Chunking the laser axis must not change the result (slab layout and
+    steady weighting are chunk-independent)."""
+    from mitransient_tpu.integrators.nlos_path import render_nlos_exhaustive
+
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 3
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    s1, t1, _ = render_nlos_exhaustive(mitr.load_dict(d), 8, seed=0,
+                                       laser_chunk=6, return_stats=True)
+    s2, t2, _ = render_nlos_exhaustive(mitr.load_dict(d), 8, seed=0,
+                                       laser_chunk=4, return_stats=True)
+    np.testing.assert_allclose(t1, t2, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-7)
+
+
+def test_exhaustive_fov_scan_targets():
+    """force_equal_illumination_scanning=False derives the laser grid from
+    a widened-FOV ray scan out of the emitter (transientnlospath.py
+    :352-381) instead of the wall pixel grid."""
+    d = nlos_scene(sx=2, sy=2)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["integrator"]["force_equal_illumination_scanning"] = False
+    d["integrator"]["illumination_scan_fov"] = 30.0
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    scene = mitr.load_dict(d)
+    assert scene.integrator.illumination_scan_fov == 30.0
+    s, t = mitr.render(scene, spp=8, seed=0)
+    t = np.asarray(t)
+    assert t.shape == (2, 2, 2, 2, 300, 3)
+    assert np.all(np.isfinite(t)) and t.sum() > 0
+    # a different scan FOV illuminates different points -> different signal
+    d["integrator"]["illumination_scan_fov"] = 60.0
+    _s2, t2 = mitr.render(mitr.load_dict(d), spp=8, seed=0)
+    assert not np.allclose(t, np.asarray(t2))

@@ -173,3 +173,24 @@ def test_sharded_exhaustive_matches_local():
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_loc),
                                rtol=1e-5, atol=1e-7)
     assert float(np.asarray(t_sh).sum()) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_gaussian_rfilter_matches_local():
+    """render_sharded must honor the film's gaussian spatial rfilter
+    (round-3 advisor finding: it silently used the box splat).  On a
+    1-device mesh the stream layout coincides with the local driver's, so
+    the images must match exactly."""
+    d = small_cbox()
+    d["sensor"]["film"]["rfilter"] = {"type": "gaussian", "stddev": 0.8}
+    scene = mitr.load_dict(d)
+    s_loc, t_loc = mitr.render(scene, spp=8, seed=0)
+    s_sh, t_sh = render_sharded(scene, make_mesh(1), spp=8, seed=0)
+    assert np.allclose(np.asarray(s_sh), np.asarray(s_loc),
+                       rtol=1e-5, atol=1e-7)
+    assert np.allclose(np.asarray(t_sh), np.asarray(t_loc),
+                       rtol=1e-5, atol=1e-7)
+    # multi-device: statistical agreement
+    s4, _t4 = render_sharded(scene, make_mesh(4), spp=64, seed=0)
+    m4, ml = float(np.mean(np.asarray(s4))), float(np.mean(np.asarray(s_loc)))
+    assert abs(m4 - ml) / max(ml, 1e-9) < 0.2

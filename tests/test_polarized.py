@@ -183,3 +183,43 @@ def test_polarized_exhaustive_capture(mono_pol):
     assert agg[0] >= abs(agg[1]) and agg[0] >= abs(agg[2])
     # different laser points illuminate differently
     assert not np.allclose(t[:, :, 0, 0], t[:, :, 1, 1])
+
+
+def test_polarized_backward_routes_to_fullad_and_matches_fd(mono_pol):
+    """render_backward on a polarized transient_path scene must
+    differentiate the POLARIZED estimator (it now routes through full-loop
+    AD; the PRB replay is unpolarized-RGB and was silently used before)."""
+    d = pol_cbox(w=8, h=8, bins=100, max_depth=3)
+    d["sensor"]["film"]["start_opl"] = 0.0
+    d["sensor"]["film"]["bin_width_opl"] = 0.1
+    d["integrator"]["rr_depth"] = 99
+    scene = mitr.load_dict(d)
+    fc = scene.sensors[0].film
+    gt = np.zeros((fc.height, fc.width, fc.temporal_bins, 4), np.float32)
+    gt[..., 0] = 1.0  # S0-weighted loss
+    grads = mitr.render_backward(scene, (None, gt), spp=16, seed=0)
+    key = "white.reflectance.value"
+    g = np.asarray(grads[key])
+    assert np.all(np.isfinite(g)) and np.any(g != 0.0)
+
+    params = mitr.traverse(scene)
+    base = np.asarray(params[key])
+    eps = 1e-3
+    v = np.ones_like(base)
+
+    def loss():
+        _s, t = mitr.render(scene, spp=16, seed=0)
+        return float(np.asarray(t, np.float64)[..., 0].sum())
+
+    params[key] = base + eps * v
+    params.update()
+    lp = loss()
+    params[key] = base - eps * v
+    params.update()
+    lm = loss()
+    params[key] = base
+    params.update()
+    fd = (lp - lm) / (2 * eps)
+    an = float(np.sum(g * v))
+    assert fd != 0.0
+    assert abs(an - fd) / max(abs(fd), 1e-9) < 0.05, (an, fd)
