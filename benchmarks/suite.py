@@ -193,6 +193,23 @@ def make_nlos_single():
     return _nlos(False)
 
 
+def make_nlos_polarized():
+    # polarized NLOS (transient_nlos_polarization.ipynb pattern: gold GGX
+    # hidden target, mono_polarized), 32x32 scan
+    import tests.test_nlos as fx
+    import mitransient_tpu as mitr
+
+    old = mitr.variant().name
+    mitr.set_variant("mono_polarized")
+    d = fx.nlos_scene(sx=32, sy=32)
+    d["hidden-target"]["bsdf"] = {
+        "type": "roughconductor", "material": "Au", "alpha": 0.1}
+    scene = mitr.load_dict(d)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([16.0, 16.0], scene)
+    mitr.set_variant(old)
+    return scene
+
+
 def make_nlos_confocal():
     return _nlos(True)
 
@@ -214,31 +231,30 @@ ALL = {
     "volumetric": (make_volumetric, 64),
     "polarized_cbox": (make_polarized_cbox, 64),
     "nlos_single": (make_nlos_single, 2048),
+    "nlos_polarized": (make_nlos_polarized, 1024),
     "nlos_confocal": (make_nlos_confocal, 512),
     "staircase": (make_staircase, 8),
 }
 
 
-def bench_confocal_scan(spp=512, points=16, reps=1):
-    """The real confocal workload: a loop of focused per-scan-point renders
-    (the 1x1-film single render is a degenerate 512-lane wavefront).  Scans
-    ``points`` of the 32x32 virtual grid; laser focus changes only array
-    VALUES, so every point reuses one compiled pass."""
+def bench_confocal_scan(spp=2048, reps=2):
+    """The real confocal workload: the FULL 32x32 virtual-grid scan.
+
+    Uses the batched scan (`mitr.nlos.scan_confocal`) — every scan point
+    rendered in one wavefront with per-lane focused-laser constants.  The
+    reference-style per-point focus+render loop pays ~0.4 s of NLOS
+    prepare host round trips PER POINT through the axon tunnel (measured
+    round 4: 16 points in 7.1 s), which measures the tunnel, not the
+    renderer."""
     import mitransient_tpu as mitr
 
     scene = make_nlos_confocal()
-    pts = [(x + 0.5, y + 0.5) for y in range(4) for x in range(4)][:points]
 
     def sweep(seed):
-        rays = 0.0
-        for px, py in pts:
-            mitr.nlos.focus_emitter_at_relay_wall_pixel([px * 8, py * 8],
-                                                        scene)
-            s, t, st = mitr.render(scene, spp=spp, seed=seed,
-                                   return_stats=True)
-            rays += float(st["rays"])
+        s, t, st = mitr.nlos.scan_confocal(scene, spp=spp, seed=seed,
+                                           return_stats=True)
         _sync(s, t)
-        return rays
+        return float(st["rays"])
 
     sweep(0)  # warm/compile
     best = None
@@ -249,7 +265,7 @@ def bench_confocal_scan(spp=512, points=16, reps=1):
         if best is None or dt < best:
             best, best_rays = dt, rays
     _report("nlos_confocal_scan", best_rays / best, best, best_rays, spp,
-            scan_points=len(pts))
+            scan_points=32 * 32)
 
 
 def main():

@@ -59,7 +59,14 @@ from .core.spectrum import (  # noqa: F401
     set_variant,
     variant,
 )
-from .render import render, render_aovs, render_backward, render_forward  # noqa: F401
+from .render import (  # noqa: F401
+    load_film_state,
+    render,
+    render_aovs,
+    render_backward,
+    render_forward,
+    save_film_state,
+)
 from .scene.schema import Scene, load_dict, traverse  # noqa: F401
 from .scene.xml_loader import load_file  # noqa: F401
 from .utils import cornell_box, speed_of_light  # noqa: F401

@@ -26,6 +26,7 @@ HG 3, BSDF 3, RR 1 -> 10 dims at ``base + it * 10``.
 """
 from __future__ import annotations
 
+from functools import partial as _partial
 from typing import NamedTuple
 
 import jax
@@ -368,13 +369,13 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     wo1 = si.frame.to_local(d1)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
     if polarized:
-        from ..bsdf.polarized import polarization_factor
+        from ..bsdf.polarized import polarization_factor_soa
 
         m_h = si.wi + wo1
         m_h = m_h / jnp.maximum(
             jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
         cos_i1 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-        P1 = polarization_factor(lb, -d1, -wi_world, cos_i1)
+        P1 = polarization_factor_soa(lb, -d1, -wi_world, cos_i1)
 
     active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
     cos_wl = dot(jnp.broadcast_to(ctx.wall_ng, si.p.shape), -d1)
@@ -393,7 +394,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     if sctx is not None:
         lb2 = sctx.uplift_lb(lb2)
     if polarized:
-        M1 = P1 * f1[:, None, None, :]
+        M1 = tuple(e * f1 for e in P1)
     else:
         beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
@@ -420,24 +421,23 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         em_val = sctx.emission(em_val)
 
     if polarized:
-        from ..bsdf.polarized import polarization_factor_col0
-        from ..core.mueller import mueller_matvec
+        from ..bsdf.polarized import polarization_factor_col0_soa
+        from ..core.mueller import msoa_matvec
 
-        C = f2.shape[-1]
         m_h2 = wi2 + wo2
         m_h2 = m_h2 / jnp.maximum(
             jnp.linalg.norm(m_h2, axis=-1, keepdims=True), 1e-12)
         cos_i2 = jnp.abs(jnp.sum(wi2 * m_h2, axis=-1))
         # emission is unpolarized: only column 0 of the full chain is
         # needed -> two matvecs (M1 @ (P2 f2)[:,0], then beta @ .) instead
-        # of two full 4x4 Mueller products
-        P2c = polarization_factor_col0(
+        # of two full 4x4 Mueller products (all SoA: see core/mueller.py)
+        P2c = polarization_factor_col0_soa(
             lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)), -d1, cos_i2)
-        t_col = mueller_matvec(M1, P2c * f2[:, None, :])
-        col = mueller_matvec(beta, t_col)
+        t_col = msoa_matvec(M1, tuple(e * f2 for e in P2c))
+        col = msoa_matvec(beta, t_col)
         Lr = jnp.where(
             active_e[:, None],
-            (col * em_val[:, None, :]).reshape(n, 4 * C),
+            jnp.concatenate([c * em_val for c in col], axis=-1),
             0.0,
         )
     else:
@@ -688,21 +688,19 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         active_e = active_e & (it_depth > 2)
 
     if polarized:
-        from ..bsdf.polarized import polarization_factor_col0
-        from ..core.mueller import mueller_matvec
+        from ..bsdf.polarized import polarization_factor_col0_soa
+        from ..core.mueller import msoa_matvec
 
-        n_l = si.t.shape[0]
-        C = f2.shape[-1]
         m_h = si.wi + wo2
         m_h = m_h / jnp.maximum(
             jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
         cos_i2 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-        # emission is unpolarized: column 0 only -> one matvec
-        P2c = polarization_factor_col0(lb, -d2, -wi_world, cos_i2)
-        col = mueller_matvec(beta, P2c * f2[:, None, :])
+        # emission is unpolarized: column 0 only -> one matvec (SoA)
+        P2c = polarization_factor_col0_soa(lb, -d2, -wi_world, cos_i2)
+        col = msoa_matvec(beta, tuple(e * f2 for e in P2c))
         Lr = jnp.where(
             active_e[:, None],
-            (col * em_val[:, None, :]).reshape(n_l, 4 * C),
+            jnp.concatenate([c * em_val for c in col], axis=-1),
             0.0,
         )
     else:
@@ -759,12 +757,12 @@ def sample_nlos_primal(
     laser_on = icfg.nlos_laser_sampling
 
     if polarized:
-        from ..bsdf.polarized import sensor_alignment_mueller
+        from ..bsdf.polarized import sensor_alignment_soa
 
         vert = sensor_up if sensor_up is not None else jnp.array(
             [0.0, 1.0, 0.0])
-        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
-        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        # SoA Mueller throughput (tuple of 16 (N, C) arrays)
+        beta0 = sensor_alignment_soa(ray.d, vert, C)
         L0 = jnp.zeros((n, 4 * C), jnp.float32)
     else:
         beta0 = jnp.ones((n, C), jnp.float32)
@@ -820,11 +818,12 @@ def sample_nlos_primal(
             if sctx is not None:
                 Le_raw = sctx.emission(Le_raw)
             if polarized:
-                b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+                w_le = mis[:, None] * Le_raw
                 Le = jnp.where(
                     hit[:, None],
-                    (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
-                        n, 4 * C),
+                    jnp.concatenate(
+                        [st["beta"][4 * i] * w_le for i in range(4)],
+                        axis=-1),
                     0.0,
                 )
             else:
@@ -913,7 +912,8 @@ def sample_nlos_primal(
 
         L = st["L"] + Lr_dir if skip_le else st["L"] + Le + Lr_dir
         if polarized:
-            from ..bsdf.polarized import polarization_factor
+            from ..bsdf.polarized import polarization_factor_soa
+            from ..core.mueller import msoa_product, msoa_where
 
             m_h = si.wi + wo
             m_h = m_h / jnp.maximum(
@@ -921,13 +921,10 @@ def sample_nlos_primal(
             cos_i_s = jnp.where(
                 delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
-            P_s = polarization_factor(lb, -d_world, -st["d"], cos_i_s)
-            M_w = P_s * (weight / pdf_method[:, None])[:, None, None, :]
-            beta = jnp.where(
-                active_next[:, None, None, None],
-                mueller_product(st["beta"], M_w),
-                st["beta"],
-            )
+            P_s = polarization_factor_soa(lb, -d_world, -st["d"], cos_i_s)
+            M_w = tuple(e * (weight / pdf_method[:, None]) for e in P_s)
+            beta = msoa_where(active_next[:, None],
+                              msoa_product(st["beta"], M_w), st["beta"])
         else:
             beta = jnp.where(
                 active_next[:, None],
@@ -940,8 +937,7 @@ def sample_nlos_primal(
         # stop_gradient keeps full-loop AD from differentiating the
         # acceptance probability
         if polarized:
-            beta_max = jax.lax.stop_gradient(jnp.max(beta[:, 0, 0, :],
-                                                     axis=-1))
+            beta_max = jax.lax.stop_gradient(jnp.max(beta[0], axis=-1))
         else:
             beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
         active_next = active_next & (beta_max != 0.0)
@@ -952,7 +948,7 @@ def sample_nlos_primal(
                              1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
         rr_scale = jax.lax.stop_gradient(rr_scale)
         if polarized:
-            beta = beta * rr_scale[:, None, None, None]
+            beta = tuple(e * rr_scale[:, None] for e in beta)
         else:
             beta = beta * rr_scale[:, None]
         rr_continue = rnd1(9) < rr_prob
@@ -976,6 +972,259 @@ def sample_nlos_primal(
     final = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)
     L_out = _sctx_film(sctx, final["L"], polarized) if sctx is not None else final["L"]
     return final["film"], L_out, final["depth"] > 0, final["n_rays"]
+
+
+def _laser_nee_lanes(sd, lasers: ExhaustiveLaser, icfg, si, lb, beta,
+                     distance, eta, it_depth, active_e,
+                     account_last: bool):
+    """Per-LANE two-segment laser NEE: every lane carries its own focused
+    laser constants (rows of ``lasers`` pre-gathered by scan point) — the
+    batched-confocal form of ``_laser_nee``.  Unpolarized."""
+    from ..core.frame import Frame
+
+    n = si.t.shape[0]
+    lt = lasers.laser_target  # (N, 3)
+    d1v = lt - si.p
+    dist1 = jnp.sqrt(jnp.maximum(jnp.sum(d1v * d1v, axis=-1), 1e-20))
+    d1 = d1v / dist1[:, None]
+    occ1 = ray_test(sd, si.p + d1 * 1e-4, d1, dist1 - 2e-4, active_e)
+    active_e = active_e & ~occ1 & lasers.wall_clear
+    wo1 = si.frame.to_local(d1)
+    f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
+    active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
+    cos_wl = dot(lasers.wall_ng, -d1)
+    active_e = active_e & (cos_wl > 0.0)
+    pdf_ls = dist1 * dist1 / jnp.maximum(cos_wl, 1e-9)
+    f1 = jnp.where(active_e[:, None],
+                   f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
+    beta2 = beta * f1
+    dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
+
+    wframe = Frame.from_normal(lasers.wall_n_sh)  # fields (N, 3)
+    wi2 = jnp.stack([dot(-d1, wframe.s), dot(-d1, wframe.t),
+                     dot(-d1, wframe.n)], axis=-1)
+    wo2 = jnp.stack([dot(lasers.wall_d2, wframe.s),
+                     dot(lasers.wall_d2, wframe.t),
+                     dot(lasers.wall_d2, wframe.n)], axis=-1)
+
+    it2 = it_depth + 2
+    if icfg.filter_depth != -1:
+        active_e = active_e & (it2 == icfg.filter_depth)
+    if icfg.discard_direct_paths:
+        active_e = active_e & (it2 > 2)
+
+    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, lasers.wall_bsdf_id,
+                                    lasers.wall_uv)
+    f2, _ = bsdf_api.eval_pdf(lb2, wi2, wo2, active_e)
+    Lr = jnp.where(active_e[:, None], beta2 * f2 * lasers.wall_em, 0.0)
+    splat_dist = dist_after1 + (
+        lasers.wall_dist2 * eta if account_last else 0.0)
+    return Lr, splat_dist
+
+
+@_partial(jax.jit,
+          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_"),
+          donate_argnames=("film",))
+def _nlos_confocal_pass(sd, ctx_, lanes_, film, seed_, pass_idx, inv_total,
+                        *, film_cfg_, icfg_, spp_, hw_):
+    """One spp-pass of the batched confocal scan: every scan point's
+    focused capture in one wavefront.  ``lanes_`` holds PER-SCAN-POINT
+    laser constants (ExhaustiveLaser rows, one per scan pixel); each lane
+    uses the row of its pixel.  Path layout / RNG / splat semantics match
+    the per-point loop exactly except the sample stream (one stream for
+    the whole scan instead of one per point)."""
+    n = spp_ * hw_
+    sampler = Sampler(seed_, n, stream=pass_idx)
+    key = sampler.key
+    # per-lane laser rows: lanes are spp-major (lane = s*hw + p), so the
+    # "gather by pixel" is a TILE of the (hw, ...) tables — no actual
+    # gather op (XLA TPU gathers of 2M rows cost ~0.2 s/pass)
+    lanes = jax.tree_util.tree_map(
+        lambda a: jnp.tile(a, (spp_,) + (1,) * (a.ndim - 1)), lanes_)
+    # confocal sensor rays: aim at each lane's own focused point
+    o = jnp.broadcast_to(ctx_.sensor_origin, (n, 3))
+    d = normalize(lanes.laser_target - o)
+    ray = Ray.make(o, d)
+    ray_weight = jnp.ones((n,), jnp.float32)
+    C = sd.bsdf.reflectance.shape[-1]
+    splat_w = ray_weight * inv_total
+    hg_on = icfg_.nlos_hidden_geometry_sampling
+    hg_rr = icfg_.nlos_hidden_geometry_sampling_do_rroulette
+    account = icfg_.account_first_and_last_bounces
+
+    state = dict(
+        o=ray.o, d=ray.d,
+        beta=jnp.ones((n, C), jnp.float32),
+        L=jnp.zeros((n, C), jnp.float32),
+        eta=jnp.ones((n,), jnp.float32),
+        distance=jnp.zeros((n,), jnp.float32),
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        film=film,
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(it, st):
+        from ..core.rng import draw_bounce_block
+
+        ub = draw_bounce_block(key, it, n, NLOS_DIMS_PER_BOUNCE)
+
+        def rnd1(k):
+            return ub[:, k]
+
+        def rnd2(k):
+            return ub[:, k : k + 2]
+
+        active = st["active"]
+        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
+        hit = active & si.valid
+        seg_ok = hit & (jnp.bool_(account) | (it > 0))
+        distance = st["distance"] + jnp.where(seg_ok, si.t, 0.0) * st["eta"]
+        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+        active_next = active & (it + 1 < icfg_.max_depth) & si.valid
+        active_em = active_next & bsdf_api.is_smooth(lb)
+
+        Lr_dir, nee_dist = _laser_nee_lanes(
+            sd, lanes, icfg_, si, lb, st["beta"], distance, st["eta"],
+            it, active_em, account_last=account)
+        film_st = splat_transient_pair(
+            st["film"], film_cfg_, spp_,
+            nee_dist, Lr_dir * splat_w[:, None], None, None, active,
+            icfg_.temporal_filter, icfg_.gaussian_stddev)
+        L = st["L"] + Lr_dir
+
+        if hg_on and hg_rr:
+            do_hg = rnd1(2) < 0.5
+            pdf_method = jnp.where(do_hg, 0.5, 0.5)
+        elif hg_on:
+            do_hg = jnp.ones((n,), bool)
+            pdf_method = jnp.ones((n,))
+        else:
+            do_hg = jnp.zeros((n,), bool)
+            pdf_method = jnp.ones((n,))
+
+        p_hg, n_hg, pdf_a = _sample_hidden_point(sd, ctx_, rnd1(4), rnd1(5))
+        dvh = p_hg - si.p
+        dist_h = jnp.sqrt(jnp.maximum(jnp.sum(dvh * dvh, axis=-1), 1e-20))
+        dh = dvh / dist_h[:, None]
+        cos_i = dot(si.n, dh)
+        cos_g = dot(n_hg, -dh)
+        hg_ok = active_next & do_hg & (cos_i > 1e-7) & (cos_g > 1e-7)
+        wo_hg = si.frame.to_local(dh)
+        f_hg, _ = bsdf_api.eval_pdf(lb, si.wi, wo_hg, hg_ok)
+        pdf_hg = pdf_a * dist_h * dist_h / jnp.maximum(jnp.abs(cos_g), 1e-9)
+        hg_ok = hg_ok & (pdf_hg > 1e-9)
+        rcp_hg = jnp.where(hg_ok, 1.0 / jnp.maximum(pdf_hg, 1e-9), 0.0)
+        w_hg = f_hg * rcp_hg[:, None]
+        bs = bsdf_api.sample(lb, si.wi, rnd1(6), rnd2(7),
+                             active_next & ~do_hg)
+        wo = jnp.where(do_hg[:, None], wo_hg, bs.wo)
+        weight = jnp.where(do_hg[:, None], w_hg, bs.weight)
+        eta_s = jnp.where(do_hg, 1.0, bs.eta)
+        d_world = si.frame.to_world(wo)
+        new_ray = si.spawn_ray(d_world)
+        beta = jnp.where(active_next[:, None],
+                         st["beta"] * weight / pdf_method[:, None],
+                         st["beta"])
+        eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
+        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
+        active_next = active_next & (beta_max != 0.0)
+        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+        active_next = active_next & (rr_prob > 0.0)
+        rr_active = it >= icfg_.rr_depth
+        rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
+                             1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
+        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
+        rr_continue = rnd1(9) < rr_prob
+        active_next = active_next & (~rr_active | rr_continue)
+        return dict(
+            o=new_ray.o, d=d_world, beta=beta, L=L, eta=eta,
+            distance=distance, active=active_next,
+            depth=st["depth"] + jnp.where(hit, 1, 0),
+            film=film_st,
+            n_rays=st["n_rays"] + jnp.sum(active.astype(jnp.float32)) * 2.0,
+        )
+
+    final = jax.lax.fori_loop(0, icfg_.max_depth, bounce, state)
+    film = splat_steady(final["film"], spp_, final["L"],
+                        jnp.ones((n,), jnp.float32))
+    return film, final["n_rays"]
+
+
+def render_nlos_confocal_scan(scene: Scene, spp=None, seed=0, sensor=0,
+                              max_lanes=1 << 21, progress_callback=None,
+                              return_stats: bool = False):
+    """Whole-grid confocal capture in batched wavefronts.
+
+    The reference's confocal workflow loops
+    ``focus_emitter_at_relay_wall_pixel`` + render over every scan point
+    (1-simple-nlos-scenes.ipynb confocal cell); per point that pays the
+    NLOS prepare's host<->device round trips (~0.4 s each through the
+    axon tunnel).  Here ALL scan points render simultaneously: one
+    batched prepare (two device calls for every point's laser constants)
+    and one wavefront whose lanes each carry their own focused-laser
+    constants.  Estimator per point identical to the per-point loop
+    (laser-sampled 2-segment NEE from a delta laser; Le is identically
+    zero).
+
+    Returns (steady (ph, pw, C), transient (ph, pw, T, C)) over the
+    virtual scan grid (``original_film_width/height``)."""
+    cfg = scene.sensors[sensor]
+    icfg = scene.integrator
+    film_cfg = cfg.film
+    if not cfg.is_confocal:
+        raise ValueError("render_nlos_confocal_scan needs an "
+                         "nlos_capture_meter with original_film_width/"
+                         "height (confocal mode)")
+    if not icfg.nlos_laser_sampling:
+        raise ValueError("the batched confocal scan requires "
+                         "nlos_laser_sampling=True")
+    if scene.variant.polarized or scene.variant.spectral:
+        raise NotImplementedError(
+            "batched confocal scan supports rgb/mono variants; loop "
+            "focus_emitter_at_relay_wall_pixel + render for "
+            "polarized/spectral")
+    pw, ph = cfg.scan_size
+    hw = pw * ph
+    spp = spp if spp is not None else cfg.spp
+
+    # per-point focused-laser constants (batched prepare)
+    wall_shape = scene.shapes[cfg.shape_index]
+    px, py = np.meshgrid(np.arange(pw), np.arange(ph))
+    uv = np.stack([(px.ravel() + 0.5) / pw, (py.ravel() + 0.5) / ph], -1)
+    targets = wall_shape.position_from_uv(uv).astype(np.float32)
+    lanes = prepare_exhaustive_lasers(scene, targets)
+
+    # base context for hidden-geometry tables + sensor origin
+    from ..nlos import focus_emitter_at_relay_wall_3dpoint
+
+    if not scene.laser_focused:
+        focus_emitter_at_relay_wall_3dpoint(targets[hw // 2], scene)
+    ctx = prepare_nlos_cached(scene, cfg, sensor)
+
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    total_spp = spp_chunk * n_passes
+
+    C = scene.variant.color_channels
+    film = film_init(film_cfg, C, scan_pixels=hw)
+    from ..scene.scene import primal_sd
+
+    total_rays = 0.0
+    for p in range(n_passes):
+        film, n_rays = _nlos_confocal_pass(
+            primal_sd(scene.data), ctx, lanes, film, jnp.uint32(seed),
+            jnp.uint32(p), jnp.float32(1.0 / total_spp),
+            film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw)
+        total_rays = total_rays + n_rays
+        if progress_callback is not None:
+            progress_callback((p + 1) / n_passes)
+    steady, transient = develop(film, film_cfg, shape_hw=(ph, pw))
+    if return_stats:
+        return steady, transient, {"rays": float(total_rays),
+                                   "spp": total_spp}
+    return steady, transient
 
 
 def sample_nlos_exhaustive_primal(

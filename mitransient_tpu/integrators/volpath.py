@@ -307,12 +307,12 @@ def sample_volpath_primal(
         C = _sp.N_WL
 
     if polarized:
-        from ..bsdf.polarized import sensor_alignment_mueller
+        from ..bsdf.polarized import sensor_alignment_soa
 
         vert = cam_vertical if cam_vertical is not None else jnp.array(
             [0.0, 1.0, 0.0])
-        beta0 = sensor_alignment_mueller(ray.d, vert)[..., None]
-        beta0 = jnp.broadcast_to(beta0, (n, 4, 4, C)).astype(jnp.float32)
+        # SoA Mueller throughput (tuple of 16 (N, C) arrays)
+        beta0 = sensor_alignment_soa(ray.d, vert, C)
         L0 = jnp.zeros((n, 4 * C), jnp.float32)
     else:
         beta0 = jnp.ones((n, C), jnp.float32)
@@ -401,9 +401,11 @@ def sample_volpath_primal(
                 medium_scatter, r_scatter,
                 jnp.where(in_medium & hit, decay, 1.0))
             st = dict(st)
-            st["beta"] = st["beta"] * (
-                ff_ratio[:, None, None, None] if polarized
-                else ff_ratio[:, None])
+            if polarized:
+                st["beta"] = tuple(e * ff_ratio[:, None]
+                                   for e in st["beta"])
+            else:
+                st["beta"] = st["beta"] * ff_ratio[:, None]
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         if sctx is not None:
@@ -414,11 +416,16 @@ def sample_volpath_primal(
         # at real medium scatters (sigma_s / sigma_t).  Polarized: the HG
         # scatter also depolarizes (beta @ depolarizer keeps column 0 only).
         if polarized:
-            b_dep = jnp.zeros_like(st["beta"])
-            b_dep = b_dep.at[:, :, 0, :].set(
-                st["beta"][:, :, 0, :] * med_albedo[:, None, :])
-            beta = jnp.where(medium_scatter[:, None, None, None], b_dep,
-                             st["beta"])
+            # HG scatter depolarizes: keep only column 0 (entries 4i),
+            # scaled by the albedo
+            ms = medium_scatter[:, None]
+            beta = tuple(
+                jnp.where(
+                    ms,
+                    (st["beta"][(k // 4) * 4] * med_albedo
+                     if k % 4 == 0 else 0.0),
+                    st["beta"][k])
+                for k in range(16))
         else:
             beta = jnp.where(medium_scatter[:, None], st["beta"] * med_albedo,
                              st["beta"])
@@ -433,12 +440,12 @@ def sample_volpath_primal(
         le_mask = hit & ~medium_scatter & ~jnp.bool_(icfg.discard_direct_light)
         if polarized:
             # emission is unpolarized: Stokes = E * mis * column 0 of the
-            # Mueller throughput (sample_primal's polarized Le)
-            b_col = st["beta"][:, :, 0, :]  # (N, 4, C)
+            # Mueller throughput (SoA entries 4i)
+            w_le = mis[:, None] * Le_raw
             Le = jnp.where(
                 le_mask[:, None],
-                (b_col * (mis[:, None] * Le_raw)[:, None, :]).reshape(
-                    n, 4 * C),
+                jnp.concatenate(
+                    [st["beta"][4 * i] * w_le for i in range(4)], axis=-1),
                 0.0,
             )
         else:
@@ -472,8 +479,8 @@ def sample_volpath_primal(
         pdf_for_mis = jnp.where(medium_scatter, pdf_phase, pdf_srf)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_for_mis))
         if polarized:
-            from ..bsdf.polarized import polarization_factor_col0
-            from ..core.mueller import mueller_matvec
+            from ..bsdf.polarized import polarization_factor_col0_soa
+            from ..core.mueller import msoa_matvec
 
             # surface lanes: column 0 of the polarized BSDF factor (NEE
             # sources are unpolarized -> one matvec); medium lanes: the
@@ -483,14 +490,16 @@ def sample_volpath_primal(
             m_h = m_h / jnp.maximum(
                 jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-            P0 = polarization_factor_col0(lb, -ds.d, -st["d"], cos_i_em)
-            A_srf = mueller_matvec(beta, P0 * f_srf[:, None, :])
-            A_med = beta[:, :, 0, :] * f_phase[:, None, :]
-            A = jnp.where(medium_scatter[:, None, None], A_med, A_srf)
+            P0 = polarization_factor_col0_soa(lb, -ds.d, -st["d"], cos_i_em)
+            A_srf = msoa_matvec(beta, tuple(e * f_srf for e in P0))
+            ms = medium_scatter[:, None]
+            A = tuple(
+                jnp.where(ms, beta[4 * i] * f_phase, A_srf[i])
+                for i in range(4))
+            w_em = mis_em[:, None] * em_weight * trans[:, None]
             Lr_dir = jnp.where(
                 active_em[:, None],
-                (A * (mis_em[:, None] * em_weight
-                      * trans[:, None])[:, None, :]).reshape(n, 4 * C),
+                jnp.concatenate([a * w_em for a in A], axis=-1),
                 0.0,
             )
         else:
@@ -538,7 +547,8 @@ def sample_volpath_primal(
         delta_step = jnp.where(medium_scatter, False, bs.delta)
         eta_step = jnp.where(medium_scatter, 1.0, bs.eta)
         if polarized:
-            from ..bsdf.polarized import polarization_factor
+            from ..bsdf.polarized import polarization_factor_soa
+            from ..core.mueller import msoa_product, msoa_where
 
             m_hs = si.wi + bs.wo
             m_hs = m_hs / jnp.maximum(
@@ -547,14 +557,13 @@ def sample_volpath_primal(
                 bs.delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_hs, axis=-1)))
             transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
-            P_s = polarization_factor(lb, -d_srf, -st["d"], cos_i_s,
-                                      transmitted=transmitted)
-            M_w = P_s * bs.weight[:, None, None, :]
-            beta_srf = mueller_product(beta, M_w)
+            P_s = polarization_factor_soa(lb, -d_srf, -st["d"], cos_i_s,
+                                          transmitted=transmitted)
+            M_w = tuple(e * bs.weight for e in P_s)
+            beta_srf = msoa_product(beta, M_w)
             # medium lanes already depolarized+albedo'd above; HG importance
             # sampling has unit weight -> throughput unchanged
-            M_step = jnp.where(medium_scatter[:, None, None, None],
-                               beta, beta_srf)
+            M_step = msoa_where(medium_scatter[:, None], beta, beta_srf)
 
         # medium switch at null boundaries
         new_med = jnp.where(
@@ -565,9 +574,10 @@ def sample_volpath_primal(
 
         L = st["L"] + Le + Lr_dir
         if polarized:
-            beta = jnp.where(active_next[:, None, None, None], M_step, beta)
-            beta_max = jax.lax.stop_gradient(
-                jnp.max(beta[:, 0, 0, :], axis=-1))
+            from ..core.mueller import msoa_where as _mw
+
+            beta = _mw(active_next[:, None], M_step, beta)
+            beta_max = jax.lax.stop_gradient(jnp.max(beta[0], axis=-1))
         else:
             beta = jnp.where(active_next[:, None], beta * w_step, beta)
             beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
@@ -580,10 +590,11 @@ def sample_volpath_primal(
         rr_active = it >= icfg.rr_depth
         rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
                              1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
-        rr_bcast = (jax.lax.stop_gradient(rr_scale)[:, None, None, None]
-                    if polarized
-                    else jax.lax.stop_gradient(rr_scale)[:, None])
-        beta = beta * rr_bcast
+        rr_b = jax.lax.stop_gradient(rr_scale)[:, None]
+        if polarized:
+            beta = tuple(e * rr_b for e in beta)
+        else:
+            beta = beta * rr_b
         rr_continue = rnd1(7) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 

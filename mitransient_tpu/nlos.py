@@ -58,3 +58,20 @@ def _find_relay_wall(scene: Scene, relay_wall):
                 raise TypeError("relay wall must be a rectangle")
             return shape
     raise ValueError("no relay wall (rectangle with nlos_capture_meter) found")
+
+
+def scan_confocal(scene: Scene, spp=None, seed: int = 0, sensor: int = 0,
+                  return_stats: bool = False):
+    """Render a WHOLE confocal scan in batched wavefronts (all scan points
+    simultaneously, each lane carrying its own focused-laser constants).
+
+    Replaces the reference workflow of looping
+    ``focus_emitter_at_relay_wall_pixel`` + ``render`` over the grid
+    (1-simple-nlos-scenes.ipynb confocal cell), which pays the NLOS
+    prepare's host round trips per point.  Returns (steady (ph, pw, C),
+    transient (ph, pw, T, C)) over the virtual grid."""
+    from .integrators.nlos_path import render_nlos_confocal_scan
+
+    return render_nlos_confocal_scan(scene, spp=spp, seed=seed,
+                                     sensor=sensor,
+                                     return_stats=return_stats)

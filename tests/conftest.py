@@ -27,6 +27,15 @@ jax.config.update("jax_platforms", "cpu")
 # ~95% through `pytest tests/`).  Dropping the in-memory executable caches
 # between test modules bounds that accumulation; the on-disk compilation
 # cache keeps re-compiles cheap.
+#
+# Root-cause status (round 4): a minimal repro was attempted —
+# scripts/repro_xla_cpu_segfault.py holds 1200 distinct live
+# loop-containing XLA:CPU executables in one process and does NOT crash,
+# so "many live executables" alone is not the trigger; the crash needs
+# something additional this suite does (large donated buffers, Pallas
+# interpreter programs, or the AOT-cache loads with mismatched CPU
+# features logged by cpu_aot_loader).  The fixture stays until a genuine
+# repro isolates it.
 import pytest  # noqa: E402
 
 

@@ -36,3 +36,21 @@ def test_checked_in_docs_are_in_sync(tmp_path):
         assert os.path.exists(q), f"missing {rel}; re-run the generator"
         assert filecmp.cmp(p, q, shallow=False), (
             f"{rel} is stale; re-run docs/generate_plugin_docs.py")
+
+
+def test_user_guides_exist_and_link():
+    """The user-guide surface (docs/index.md + docs/guides/*) — the
+    tutorial counterpart of the reference's docs/src/tutorials."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "docs")
+    index = open(os.path.join(root, "index.md")).read()
+    links = re.findall(r"\]\(([^)#]+\.md)\)", index)
+    assert any("guides/" in l for l in links)
+    for link in links:
+        assert os.path.exists(os.path.join(root, link)), link
+    for g in ("getting_started", "transient_rendering", "nlos",
+              "polarization", "differentiable", "volumetric_spectral",
+              "distributed", "performance"):
+        assert os.path.exists(os.path.join(root, "guides", g + ".md")), g

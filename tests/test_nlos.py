@@ -359,3 +359,43 @@ def test_exhaustive_fov_scan_targets():
     d["integrator"]["illumination_scan_fov"] = 60.0
     _s2, t2 = mitr.render(mitr.load_dict(d), spp=8, seed=0)
     assert not np.allclose(t, np.asarray(t2))
+
+
+def test_confocal_batched_scan_matches_perpoint_loop():
+    """mitr.nlos.scan_confocal renders every scan point in one wavefront;
+    it must statistically match the reference workflow (per-point
+    focus + render loop) point by point."""
+    grid = 3
+    d = nlos_scene(sx=1, sy=1)
+    d["relay_wall"]["nlos_sensor"]["original_film_width"] = grid
+    d["relay_wall"]["nlos_sensor"]["original_film_height"] = grid
+    scene = mitr.load_dict(d)
+    spp = 256
+    s_b, t_b = mitr.nlos.scan_confocal(scene, spp=spp, seed=0)
+    t_b = np.asarray(t_b)
+    assert t_b.shape == (grid, grid, 300, 3)
+    assert np.all(np.isfinite(t_b)) and t_b.sum() > 0
+
+    scene2 = mitr.load_dict(d)
+    t_pp = np.zeros_like(t_b)
+    for yy in range(grid):
+        for xx in range(grid):
+            mitr.nlos.focus_emitter_at_relay_wall_pixel(
+                [xx + 0.5, yy + 0.5], scene2)
+            _s, t = mitr.render(scene2, spp=spp, seed=0)
+            t_pp[yy, xx] = np.asarray(t)[0, 0]
+    # different sample sets -> statistical agreement per point
+    pb = t_b.sum(axis=(2, 3)).ravel()
+    pp = t_pp.sum(axis=(2, 3)).ravel()
+    assert pp.sum() > 0
+    num = float((pb * pp).sum())
+    den = float(np.sqrt((pb ** 2).sum() * (pp ** 2).sum()))
+    assert den > 0 and num / den > 0.999, (pb, pp)
+    assert abs(pb.sum() - pp.sum()) / pp.sum() < 0.06
+    # arrival times must match exactly per point (geometry-determined)
+    for yy in range(grid):
+        for xx in range(grid):
+            a = t_b[yy, xx].sum(axis=-1).nonzero()[0]
+            b = t_pp[yy, xx].sum(axis=-1).nonzero()[0]
+            if len(a) and len(b):
+                assert abs(int(a[0]) - int(b[0])) <= 1
