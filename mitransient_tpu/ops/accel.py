@@ -58,9 +58,33 @@ class Accel(NamedTuple):
     sup_min: jnp.ndarray   # (ceil(C/8), 3) f32 super-chunk bounds
     sup_max: jnp.ndarray   # (ceil(C/8), 3) f32
     pages: jnp.ndarray     # (C, CHUNK_TRIS // 8, 128) f32 chunk pages:
-    #   each 128-lane row holds 8 triangles x 16 fields: v0 xyz, e1 xyz,
-    #   e2 xyz, original prim id (-1 pad), 6 spare.  Exactly-128 rows keep
-    #   DMA slices tile-aligned and all lane extracts static (Mosaic).
+    #   each 128-lane row holds 8 triangles x 16 fields in the Woop
+    #   unit-triangle-transform representation: rows a0 a1 a2 of
+    #   A = [e1 e2 n]^-1 (fields 0:9), original prim id (-1 pad, field 9),
+    #   c = A @ v0 (fields 10:13), 3 spare.  The Woop form costs ~33 VPU
+    #   ops per ray-triangle test vs ~57 for Moller-Trumbore (the cross
+    #   products move to the host-side build).  Exactly-128 rows keep DMA
+    #   slices tile-aligned and all lane extracts static (Mosaic).
+
+
+def woop_records(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Per-triangle Woop transforms (f64 build -> f32): A = [e1 e2 n]^-1,
+    c = A @ v0.  For a ray (o, d): s = A@o - c, r = A@d,
+    t = -s_z/r_z, u = s_x + t*r_x, v = s_y + t*r_y — t is the *world*
+    ray parameter (affine transforms preserve it).  Degenerate triangles
+    get A = 0 -> r_z = 0 -> never hit."""
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    n = np.cross(e1, e2)
+    m = np.stack([e1, e2, n], axis=-1)          # (M, 3, 3) columns e1 e2 n
+    det = np.linalg.det(m)
+    ok = np.abs(det) > 1e-18
+    m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
+    a = np.linalg.inv(m_safe)
+    a = np.where(ok[:, None, None], a, 0.0)     # (M, 3, 3) rows a0 a1 a2
+    c = np.einsum("mij,mj->mi", a, v0)
+    return a.astype(np.float32), c.astype(np.float32)
 
 
 def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
@@ -76,14 +100,14 @@ def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
     glob = native.build_bvh(v0, e1, e2, leaf_size=8)
     order = np.asarray(glob["prim_order"], np.int64)
     gv0, ge1, ge2 = v0[order], e1[order], e2[order]
+    ga, gc = woop_records(gv0, ge1, ge2)
 
     c = (m + CHUNK_TRIS - 1) // CHUNK_TRIS
     tri16 = np.zeros((c * CHUNK_TRIS, 16), np.float32)
     tri16[:, 9] = -1.0
-    tri16[:m, 0:3] = gv0
-    tri16[:m, 3:6] = ge1
-    tri16[:m, 6:9] = ge2
+    tri16[:m, 0:9] = ga.reshape(m, 9)
     tri16[:m, 9] = order.astype(np.float32)
+    tri16[:m, 10:13] = gc
     pages = tri16.reshape(c, CHUNK_TRIS // 8, 128)
     aabb_min = np.zeros((c, 3), np.float32)
     aabb_max = np.zeros((c, 3), np.float32)
@@ -144,19 +168,15 @@ def closest_hit_reference(accel: Accel, ray_o, ray_d, maxt):
                 break
             tris = pages[ci].reshape(CHUNK_TRIS, 16)
             for k in range(CHUNK_TRIS):
-                tv0 = tris[k, 0:3]
-                te1 = tris[k, 3:6]
-                te2 = tris[k, 6:9]
-                pvec = np.cross(d, te2)
-                det = float(te1 @ pvec)
-                if abs(det) < 1e-12:
+                a = tris[k, 0:9].astype(np.float64).reshape(3, 3)
+                cc = tris[k, 10:13].astype(np.float64)
+                rv = a @ d
+                if abs(rv[2]) < 1e-12:
                     continue
-                inv = 1.0 / det
-                tvec = o - tv0
-                u = float(tvec @ pvec) * inv
-                qvec = np.cross(tvec, te1)
-                v = float(d @ qvec) * inv
-                tt = float(te2 @ qvec) * inv
+                s = a @ o - cc
+                tt = -s[2] / rv[2]
+                u = s[0] + tt * rv[0]
+                v = s[1] + tt * rv[1]
                 if (u >= 0.0 and v >= 0.0 and u + v <= 1.0
                         and tt > 1e-4 and tt < best_t):
                     best_t = tt

@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .accel import Accel, CHUNK_TRIS, SUPER_CHUNKS
 
 LANES = 128
-SUBLANES = 8
+# 32-sublane ray tiles (4096 rays/program): the sweep's per-triangle scalar
+# extracts and row-loop overhead amortize over 4x more rays than (8,128)
+# tiles.  Measured on a 1M-ray one-chunk sweep (r4_sweep_micro): (8,128)
+# no-unroll 25.5 ms -> (32,128) fully-unrolled 9.1 ms; (64,128)/(128,128)
+# regress to 10.7 ms (VMEM pressure), so 32 is the knee.
+SUBLANES = 32
 TILE = LANES * SUBLANES
 RAY_EPS = 1e-4
 BIG = 3.0e38
@@ -47,7 +52,9 @@ TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
 # Measured on the staircase (262k tris, TPU v5e, round 3): K=1 0.64 Mrays/s,
 # K=2 0.35, K=4 0.32 — the K-sorted register bubble in the select kernel and
 # the K extra sort payloads cost more than the amortization saves, so the
-# round-2 default of 4 was a 2x regression.  Keep K=1.
+# round-2 default of 4 was a 2x regression.  Re-measured in round 4 at
+# (32,128) tiles + unrolled sweeps: K=1 2.18 Mrays/s incoherent, K=2 1.18
+# (coherent 10.3 -> 11.5) — still a 2x incoherent regression.  Keep K=1.
 SELECT_K = 1
 
 # Traversal mode: "chunk" = per-ray front-to-back CHUNK selection (one
@@ -83,26 +90,23 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < 1e-12, tiny, d)
 
 
-def _moller_update(tri9, prim, rox, roy, roz, rdx, rdy, rdz, mask,
-                   best_t, best_p):
-    (cv0x, cv0y, cv0z, ce1x, ce1y, ce1z, ce2x, ce2y, ce2z) = tri9
-    px = rdy * ce2z - rdz * ce2y
-    py = rdz * ce2x - rdx * ce2z
-    pz = rdx * ce2y - rdy * ce2x
-    det = ce1x * px + ce1y * py + ce1z * pz
-    det_ok = jnp.abs(det) > 1e-12
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    tvx = rox - cv0x
-    tvy = roy - cv0y
-    tvz = roz - cv0z
-    u = (tvx * px + tvy * py + tvz * pz) * inv_det
-    qx = tvy * ce1z - tvz * ce1y
-    qy = tvz * ce1x - tvx * ce1z
-    qz = tvx * ce1y - tvy * ce1x
-    v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-    tt = (ce2x * qx + ce2y * qy + ce2z * qz) * inv_det
+def _woop_update(tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask,
+                 best_t, best_p):
+    """One ray-tile vs one triangle in the Woop unit-triangle form
+    (accel.woop_records): ~33 VPU ops vs ~57 for Moller-Trumbore."""
+    (a0x, a0y, a0z, a1x, a1y, a1z, a2x, a2y, a2z, cx, cy, cz) = tri12
+    rz = a2x * rdx + a2y * rdy + a2z * rdz
+    rz_ok = jnp.abs(rz) > 1e-12
+    sz = a2x * rox + a2y * roy + a2z * roz - cz
+    tt = -sz / jnp.where(rz_ok, rz, 1.0)
+    rx = a0x * rdx + a0y * rdy + a0z * rdz
+    sx = a0x * rox + a0y * roy + a0z * roz - cx
+    u = sx + tt * rx
+    ry = a1x * rdx + a1y * rdy + a1z * rdz
+    sy = a1x * rox + a1y * roy + a1z * roz - cy
+    v = sy + tt * ry
     hit = (
-        mask & det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        mask & rz_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         & (tt > RAY_EPS) & (tt < best_t)
     )
     best_p = jnp.where(hit, prim, best_p)
@@ -116,6 +120,7 @@ def _sweep_kernel(
     *refs,                          # SELECT_K cid tiles, 7 ray tiles, outs,
                                     # scratch, sem
     n_chunks: int,
+    unroll: int,
 ):
     cids = [refs[j][...] for j in range(SELECT_K)]
     ox, oy, oz, dx, dy, dz, limit = refs[SELECT_K:SELECT_K + 7]
@@ -189,14 +194,20 @@ def _sweep_kernel(
             blk = page_scr[slot, pl.ds(g, 1), :]
             for kk in range(8):
                 base = 16 * kk
-                tri9 = tuple(blk[0, base + r] for r in range(9))
+                tri12 = tuple(blk[0, base + r] for r in range(9)) \
+                    + tuple(blk[0, base + 10 + r] for r in range(3))
                 prim = blk[0, base + 9].astype(jnp.int32)
-                bt, bp = _moller_update(
-                    tri9, prim, rox, roy, roz, rdx, rdy, rdz, mask, bt, bp
+                bt, bp = _woop_update(
+                    tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask, bt, bp
                 )
             return bt, bp
 
-        bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp))
+        # full unroll (Mosaic supports only 1 or num_steps): overlaps the
+        # scalar triangle-field extracts with the previous row's vector math.
+        # Interpret mode keeps unroll=1 — tracing 512 inlined tests per
+        # kernel makes the CPU test path minutes-slow.
+        bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp),
+                                   unroll=unroll)
         best_t_ref[...] = bt
         best_p_ref[...] = bp
         return nxt, 1 - slot
@@ -227,7 +238,8 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
     aabb_smem = jnp.concatenate(
         [accel.aabb_min.T, accel.aabb_max.T,
          jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
-    kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks)
+    kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks,
+                               unroll=1 if interpret else TRI_ROWS)
     best, prim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -256,6 +268,7 @@ def _sweep_super_kernel(
     page_scr,                       # (2, 8*TRI_ROWS, 128) VMEM scratch
     sem,                            # DMA sems (2,)
     n_supers: int,
+    unroll: int,
 ):
     """Sweep each ray tile against the 8 contiguous chunk pages of every
     distinct super-chunk id bound to the tile.  One DMA streams the whole
@@ -326,14 +339,16 @@ def _sweep_super_kernel(
                     blk = page_scr[slot, cc, pl.ds(g, 1), :]
                     for kk in range(8):
                         base = 16 * kk
-                        tri9 = tuple(blk[0, base + r] for r in range(9))
+                        tri12 = tuple(blk[0, base + r] for r in range(9)) \
+                            + tuple(blk[0, base + 10 + r] for r in range(3))
                         prim = blk[0, base + 9].astype(jnp.int32)
-                        bt, bp = _moller_update(
-                            tri9, prim, rox, roy, roz, rdx, rdy, rdz,
+                        bt, bp = _woop_update(
+                            tri12, prim, rox, roy, roz, rdx, rdy, rdz,
                             mask, bt, bp)
                     return bt, bp
 
-                bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp))
+                bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp),
+                                           unroll=unroll)
                 best_t_ref[...] = bt
                 best_p_ref[...] = bp
 
@@ -384,7 +399,8 @@ def _sweep_super_pass(pages, chk, n_supers, sid, ray_o, ray_d, best_t,
     )
     rows = tiles[0].shape[0]
     grid = (rows // SUBLANES,)
-    kernel = functools.partial(_sweep_super_kernel, n_supers=n_supers)
+    kernel = functools.partial(_sweep_super_kernel, n_supers=n_supers,
+                               unroll=1 if interpret else TRI_ROWS)
     best, prim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -582,7 +598,7 @@ def _query_super(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         sizes = []
         while size > 4 * TILE:
             sizes.append(size)
-            size = max(size // 4, 4 * TILE)
+            size = max(size // 2, 4 * TILE)
             size -= size % TILE
         sizes.append(size)
         for i, sz in enumerate(sizes):
@@ -903,13 +919,19 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         # Cascade: the alive count shrinks geometrically with passes, so
         # late passes run on statically-sliced prefixes.  Sorting by chunk
         # id puts finished rays (sentinel key) last, preserving the
-        # invariant "alive rays live in the prefix".
+        # invariant "alive rays live in the prefix".  Ladder ratio 2 (not
+        # 4): a stage only hands off when alive <= next size, so ratio 4
+        # kept the wavefront at FULL width until 75% of rays finished —
+        # i.e. ~p75 of the per-ray visit distribution ran as full-size
+        # passes.  Ratio 2 hands off at the median (part of the round-4
+        # 668 -> 481 ms step on the 1M-ray incoherent staircase wavefront,
+        # together with the (32,128) tiles + unrolled sweeps).
         st, cids = pick(state)
         size = n
         sizes = []
         while size > 4 * TILE:
             sizes.append(size)
-            size = max(size // 4, 4 * TILE)
+            size = max(size // 2, 4 * TILE)
             size -= size % TILE
         sizes.append(size)
         for i, sz in enumerate(sizes):

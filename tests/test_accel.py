@@ -56,10 +56,21 @@ def test_builder_pages_roundtrip():
     prim = tri16[:, 9].astype(np.int64)
     real = prim >= 0
     assert real.sum() == v0.shape[0]
-    # every triangle appears exactly once, with its original geometry
+    # every triangle appears exactly once
     assert sorted(prim[real]) == list(range(v0.shape[0]))
-    np.testing.assert_allclose(tri16[real, 0:3], v0[prim[real]], rtol=1e-6)
-    np.testing.assert_allclose(tri16[real, 3:6], e1[prim[real]], rtol=1e-6)
+    # Woop records: A maps (e1, e2, n) to the unit frame and c = A @ v0,
+    # so A @ (v0 + e1) - c = x-hat and A @ (v0 + e2) - c = y-hat
+    a = tri16[real, 0:9].reshape(-1, 3, 3).astype(np.float64)
+    c = tri16[real, 10:13].astype(np.float64)
+    p = prim[real]
+    np.testing.assert_allclose(
+        np.einsum("mij,mj->mi", a, v0[p]) - c, 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.einsum("mij,mj->mi", a, (v0 + e1)[p]) - c,
+        np.tile([1.0, 0, 0], (real.sum(), 1)), atol=1e-3)
+    np.testing.assert_allclose(
+        np.einsum("mij,mj->mi", a, (v0 + e2)[p]) - c,
+        np.tile([0.0, 1, 0], (real.sum(), 1)), atol=1e-3)
 
 
 def test_reference_walk_matches_brute_force():
