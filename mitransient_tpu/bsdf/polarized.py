@@ -282,6 +282,86 @@ def polarization_factor_col0_soa(
     return tuple(P0)
 
 
+def specular_params_soa(
+    lb: LaneBSDF,
+    p_in: jnp.ndarray,
+    p_out: jnp.ndarray,
+    cos_theta_i: jnp.ndarray,
+    transmitted: jnp.ndarray | None = None,
+):
+    """Per-lane STRUCTURED polarization parameters — the inputs of the
+    pending-rotator bounce update (core/mueller.py msoa_apply_*), replacing
+    :func:`polarization_factor_soa`'s matrix construction:
+
+    Returns (is_spec (N,) bool, A, B, Cc, S (N, C) normalized s/p Fresnel
+    entries, ci2, si2, co2, so2 (N,) rotator angle pairs).  Lanes that are
+    NOT specular (diffuse / rough-plastic / null / transmitted dielectric)
+    get identity parameters; the caller handles the depolarizer (diffuse)
+    and identity (null) classes from lb.kind directly."""
+    n = p_in.shape[0]
+    C = lb.reflectance.shape[-1]
+    ks = lb.ks
+    has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
+    has_diel = ks.has(BSDF_DIELECTRIC)
+
+    oo = jnp.ones((n, C), jnp.float32)
+    zz = jnp.zeros((n, C), jnp.float32)
+    on = jnp.ones((n,), jnp.float32)
+    zn = jnp.zeros((n,), jnp.float32)
+    if not (has_cond or has_diel):
+        return (jnp.zeros((n,), bool), oo, zz, oo, zz, on, zn, on, zn)
+
+    ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
+    sp = cross(p_in, p_out)
+    sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
+    degenerate = sp_len < 1e-6
+    s_axis = jnp.where(
+        degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
+    )
+    ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
+    co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+
+    is_spec = jnp.zeros((n,), bool)
+    A, B, Cc, S = oo, zz, oo, zz
+    if has_cond:
+        m = ((lb.kind == BSDF_CONDUCTOR)
+             | (lb.kind == BSDF_ROUGH_CONDUCTOR))
+        Ac, Bc, Cx, Sx = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                       lb.eta_re, lb.eta_im)
+        inv_a = 1.0 / jnp.maximum(Ac, 1e-12)
+        mm = m[:, None]
+        A = jnp.where(mm, jnp.ones_like(Ac), A)
+        B = jnp.where(mm, Bc * inv_a, B)
+        Cc = jnp.where(mm, Cx * inv_a, Cc)
+        S = jnp.where(mm, Sx * inv_a, S)
+        is_spec = is_spec | m
+    if has_diel:
+        m = lb.kind == BSDF_DIELECTRIC
+        if transmitted is not None:
+            m = m & ~transmitted  # transmission ~ depolarizer (see module doc)
+        eta_d = lb.eta_ratio[:, None] * jnp.ones((1, C))
+        Ad, Bd, Cx, Sx = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+                                       eta_d, jnp.zeros_like(eta_d))
+        inv_a = 1.0 / jnp.maximum(Ad, 1e-12)
+        mm = m[:, None]
+        A = jnp.where(mm, jnp.ones_like(Ad), A)
+        B = jnp.where(mm, Bd * inv_a, B)
+        Cc = jnp.where(mm, Cx * inv_a, Cc)
+        S = jnp.where(mm, Sx * inv_a, S)
+        is_spec = is_spec | m
+    return is_spec, A, B, Cc, S, ci2, si2, co2, so2
+
+
+def sensor_alignment_angles(ray_d: jnp.ndarray, vertical: jnp.ndarray):
+    """(cos 2t, sin 2t) of the beta_init sensor rotator (reference
+    utils.py:9-21) — for the pending-rotator carry, where beta starts as
+    the identity and this rotator rides in the pending slot."""
+    w = -ray_d
+    current = stokes_basis(w)
+    target = normalize(cross(ray_d, jnp.broadcast_to(vertical, ray_d.shape)))
+    return rotator_angles(w, current, target)
+
+
 def sensor_alignment_soa(ray_d: jnp.ndarray, vertical: jnp.ndarray,
                          C: int) -> tuple:
     """SoA beta_init: the sensor Stokes-frame alignment rotator as a tuple

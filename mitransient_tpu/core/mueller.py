@@ -349,3 +349,70 @@ def rotator_soa(c2, s2) -> tuple:
             z, c2, s2, z,
             z, -s2, c2, z,
             z, z, z, o)
+
+
+# ---------------------------------------------------------------------------
+# Structured right-applies (pending-rotator carry).
+#
+# The per-bounce Mueller update beta' = beta @ (R_out F R_in) does not need
+# the sandwich built or a 64-madd product: R_in of bounce k and R_out of
+# bounce k+1 are rotators about the SAME path segment (consecutive vertices'
+# Stokes bases agree along shared segments — bsdf/polarized.py docstring),
+# so they compose by angle addition.  Carrying (stored beta, pending rotator
+# angles) with true beta = stored @ R(pend) turns each specular bounce into
+# one column Givens (24 ops) + one Fresnel column-mix (48 ops), and each
+# depolarizing (diffuse) bounce into a 4-mult column-0 mask; column-0 reads
+# (emitter hits, RR on entry 00) see the stored beta unchanged because
+# rotators fix e0.  Measured round 4 on the polarized cbox: 44.9 -> see
+# BASELINE.md.
+# ---------------------------------------------------------------------------
+
+def rot2_compose(ca, sa, cb, sb):
+    """Compose two Mueller rotators given as (cos 2t, sin 2t) pairs:
+    R(a) @ R(b) = R(a+b)."""
+    return ca * cb - sa * sb, ca * sb + sa * cb
+
+
+def msoa_apply_rotator_cols(m: tuple, c2, s2) -> tuple:
+    """``m @ R(c2, s2)``: a Givens mix of columns 1 and 2 (24 ops vs 112
+    for a general msoa_product)."""
+    out = list(m)
+    for i in range(4):
+        b1, b2 = m[4 * i + 1], m[4 * i + 2]
+        out[4 * i + 1] = b1 * c2 - b2 * s2
+        out[4 * i + 2] = b1 * s2 + b2 * c2
+    return tuple(out)
+
+
+def msoa_apply_fresnel_cols(m: tuple, A, B, C, S) -> tuple:
+    """``m @ F`` for the s/p specular Mueller
+    F = [[A,B,0,0],[B,A,0,0],[0,0,C,S],[0,0,-S,C]] (48 ops)."""
+    out = [None] * 16
+    for i in range(4):
+        b0, b1, b2, b3 = (m[4 * i], m[4 * i + 1], m[4 * i + 2], m[4 * i + 3])
+        out[4 * i] = b0 * A + b1 * B
+        out[4 * i + 1] = b0 * B + b1 * A
+        out[4 * i + 2] = b2 * C - b3 * S
+        out[4 * i + 3] = b2 * S + b3 * C
+    return tuple(out)
+
+
+def msoa_depolarize_cols(m: tuple, value) -> tuple:
+    """``m @ (value * depolarizer)``: only column 0 survives, scaled."""
+    z = jnp.zeros_like(m[0])
+    out = []
+    for i in range(4):
+        out.extend([m[4 * i] * value, z, z, z])
+    return tuple(out)
+
+
+def msoa_identity(like) -> tuple:
+    """SoA identity Mueller with entries shaped like ``like``."""
+    z = jnp.zeros_like(like)
+    o = jnp.ones_like(like)
+    return (o, z, z, z, z, o, z, z, z, z, o, z, z, z, z, o)
+
+
+def stokes_rotate(v: tuple, c2, s2) -> tuple:
+    """``R(c2, s2) @ v`` for a 4-component Stokes tuple (6 ops)."""
+    return (v[0], c2 * v[1] + s2 * v[2], -s2 * v[1] + c2 * v[2], v[3])

@@ -86,14 +86,22 @@ def sample_primal_regen(
     seed_u = jnp.uint32(seed)
     splat_scale = jnp.float32(1.0 / spp_total)
     if polarized:
-        from ..bsdf.polarized import sensor_alignment_soa
+        from ..bsdf.polarized import sensor_alignment_angles
+        from ..core.mueller import msoa_identity
 
         cam_vert = cam.R[:, 1]
 
-        # SoA Mueller throughput (tuple of 16 (N, C) arrays; see
-        # core/mueller.py msoa_* — no rank-4 carries)
+        # Pending-rotator Mueller carry (core/mueller.py "Structured
+        # right-applies"): stored beta (tuple of 16 (N, C) arrays) with
+        # TRUE beta = stored @ R(pend).  The sensor-alignment rotator
+        # (reference utils.py:9-21) IS a rotator about the camera segment,
+        # so fresh paths start from the constant identity with the
+        # alignment angles riding in the pending slot.
         def beta_init(d):
-            return sensor_alignment_soa(d, cam_vert, C)
+            return msoa_identity(jnp.zeros((n, C), jnp.float32))
+
+        def pend_init(d):
+            return sensor_alignment_angles(d, cam_vert)
 
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane % hw).astype(jnp.int32)
@@ -121,6 +129,7 @@ def sample_primal_regen(
     state = dict(
         o=o0, d=d0,
         beta=beta_init(d0) if polarized else jnp.ones((n, C), jnp.float32),
+        **(dict(pend=pend_init(d0)) if polarized else {}),
         L=jnp.zeros((n, CS), jnp.float32),
         eta=jnp.ones((n,), jnp.float32),
         distance=jnp.zeros((n,), jnp.float32),
@@ -191,17 +200,18 @@ def sample_primal_regen(
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
             from ..bsdf.polarized import polarization_factor_col0_soa
-            from ..core.mueller import msoa_matvec
+            from ..core.mueller import msoa_matvec, stokes_rotate
 
             m_h = si.wi + wo_em
             m_h = m_h / jnp.maximum(
                 jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
             # NEE sources are unpolarized: only column 0 of the Mueller
-            # factor survives -> one 4-vector matvec instead of a full
-            # 4x4 product (the col0 fast path of 9d2b23, previously
-            # missing from the regen loop)
+            # factor survives; the pending rotator applies to the column
+            # (true beta = stored @ R(pend)) before one 4-vector matvec
             P0 = polarization_factor_col0_soa(lb, -ds.d, -st["d"], cos_i_em)
+            P0 = stokes_rotate(P0, st["pend"][0][:, None],
+                               st["pend"][1][:, None])
             col = msoa_matvec(st["beta"], tuple(p * f_em for p in P0))
             w_em = mis_em[:, None] * em_weight
             Lr_dir = jnp.where(
@@ -228,8 +238,14 @@ def sample_primal_regen(
 
         L_acc = st["L"] + Le + Lr_dir
         if polarized:
-            from ..bsdf.polarized import polarization_factor_soa
-            from ..core.mueller import msoa_product, msoa_where
+            from ..bsdf.polarized import specular_params_soa
+            from ..core.mueller import (
+                msoa_apply_fresnel_cols,
+                msoa_apply_rotator_cols,
+                msoa_where,
+                rot2_compose,
+            )
+            from ..scene.scene import BSDF_NULL
 
             m_hs = si.wi + bs.wo
             m_hs = m_hs / jnp.maximum(
@@ -238,11 +254,39 @@ def sample_primal_regen(
                 bs.delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_hs, axis=-1)))
             transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
-            P_s = polarization_factor_soa(lb, -d_world, -st["d"], cos_i_s,
-                                          transmitted=transmitted)
-            M_w = tuple(e * bs.weight for e in P_s)
-            beta = msoa_where(cont[:, None],
-                              msoa_product(st["beta"], M_w), st["beta"])
+            # Structured bounce update (no sandwich construction, no 64-madd
+            # product): beta' @ R(pend') = beta @ R(pend) @ R_out @ F @ R_in
+            # with R(pend)@R_out composed by angle addition, F applied as a
+            # column mix, and R_in deferred into the next pending slot.
+            is_spec, A, B, Cc, S, ci2, si2, co2, so2 = specular_params_soa(
+                lb, -d_world, -st["d"], cos_i_s, transmitted=transmitted)
+            pc2, ps2 = st["pend"]
+            cc, cs = rot2_compose(pc2, ps2, co2, so2)
+            f = bs.weight
+            spec_beta = msoa_apply_fresnel_cols(
+                msoa_apply_rotator_cols(st["beta"], cc[:, None], cs[:, None]),
+                A * f, B * f, Cc * f, S * f)
+            # non-specular: column 0 survives for every lobe (x f); columns
+            # 1-3 survive only for null (identity P — polarization passes)
+            is_null = lb.kind == BSDF_NULL
+            nullf = is_null[:, None].astype(jnp.float32)
+            sp = is_spec[:, None]
+            beta = tuple(
+                jnp.where(sp, spec_beta[4 * i + j],
+                          st["beta"][4 * i + j] * f
+                          * (1.0 if j == 0 else nullf))
+                for i in range(4) for j in range(4))
+            beta = msoa_where(cont[:, None], beta, st["beta"])
+            # pending: specular lanes defer R_in; null keeps the current
+            # rotator; depolarizing lanes reset (depolarizer @ R = depol)
+            keep = is_null & cont
+            specp = is_spec & cont
+            pend = (
+                jnp.where(specp, ci2, jnp.where(keep, pc2,
+                          jnp.where(cont, 1.0, pc2))),
+                jnp.where(specp, si2, jnp.where(keep, ps2,
+                          jnp.where(cont, 0.0, ps2))),
+            )
             beta_max = jnp.max(beta[0], axis=-1)
         else:
             beta = jnp.where(cont[:, None], st["beta"] * bs.weight,
@@ -279,14 +323,18 @@ def sample_primal_regen(
         o_new, d_new = gen_ray(sample_idx)
 
         if polarized:
-            # fresh samples restart from the sensor-alignment rotator of
-            # their new camera ray
+            # fresh samples restart from the identity with the new ray's
+            # sensor-alignment rotator in the pending slot
             from ..core.mueller import msoa_where as _mw
 
             beta_next = _mw(regen[:, None], beta_init(d_new), beta)
+            npc2, nps2 = pend_init(d_new)
+            pend_next = (jnp.where(regen, npc2, pend[0]),
+                         jnp.where(regen, nps2, pend[1]))
         else:
             beta_next = jnp.where(regen[:, None], 1.0, beta)
         out = dict(
+            **(dict(pend=pend_next) if polarized else {}),
             o=jnp.where(regen[:, None], o_new, new_ray.o),
             d=jnp.where(regen[:, None], d_new, d_world),
             beta=beta_next,

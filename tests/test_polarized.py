@@ -223,3 +223,82 @@ def test_polarized_backward_routes_to_fullad_and_matches_fd(mono_pol):
     an = float(np.sum(g * v))
     assert fd != 0.0
     assert abs(an - fd) / max(abs(fd), 1e-9) < 0.05, (an, fd)
+
+
+def test_pending_rotator_carry_matches_dense_chain():
+    """The structured bounce update (pending-rotator carry: stored beta
+    @ R(pend), Givens + Fresnel column applies, core/mueller.py) must equal
+    the dense msoa_product chain beta @ (R_out F R_in) per bounce, for
+    random sequences of specular / depolarizing / null lobes."""
+    import jax.numpy as jnp
+    from mitransient_tpu.core.mueller import (
+        msoa_apply_fresnel_cols, msoa_apply_rotator_cols, msoa_identity,
+        msoa_matvec, msoa_product, rot2_compose, rotator_soa,
+        specular_sandwich_soa, stokes_rotate,
+    )
+
+    rng = np.random.RandomState(11)
+    n, C = 64, 1
+
+    def rnd():
+        return jnp.asarray(rng.uniform(-1, 1, (n, C)).astype(np.float32))
+
+    def angles():
+        th = rng.uniform(0, 2 * np.pi, (n,)).astype(np.float32)
+        return jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))
+
+    # dense chain state
+    pc2, ps2 = angles()  # sensor alignment
+    dense = msoa_product(msoa_identity(rnd() * 0),
+                         tuple(jnp.broadcast_to(e[:, None], (n, C))
+                               for e in rotator_soa(pc2, ps2)))
+    # structured state
+    stored = msoa_identity(jnp.zeros((n, C), jnp.float32))
+    pend = (pc2, ps2)
+
+    for bounce in range(4):
+        A, B, Cc, S = rnd(), rnd(), rnd(), rnd()
+        ci2, si2 = angles()
+        co2, so2 = angles()
+        kind = rng.randint(0, 3, (n,))  # 0 spec, 1 depol, 2 null
+        is_spec = jnp.asarray(kind == 0)
+        is_null = jnp.asarray(kind == 2)
+        f = rnd()
+
+        # dense update
+        M = specular_sandwich_soa(A, B, Cc, S, ci2[:, None], si2[:, None],
+                                  co2[:, None], so2[:, None])
+        depol = [jnp.ones((n, C))] + [jnp.zeros((n, C))] * 15
+        eye = msoa_identity(jnp.zeros((n, C), jnp.float32))
+        M = [jnp.where(is_spec[:, None], m,
+                       jnp.where(is_null[:, None], e, d))
+             for m, e, d in zip(M, eye, depol)]
+        dense = msoa_product(dense, tuple(m * f for m in M))
+
+        # structured update (mirrors path_regen.py)
+        cc, cs = rot2_compose(pend[0], pend[1], co2, so2)
+        spec_beta = msoa_apply_fresnel_cols(
+            msoa_apply_rotator_cols(stored, cc[:, None], cs[:, None]),
+            A * f, B * f, Cc * f, S * f)
+        nullf = is_null[:, None].astype(jnp.float32)
+        sp = is_spec[:, None]
+        stored = tuple(
+            jnp.where(sp, spec_beta[4 * i + j],
+                      stored[4 * i + j] * f * (1.0 if j == 0 else nullf))
+            for i in range(4) for j in range(4))
+        pend = (jnp.where(is_spec, ci2, jnp.where(is_null, pend[0], 1.0)),
+                jnp.where(is_spec, si2, jnp.where(is_null, pend[1], 0.0)))
+
+        # equivalence on an unpolarized-source contribution (column 0 of a
+        # random NEE factor) AND on the emitter-hit column 0
+        colP = (rnd(), rnd(), rnd(), rnd())
+        want = msoa_matvec(dense, colP)
+        got = msoa_matvec(stored, stokes_rotate(
+            colP, pend[0][:, None], pend[1][:, None]))
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       rtol=2e-4, atol=2e-5)
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(dense[4 * i]), np.asarray(stored[4 * i]),
+                rtol=2e-4, atol=2e-5)
