@@ -416,3 +416,22 @@ def msoa_identity(like) -> tuple:
 def stokes_rotate(v: tuple, c2, s2) -> tuple:
     """``R(c2, s2) @ v`` for a 4-component Stokes tuple (6 ops)."""
     return (v[0], c2 * v[1] + s2 * v[2], -s2 * v[1] + c2 * v[2], v[3])
+
+
+def msoa_apply_sandwich(m: tuple, A, B, C, S, ci2, si2, co2, so2) -> tuple:
+    """``m @ (R_out F R_in)`` via three structured right-applies (96 ops)
+    instead of building the sandwich and running a 64-madd product — for
+    carries that do not track a pending rotator (e.g. the NLOS loop)."""
+    return msoa_apply_rotator_cols(
+        msoa_apply_fresnel_cols(
+            msoa_apply_rotator_cols(m, co2, so2), A, B, C, S),
+        ci2, si2)
+
+
+def stokes_apply_sandwich(v: tuple, A, B, C, S, ci2, si2, co2, so2) -> tuple:
+    """``(R_out F R_in) @ v`` via three structured left-applies (20 ops)
+    instead of building the sandwich and running a 16-madd matvec."""
+    v = stokes_rotate(v, ci2, si2)
+    v = (A * v[0] + B * v[1], B * v[0] + A * v[1],
+         C * v[2] + S * v[3], -S * v[2] + C * v[3])
+    return stokes_rotate(v, co2, so2)

@@ -369,13 +369,15 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     wo1 = si.frame.to_local(d1)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
     if polarized:
-        from ..bsdf.polarized import polarization_factor_soa
+        from ..bsdf.polarized import specular_params_soa
 
         m_h = si.wi + wo1
         m_h = m_h / jnp.maximum(
             jnp.linalg.norm(m_h, axis=-1, keepdims=True), 1e-12)
         cos_i1 = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
-        P1 = polarization_factor_soa(lb, -d1, -wi_world, cos_i1)
+        # structured per-lane factor parameters for the vertex->wall bounce
+        # (applied to the NEE column below — no matrix build)
+        prm1 = specular_params_soa(lb, -d1, -wi_world, cos_i1)
 
     active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
     cos_wl = dot(jnp.broadcast_to(ctx.wall_ng, si.p.shape), -d1)
@@ -393,9 +395,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), lb2)
     if sctx is not None:
         lb2 = sctx.uplift_lb(lb2)
-    if polarized:
-        M1 = tuple(e * f1 for e in P1)
-    else:
+    if not polarized:
         beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
 
@@ -429,11 +429,26 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
             jnp.linalg.norm(m_h2, axis=-1, keepdims=True), 1e-12)
         cos_i2 = jnp.abs(jnp.sum(wi2 * m_h2, axis=-1))
         # emission is unpolarized: only column 0 of the full chain is
-        # needed -> two matvecs (M1 @ (P2 f2)[:,0], then beta @ .) instead
-        # of two full 4x4 Mueller products (all SoA: see core/mueller.py)
+        # needed.  The wall factor is col0 (P2c); the vertex factor M1 is
+        # applied to that column STRUCTURALLY (rotate/Fresnel-mix/rotate +
+        # depolarizer/null class select, core/mueller.py
+        # stokes_apply_sandwich) — no 4x4 build, then one matvec by beta.
+        from ..core.mueller import stokes_apply_sandwich
+        from ..scene.scene import BSDF_NULL as _BN
+
         P2c = polarization_factor_col0_soa(
             lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)), -d1, cos_i2)
-        t_col = msoa_matvec(M1, tuple(e * f2 for e in P2c))
+        v = tuple(e * f2 for e in P2c)
+        is_spec1, A1, B1, C1, S1, ci21, si21, co21, so21 = prm1
+        v_spec = stokes_apply_sandwich(
+            v, A1, B1, C1, S1, ci21[:, None], si21[:, None],
+            co21[:, None], so21[:, None])
+        sp1 = is_spec1[:, None]
+        nullf1 = (lb.kind == _BN)[:, None].astype(jnp.float32)
+        t_col = tuple(
+            jnp.where(sp1, v_spec[j], v[j] * (1.0 if j == 0 else nullf1))
+            * f1
+            for j in range(4))
         col = msoa_matvec(beta, t_col)
         Lr = jnp.where(
             active_e[:, None],
@@ -912,8 +927,9 @@ def sample_nlos_primal(
 
         L = st["L"] + Lr_dir if skip_le else st["L"] + Le + Lr_dir
         if polarized:
-            from ..bsdf.polarized import polarization_factor_soa
-            from ..core.mueller import msoa_product, msoa_where
+            from ..bsdf.polarized import specular_params_soa
+            from ..core.mueller import msoa_apply_sandwich, msoa_where
+            from ..scene.scene import BSDF_NULL as _BN
 
             m_h = si.wi + wo
             m_h = m_h / jnp.maximum(
@@ -921,10 +937,22 @@ def sample_nlos_primal(
             cos_i_s = jnp.where(
                 delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
-            P_s = polarization_factor_soa(lb, -d_world, -st["d"], cos_i_s)
-            M_w = tuple(e * (weight / pdf_method[:, None]) for e in P_s)
-            beta = msoa_where(active_next[:, None],
-                              msoa_product(st["beta"], M_w), st["beta"])
+            # structured sandwich apply per lobe class instead of building
+            # the Mueller factor and running a 64-madd product
+            is_spec, A, B, Cc, S, ci2, si2, co2, so2 = specular_params_soa(
+                lb, -d_world, -st["d"], cos_i_s)
+            f = weight / pdf_method[:, None]
+            spec_beta = msoa_apply_sandwich(
+                st["beta"], A * f, B * f, Cc * f, S * f,
+                ci2[:, None], si2[:, None], co2[:, None], so2[:, None])
+            sp = is_spec[:, None]
+            nullf = (lb.kind == _BN)[:, None].astype(jnp.float32)
+            beta = tuple(
+                jnp.where(sp, spec_beta[4 * i + j],
+                          st["beta"][4 * i + j] * f
+                          * (1.0 if j == 0 else nullf))
+                for i in range(4) for j in range(4))
+            beta = msoa_where(active_next[:, None], beta, st["beta"])
         else:
             beta = jnp.where(
                 active_next[:, None],
