@@ -36,12 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .accel import Accel, CHUNK_TRIS, SUPER_CHUNKS
 
 LANES = 128
-# 32-sublane ray tiles (4096 rays/program): the sweep's per-triangle scalar
-# extracts and row-loop overhead amortize over 4x more rays than (8,128)
-# tiles.  Measured on a 1M-ray one-chunk sweep (r4_sweep_micro): (8,128)
-# no-unroll 25.5 ms -> (32,128) fully-unrolled 9.1 ms; (64,128)/(128,128)
-# regress to 10.7 ms (VMEM pressure), so 32 is the knee.
-SUBLANES = 32
+# 16-sublane ray tiles (2048 rays/program).  Bigger tiles amortize the
+# sweep's per-triangle scalar extracts and row-loop overhead over more
+# rays (one-chunk sweep micro, r4_sweep_micro: (8,128) no-unroll 25.5 ms
+# -> (32,128) fully-unrolled 9.1 ms/1M rays) but dilute binning coherence
+# (more distinct chunks per sorted tile).  Staircase end-to-end sweep
+# (1M-ray synthetic): SUBLANES=8 1.96 / 16 2.61 / 32 2.18 Mrays/s
+# incoherent (coherent 6.2 / 9.1 / 10.6) — 16 is the incoherent knee and
+# wins end-to-end (1.16 vs 0.98 Mrays/s at 32).
+SUBLANES = 16
 TILE = LANES * SUBLANES
 RAY_EPS = 1e-4
 BIG = 3.0e38
