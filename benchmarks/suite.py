@@ -224,6 +224,17 @@ def make_staircase():
         resx=256, resy=256, max_depth=6)
 
 
+def make_nlos_zroom():
+    # the reference's COMPLEX NLOS scene (nlos-z-room.xml: Z target inside
+    # a room, perspective-sensor NLOS with a pre-aimed projector laser;
+    # canonical capture runs spp 250k — benched at reduced spp, same
+    # per-ray work)
+    import mitransient_tpu as mitr
+
+    return mitr.load_file(
+        "/root/reference/examples/transient-nlos/nlos-z-room.xml")
+
+
 ALL = {
     "cbox": (make_cbox, 512),
     "cbox_mirror": (make_cbox_mirror, 256),
@@ -233,6 +244,7 @@ ALL = {
     "nlos_single": (make_nlos_single, 2048),
     "nlos_polarized": (make_nlos_polarized, 1024),
     "nlos_confocal": (make_nlos_confocal, 512),
+    "nlos_zroom": (make_nlos_zroom, 1024),
     "staircase": (make_staircase, 8),
 }
 
