@@ -12,10 +12,11 @@ Classic per-ray BVH descent needs per-lane gathers and divergent stacks
 incoherent bounce wavefronts (measured 0.2-0.4 Mrays/s).  Instead:
 
 - Triangles are globally reordered by a median-split BVH (native C++
-  builder, native/mitr_native.cpp) so consecutive triangles are spatially
-  compact, then cut into fixed-size *chunks* (`CHUNK_TRIS` each).  Each
-  chunk is a padded SMEM-sized page (triangle table + original prim ids)
-  plus one AABB.
+  builder, native/mitr_native.cpp), then cut into SUBTREE-ALIGNED *chunks*
+  of <= 2*CHUNK_TRIS triangles (_subtree_ranges) — subtree bounds are far
+  tighter than equal-size cuts of the same order (staircase: per-ray
+  candidates 8.33 -> 6.30 mean, 27 -> 17 p99).  Each chunk is a padded
+  page of Woop triangle records plus one AABB.
 - A query runs a few *passes* (lax.while_loop).  Per pass every ray picks
   its next chunk front-to-back: a dense, fully-vectorized slab test against
   all C chunk AABBs with an (entry-t, chunk-id) lexicographic gate — pure
@@ -57,7 +58,7 @@ class Accel(NamedTuple):
     aabb_max: jnp.ndarray  # (C, 3) f32
     sup_min: jnp.ndarray   # (ceil(C/8), 3) f32 super-chunk bounds
     sup_max: jnp.ndarray   # (ceil(C/8), 3) f32
-    pages: jnp.ndarray     # (C, CHUNK_TRIS // 8, 128) f32 chunk pages:
+    pages: jnp.ndarray     # (C, cap // 8, 128) f32 chunk pages:
     #   each 128-lane row holds 8 triangles x 16 fields in the Woop
     #   unit-triangle-transform representation: rows a0 a1 a2 of
     #   A = [e1 e2 n]^-1 (fields 0:9), original prim id (-1 pad, field 9),
@@ -87,6 +88,51 @@ def woop_records(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     return a.astype(np.float32), c.astype(np.float32)
 
 
+def _subtree_ranges(glob, m: int, max_tris: int):
+    """Cut the builder's tree into SUBTREE-ALIGNED contiguous prim ranges
+    of <= max_tris each.  Subtree-aligned chunks have much tighter AABBs
+    than equal-size cuts of the same order (staircase, round 4:
+    per-ray chunk candidates mean 8.33 -> 6.30, p99 27 -> 17,
+    scripts/r4_treelet_stats.py) at the same chunk count.
+
+    Builder node semantics (native/mitr_native.cpp): leaves have left=-1,
+    right=offset into prim_order, count=#prims; inner nodes count=0;
+    every subtree owns a contiguous prim_order range."""
+    import sys as _sys
+
+    left = np.asarray(glob["left"])
+    right = np.asarray(glob["right"])
+    count = np.asarray(glob["count"])
+    _sys.setrecursionlimit(max(1000000, _sys.getrecursionlimit()))
+
+    def rng(nid):
+        if left[nid] < 0:
+            a = int(right[nid])
+            return a, a + int(count[nid])
+        la, lb = rng(int(left[nid]))
+        ra, rb = rng(int(right[nid]))
+        return min(la, ra), max(lb, rb)
+
+    ranges = []
+
+    def walk(nid):
+        a, b = rng(nid)
+        if b - a <= max_tris or left[nid] < 0:
+            ranges.append((a, b))
+            return
+        walk(int(left[nid]))
+        walk(int(right[nid]))
+
+    walk(0)
+    ranges.sort()
+    end = 0
+    for a, b in ranges:
+        assert a == end, (a, end)
+        end = b
+    assert end == m, (end, m)
+    return ranges
+
+
 def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
     """Build chunk pages + AABBs from a triangle soup (host, numpy)."""
     v0 = np.asarray(v0, np.float32)
@@ -94,31 +140,32 @@ def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
     e2 = np.asarray(e2, np.float32)
     m = v0.shape[0]
 
-    # Global spatial ordering (reuse the median-split builder): consecutive
-    # triangles in `order` are spatially compact, so equal-size cuts give
-    # tight chunk AABBs.
+    # Global spatial ordering from the median-split builder; chunks are
+    # SUBTREE cuts of <= 2*CHUNK_TRIS prims (median splits make them land
+    # just above CHUNK_TRIS), padded to a common page size.
     glob = native.build_bvh(v0, e1, e2, leaf_size=8)
     order = np.asarray(glob["prim_order"], np.int64)
     gv0, ge1, ge2 = v0[order], e1[order], e2[order]
     ga, gc = woop_records(gv0, ge1, ge2)
 
-    c = (m + CHUNK_TRIS - 1) // CHUNK_TRIS
-    tri16 = np.zeros((c * CHUNK_TRIS, 16), np.float32)
-    tri16[:, 9] = -1.0
-    tri16[:m, 0:9] = ga.reshape(m, 9)
-    tri16[:m, 9] = order.astype(np.float32)
-    tri16[:m, 10:13] = gc
-    pages = tri16.reshape(c, CHUNK_TRIS // 8, 128)
+    ranges = _subtree_ranges(glob, m, 2 * CHUNK_TRIS)
+    c = len(ranges)
+    cap = max(8, -(-max(b - a for a, b in ranges) // 8) * 8)
+    tri16 = np.zeros((c, cap, 16), np.float32)
+    tri16[:, :, 9] = -1.0
     aabb_min = np.zeros((c, 3), np.float32)
     aabb_max = np.zeros((c, 3), np.float32)
-    for ci in range(c):
-        lo = ci * CHUNK_TRIS
-        hi = min(lo + CHUNK_TRIS, m)
+    for ci, (lo, hi) in enumerate(ranges):
+        n_i = hi - lo
+        tri16[ci, :n_i, 0:9] = ga[lo:hi].reshape(n_i, 9)
+        tri16[ci, :n_i, 9] = order[lo:hi].astype(np.float32)
+        tri16[ci, :n_i, 10:13] = gc[lo:hi]
         pts = np.concatenate([
             gv0[lo:hi], gv0[lo:hi] + ge1[lo:hi], gv0[lo:hi] + ge2[lo:hi]
         ])
         aabb_min[ci] = pts.min(axis=0)
         aabb_max[ci] = pts.max(axis=0)
+    pages = tri16.reshape(c, cap // 8, 128)
 
     spad = (-c) % SUPER_CHUNKS
     smin = np.concatenate([aabb_min, np.full((spad, 3), 1.0, np.float32)])
@@ -166,8 +213,9 @@ def closest_hit_reference(accel: Accel, ray_o, ray_d, maxt):
         for entry, ci in sorted(hits):
             if entry >= best_t:
                 break
-            tris = pages[ci].reshape(CHUNK_TRIS, 16)
-            for k in range(CHUNK_TRIS):
+            cap = pages.shape[1] * 8
+            tris = pages[ci].reshape(cap, 16)
+            for k in range(cap):
                 a = tris[k, 0:9].astype(np.float64).reshape(3, 3)
                 cc = tris[k, 10:13].astype(np.float64)
                 rv = a @ d

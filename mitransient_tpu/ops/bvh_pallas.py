@@ -48,7 +48,9 @@ SUBLANES = 16
 TILE = LANES * SUBLANES
 RAY_EPS = 1e-4
 BIG = 3.0e38
-TRI_ROWS = CHUNK_TRIS // 8  # 8 triangles x 16 fields per 128-lane row
+# Page row count (8 triangles x 16 fields per 128-lane row) is derived per
+# accel from pages.shape[1] — subtree-aligned chunks pad to a common cap
+# that can exceed CHUNK_TRIS (ops/accel.py _subtree_ranges).
 # Candidates emitted per select pass: each ray advances through up to
 # SELECT_K chunks per (select, sort, sweep) round, amortizing the dense
 # chunk-slab selection scan and the wavefront sort over K chunk visits.
@@ -123,6 +125,7 @@ def _sweep_kernel(
     *refs,                          # SELECT_K cid tiles, 7 ray tiles, outs,
                                     # scratch, sem
     n_chunks: int,
+    tri_rows: int,
     unroll: int,
 ):
     cids = [refs[j][...] for j in range(SELECT_K)]
@@ -209,7 +212,7 @@ def _sweep_kernel(
         # scalar triangle-field extracts with the previous row's vector math.
         # Interpret mode keeps unroll=1 — tracing 512 inlined tests per
         # kernel makes the CPU test path minutes-slow.
-        bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp),
+        bt, bp = jax.lax.fori_loop(0, tri_rows, row, (bt, bp),
                                    unroll=unroll)
         best_t_ref[...] = bt
         best_p_ref[...] = bp
@@ -241,8 +244,10 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
     aabb_smem = jnp.concatenate(
         [accel.aabb_min.T, accel.aabb_max.T,
          jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
+    tri_rows = accel.pages.shape[1]
     kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks,
-                               unroll=1 if interpret else TRI_ROWS)
+                               tri_rows=tri_rows,
+                               unroll=1 if interpret else tri_rows)
     best, prim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -255,7 +260,7 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TRI_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, tri_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -268,9 +273,10 @@ def _sweep_super_kernel(
     pages_ref,                      # (C_pad, TRI_ROWS, 128) ANY (HBM)
     sid_t, ox, oy, oz, dx, dy, dz, limit,   # VMEM ray tiles
     best_t_ref, best_p_ref,         # VMEM outs
-    page_scr,                       # (2, 8*TRI_ROWS, 128) VMEM scratch
+    page_scr,                       # (2, SUPER_CHUNKS, tri_rows, 128) VMEM
     sem,                            # DMA sems (2,)
     n_supers: int,
+    tri_rows: int,
     unroll: int,
 ):
     """Sweep each ray tile against the 8 contiguous chunk pages of every
@@ -350,7 +356,7 @@ def _sweep_super_kernel(
                             mask, bt, bp)
                     return bt, bp
 
-                bt, bp = jax.lax.fori_loop(0, TRI_ROWS, row, (bt, bp),
+                bt, bp = jax.lax.fori_loop(0, tri_rows, row, (bt, bp),
                                            unroll=unroll)
                 best_t_ref[...] = bt
                 best_p_ref[...] = bp
@@ -402,8 +408,10 @@ def _sweep_super_pass(pages, chk, n_supers, sid, ray_o, ray_d, best_t,
     )
     rows = tiles[0].shape[0]
     grid = (rows // SUBLANES,)
+    tri_rows = pages.shape[1]
     kernel = functools.partial(_sweep_super_kernel, n_supers=n_supers,
-                               unroll=1 if interpret else TRI_ROWS)
+                               tri_rows=tri_rows,
+                               unroll=1 if interpret else tri_rows)
     best, prim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -416,7 +424,7 @@ def _sweep_super_pass(pages, chk, n_supers, sid, ray_o, ray_d, best_t,
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, SUPER_CHUNKS, TRI_ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, SUPER_CHUNKS, tri_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

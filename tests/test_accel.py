@@ -52,7 +52,8 @@ def test_builder_pages_roundtrip():
     v0, e1, e2 = _soup(2, 100)
     acc = A.build_accel(v0, e1, e2)
     pages = np.asarray(acc.pages)
-    tri16 = pages.reshape(pages.shape[0] * A.CHUNK_TRIS, 16)
+    # page capacity is per-accel (subtree chunks pad to a common cap)
+    tri16 = pages.reshape(pages.shape[0] * pages.shape[1] * 8, 16)
     prim = tri16[:, 9].astype(np.int64)
     real = prim >= 0
     assert real.sum() == v0.shape[0]
