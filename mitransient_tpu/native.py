@@ -53,8 +53,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
-            lib.mitr_build_bvh.restype = ctypes.c_int64
-            lib.mitr_build_bvh.argtypes = [
+            _bvh_sig = [
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
@@ -66,6 +65,10 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.mitr_build_bvh.restype = ctypes.c_int64
+            lib.mitr_build_bvh.argtypes = _bvh_sig
+            lib.mitr_build_bvh_sah.restype = ctypes.c_int64
+            lib.mitr_build_bvh_sah.argtypes = _bvh_sig
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -107,10 +110,14 @@ def load_obj_native(path: str):
 
 
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-              leaf_size: int = 4):
-    """Median-split BVH over a triangle soup -> dict of flat arrays
+              leaf_size: int = 4, method: str = "sah"):
+    """BVH over a triangle soup -> dict of flat arrays
     (bbox_min/bbox_max (N,3), left/right/count (N,), prim_order (M,)).
-    Falls back to a Python builder when the native library is unavailable."""
+
+    ``method``: "sah" (binned surface-area heuristic, default — tighter
+    subtree bounds, which is what the chunked TPU traversal pays for) or
+    "median" (centroid median split).  Falls back to a Python median-split
+    builder when the native library is unavailable."""
     m = v0.shape[0]
     v0 = np.ascontiguousarray(v0, np.float32)
     e1 = np.ascontiguousarray(e1, np.float32)
@@ -124,7 +131,9 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         right = np.empty((cap,), np.int32)
         count = np.empty((cap,), np.int32)
         order = np.empty((m,), np.int32)
-        n_nodes = lib.mitr_build_bvh(
+        fn = (lib.mitr_build_bvh_sah if method == "sah"
+              else lib.mitr_build_bvh)
+        n_nodes = fn(
             _fptr(v0), _fptr(e1), _fptr(e2), m, leaf_size,
             _fptr(bmin), _fptr(bmax), _iptr(left), _iptr(right),
             _iptr(count), _iptr(order),

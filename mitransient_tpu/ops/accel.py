@@ -42,7 +42,11 @@ import numpy as np
 
 from .. import native
 
-CHUNK_TRIS = 512   # triangles per chunk page (SMEM block = 12*512*4 = 24 KB)
+CHUNK_TRIS = 256   # target triangles per chunk; subtree-aligned cuts are
+# <= 2*CHUNK_TRIS and pages pad to a per-accel common cap (build_accel).
+# Swept under the SAH builder on the 262k-tri staircase (round 5,
+# scripts/r5_chunk_sweep.py, 1M-ray synthetic): 128 -> 5.04 Mrays/s inc,
+# 256 -> 5.79 (coh 14.68), 512 -> 5.40, 1024 -> 4.33.
 # Threshold above which scenes get an accel structure (matches the
 # single-level Pallas sweep's SMEM cap, intersect_pallas.MAX_SMEM_TRIS).
 ACCEL_MIN_TRIS = 4096
@@ -80,7 +84,12 @@ def woop_records(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     n = np.cross(e1, e2)
     m = np.stack([e1, e2, n], axis=-1)          # (M, 3, 3) columns e1 e2 n
     det = np.linalg.det(m)
-    ok = np.abs(det) > 1e-18
+    # Scale-invariant degeneracy test: det = |n|^2 = (|e1||e2| sin a)^2, so
+    # compare |n| against eps*|e1||e2| — a triangle is degenerate when its
+    # edges are nearly parallel, regardless of absolute scene scale.
+    l1 = np.linalg.norm(e1, axis=-1)
+    l2 = np.linalg.norm(e2, axis=-1)
+    ok = np.sqrt(np.abs(det)) > 1e-6 * l1 * l2
     m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
     a = np.linalg.inv(m_safe)
     a = np.where(ok[:, None, None], a, 0.0)     # (M, 3, 3) rows a0 a1 a2
@@ -97,33 +106,34 @@ def _subtree_ranges(glob, m: int, max_tris: int):
 
     Builder node semantics (native/mitr_native.cpp): leaves have left=-1,
     right=offset into prim_order, count=#prims; inner nodes count=0;
-    every subtree owns a contiguous prim_order range."""
-    import sys as _sys
-
+    every subtree owns a contiguous prim_order range.  Iterative: both
+    builders allocate child ids after the parent, so one reverse pass
+    computes every node's prim range bottom-up (O(n)), and an explicit
+    stack walks the cuts — no recursion, no stack-depth hazard."""
     left = np.asarray(glob["left"])
     right = np.asarray(glob["right"])
     count = np.asarray(glob["count"])
-    _sys.setrecursionlimit(max(1000000, _sys.getrecursionlimit()))
-
-    def rng(nid):
+    n_nodes = left.shape[0]
+    lo_r = np.zeros(n_nodes, np.int64)
+    hi_r = np.zeros(n_nodes, np.int64)
+    for nid in range(n_nodes - 1, -1, -1):
         if left[nid] < 0:
-            a = int(right[nid])
-            return a, a + int(count[nid])
-        la, lb = rng(int(left[nid]))
-        ra, rb = rng(int(right[nid]))
-        return min(la, ra), max(lb, rb)
+            lo_r[nid] = right[nid]
+            hi_r[nid] = right[nid] + count[nid]
+        else:
+            lo_r[nid] = min(lo_r[left[nid]], lo_r[right[nid]])
+            hi_r[nid] = max(hi_r[left[nid]], hi_r[right[nid]])
 
     ranges = []
-
-    def walk(nid):
-        a, b = rng(nid)
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        a, b = int(lo_r[nid]), int(hi_r[nid])
         if b - a <= max_tris or left[nid] < 0:
             ranges.append((a, b))
-            return
-        walk(int(left[nid]))
-        walk(int(right[nid]))
-
-    walk(0)
+        else:
+            stack.append(int(right[nid]))
+            stack.append(int(left[nid]))
     ranges.sort()
     end = 0
     for a, b in ranges:

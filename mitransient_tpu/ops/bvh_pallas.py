@@ -121,7 +121,7 @@ def _woop_update(tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask,
 
 def _sweep_kernel(
     aabb_ref,                       # (8, C) SMEM chunk bounds (+2 pad rows)
-    pages_ref,                      # (C, TRI_ROWS, 128) ANY (HBM)
+    pages_ref,                      # (C, tri_rows, 128) ANY (HBM); tri_rows = per-accel page cap // 8
     *refs,                          # SELECT_K cid tiles, 7 ray tiles, outs,
                                     # scratch, sem
     n_chunks: int,
@@ -270,7 +270,7 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
 
 def _sweep_super_kernel(
     chk_ref,                        # (8, C_pad) SMEM chunk bounds
-    pages_ref,                      # (C_pad, TRI_ROWS, 128) ANY (HBM)
+    pages_ref,                      # (C_pad, tri_rows, 128) ANY (HBM)
     sid_t, ox, oy, oz, dx, dy, dz, limit,   # VMEM ray tiles
     best_t_ref, best_p_ref,         # VMEM outs
     page_scr,                       # (2, SUPER_CHUNKS, tri_rows, 128) VMEM

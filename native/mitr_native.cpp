@@ -223,4 +223,195 @@ int64_t mitr_build_bvh(const float* v0, const float* e1, const float* e2,
   return c.n_nodes;
 }
 
+// ---------------------------------------------------------------------------
+// Binned-SAH builder (iterative, explicit stack).  Same flat output contract
+// as mitr_build_bvh.  16 centroid bins on each of the 3 axes; split cost is
+// the standard surface-area heuristic  SA_L*N_L + SA_R*N_R  (constant factors
+// cancel when comparing splits of the same node).  Falls back to a median
+// split when all centroids share a bin.  The consumer (ops/accel.py) cuts
+// the tree into <=1024-tri subtree chunks, so what SAH buys here is tight,
+// low-overlap subtree bounds near the chunk level — the per-ray candidate
+// count the TPU pass loop pays for.
+// ---------------------------------------------------------------------------
+
+static const int SAH_BINS = 16;
+
+struct SahTask {
+  int64_t node;    // node id already allocated for this range
+  int64_t lo, hi;  // range in prim_order
+};
+
+int64_t mitr_build_bvh_sah(const float* v0, const float* e1, const float* e2,
+                           int64_t n_tris, int32_t leaf_size,
+                           float* bbox_min, float* bbox_max, int32_t* left,
+                           int32_t* right, int32_t* count,
+                           int32_t* prim_order) {
+  if (n_tris <= 0) return -1;
+  const int32_t leaf_n = leaf_size > 0 ? leaf_size : 4;
+  std::vector<float> cent(n_tris * 3), tmin(n_tris * 3), tmax(n_tris * 3);
+  for (int64_t i = 0; i < n_tris; i++) {
+    for (int k = 0; k < 3; k++) {
+      float a = v0[i * 3 + k];
+      float b = a + e1[i * 3 + k];
+      float d = a + e2[i * 3 + k];
+      float lo = std::min(a, std::min(b, d));
+      float hi = std::max(a, std::max(b, d));
+      tmin[i * 3 + k] = lo;
+      tmax[i * 3 + k] = hi;
+      cent[i * 3 + k] = 0.5f * (lo + hi);
+    }
+    prim_order[i] = (int32_t)i;
+  }
+  const int64_t max_nodes = 2 * n_tris;
+  int64_t n_nodes = 1;  // root pre-allocated
+  std::vector<SahTask> stack;
+  stack.push_back({0, 0, n_tris});
+
+  // per-bin accumulators (reused across nodes)
+  float bin_min[SAH_BINS][3], bin_max[SAH_BINS][3];
+  int64_t bin_cnt[SAH_BINS];
+
+  while (!stack.empty()) {
+    SahTask task = stack.back();
+    stack.pop_back();
+    const int64_t node = task.node, lo = task.lo, hi = task.hi;
+    const int64_t n = hi - lo;
+    float bmin[3] = {1e30f, 1e30f, 1e30f};
+    float bmax[3] = {-1e30f, -1e30f, -1e30f};
+    float cmin[3] = {1e30f, 1e30f, 1e30f};
+    float cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = lo; i < hi; i++) {
+      const int32_t t = prim_order[i];
+      for (int k = 0; k < 3; k++) {
+        bmin[k] = std::min(bmin[k], tmin[t * 3 + k]);
+        bmax[k] = std::max(bmax[k], tmax[t * 3 + k]);
+        cmin[k] = std::min(cmin[k], cent[t * 3 + k]);
+        cmax[k] = std::max(cmax[k], cent[t * 3 + k]);
+      }
+    }
+    for (int k = 0; k < 3; k++) {
+      bbox_min[node * 3 + k] = bmin[k];
+      bbox_max[node * 3 + k] = bmax[k];
+    }
+    if (n <= leaf_n) {
+      left[node] = -1;
+      right[node] = (int32_t)lo;
+      count[node] = (int32_t)n;
+      continue;
+    }
+
+    // --- pick best (axis, bin split) by SAH over 16 centroid bins --------
+    double best_cost = 1e300;
+    int best_axis = -1, best_bin = -1;
+    for (int axis = 0; axis < 3; axis++) {
+      const float ext = cmax[axis] - cmin[axis];
+      if (ext <= 0.0f) continue;
+      const float scale = (float)SAH_BINS / ext;
+      for (int b = 0; b < SAH_BINS; b++) {
+        bin_cnt[b] = 0;
+        for (int k = 0; k < 3; k++) {
+          bin_min[b][k] = 1e30f;
+          bin_max[b][k] = -1e30f;
+        }
+      }
+      for (int64_t i = lo; i < hi; i++) {
+        const int32_t t = prim_order[i];
+        int b = (int)((cent[t * 3 + axis] - cmin[axis]) * scale);
+        b = std::min(std::max(b, 0), SAH_BINS - 1);
+        bin_cnt[b]++;
+        for (int k = 0; k < 3; k++) {
+          bin_min[b][k] = std::min(bin_min[b][k], tmin[t * 3 + k]);
+          bin_max[b][k] = std::max(bin_max[b][k], tmax[t * 3 + k]);
+        }
+      }
+      // left-to-right and right-to-left sweeps of area x count
+      double lcost[SAH_BINS - 1], rcost[SAH_BINS - 1];
+      {
+        float amin[3] = {1e30f, 1e30f, 1e30f};
+        float amax[3] = {-1e30f, -1e30f, -1e30f};
+        int64_t cnt = 0;
+        for (int b = 0; b < SAH_BINS - 1; b++) {
+          cnt += bin_cnt[b];
+          for (int k = 0; k < 3; k++) {
+            amin[k] = std::min(amin[k], bin_min[b][k]);
+            amax[k] = std::max(amax[k], bin_max[b][k]);
+          }
+          const double dx = std::max(0.0f, amax[0] - amin[0]);
+          const double dy = std::max(0.0f, amax[1] - amin[1]);
+          const double dz = std::max(0.0f, amax[2] - amin[2]);
+          lcost[b] = (double)cnt * 2.0 * (dx * dy + dy * dz + dz * dx);
+        }
+        for (int k = 0; k < 3; k++) {
+          amin[k] = 1e30f;
+          amax[k] = -1e30f;
+        }
+        cnt = 0;
+        for (int b = SAH_BINS - 1; b >= 1; b--) {
+          cnt += bin_cnt[b];
+          for (int k = 0; k < 3; k++) {
+            amin[k] = std::min(amin[k], bin_min[b][k]);
+            amax[k] = std::max(amax[k], bin_max[b][k]);
+          }
+          const double dx = std::max(0.0f, amax[0] - amin[0]);
+          const double dy = std::max(0.0f, amax[1] - amin[1]);
+          const double dz = std::max(0.0f, amax[2] - amin[2]);
+          rcost[b - 1] = (double)cnt * 2.0 * (dx * dy + dy * dz + dz * dx);
+        }
+      }
+      for (int b = 0; b < SAH_BINS - 1; b++) {
+        // skip splits that leave one side empty
+        int64_t nl = 0;
+        for (int bb = 0; bb <= b; bb++) nl += bin_cnt[bb];
+        if (nl == 0 || nl == n) continue;
+        const double cost = lcost[b] + rcost[b];
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_bin = b;
+        }
+      }
+    }
+
+    int64_t mid;
+    if (best_axis < 0) {
+      // degenerate centroid bounds: median split on the widest axis
+      int axis = 0;
+      float ext[3] = {cmax[0] - cmin[0], cmax[1] - cmin[1],
+                      cmax[2] - cmin[2]};
+      if (ext[1] > ext[axis]) axis = 1;
+      if (ext[2] > ext[axis]) axis = 2;
+      mid = lo + n / 2;
+      std::nth_element(prim_order + lo, prim_order + mid, prim_order + hi,
+                       [&](int32_t a, int32_t b) {
+                         return cent[a * 3 + axis] < cent[b * 3 + axis];
+                       });
+    } else {
+      const float ext = cmax[best_axis] - cmin[best_axis];
+      const float scale = (float)SAH_BINS / ext;
+      const float pivot_lo = cmin[best_axis];
+      int32_t* first = prim_order + lo;
+      int32_t* last = prim_order + hi;
+      int32_t* pmid = std::partition(first, last, [&](int32_t t) {
+        int b = (int)((cent[t * 3 + best_axis] - pivot_lo) * scale);
+        b = std::min(std::max(b, 0), SAH_BINS - 1);
+        return b <= best_bin;
+      });
+      mid = lo + (pmid - first);
+      if (mid == lo || mid == hi) mid = lo + n / 2;  // paranoia guard
+    }
+
+    if (n_nodes + 2 > max_nodes) return -1;
+    const int64_t l = n_nodes++;
+    const int64_t r = n_nodes++;
+    left[node] = (int32_t)l;
+    right[node] = (int32_t)r;
+    count[node] = 0;
+    // push right first so the left child is processed next (cache-friendly,
+    // and leaves end up ordered by prim range like the recursive builder)
+    stack.push_back({r, mid, hi});
+    stack.push_back({l, lo, mid});
+  }
+  return n_nodes;
+}
+
 }  // extern "C"
