@@ -343,7 +343,7 @@ def _sample_hidden_point(sd: SceneData, ctx: NLOSContext, u0, u1):
 
 def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
                account_last: bool, wi_world=None, polarized: bool = False,
-               sctx=None):
+               sctx=None, lanes=None):
     """Two-segment laser NEE (emitter_laser_sample path,
     transientnlospath.py:511-635, single/confocal): returns
     (Lr_dir (N, C) — or (N, 4C) Stokes when polarized, splat_distance (N,)).
@@ -354,18 +354,32 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     hoisted into ``ctx`` by ``prepare_nlos`` — per bounce this only traces
     the vertex->wall occlusion ray.
 
+    ``lanes``: optional PER-LANE laser constants (:class:`ExhaustiveLaser`
+    rows, one per wavefront lane) for the batched confocal scan — every
+    lane then connects to its own focused wall point; when ``None`` the
+    whole wavefront shares ``ctx``'s single laser.  All variants
+    (polarized/spectral) ride the same code path either way.
+
     ``wi_world``: world direction the path arrived along (for the Mueller
-    rotation chain); ``beta`` is (N, 4, 4, C) in polarized mode."""
+    rotation chain); ``beta`` is the SoA Mueller tuple in polarized mode."""
     from ..core.frame import Frame
 
     n = si.t.shape[0]
+    per_lane = lanes is not None
     # segment 1: path vertex -> illuminated wall point
-    lt = jnp.broadcast_to(ctx.laser_target, si.p.shape)
+    lt = (lanes.laser_target if per_lane
+          else jnp.broadcast_to(ctx.laser_target, si.p.shape))
+    wall_clear = lanes.wall_clear if per_lane else ctx.wall_clear
+    wall_ng = (lanes.wall_ng if per_lane
+               else jnp.broadcast_to(ctx.wall_ng, si.p.shape))
+    wall_d2 = (lanes.wall_d2 if per_lane
+               else jnp.broadcast_to(ctx.wall_d2, (n, 3)))
+    wall_dist2 = lanes.wall_dist2 if per_lane else ctx.wall_dist2
     d1v = lt - si.p
     dist1 = jnp.sqrt(jnp.maximum(jnp.sum(d1v * d1v, axis=-1), 1e-20))
     d1 = d1v / dist1[:, None]
     occ1 = ray_test(sd, si.p + d1 * 1e-4, d1, dist1 - 2e-4, active_e)
-    active_e = active_e & ~occ1 & ctx.wall_clear
+    active_e = active_e & ~occ1 & wall_clear
     wo1 = si.frame.to_local(d1)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
     if polarized:
@@ -380,7 +394,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         prm1 = specular_params_soa(lb, -d1, -wi_world, cos_i1)
 
     active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
-    cos_wl = dot(jnp.broadcast_to(ctx.wall_ng, si.p.shape), -d1)
+    cos_wl = dot(wall_ng, -d1)
     active_e = active_e & (cos_wl > 0.0)
     # area -> solid angle pdf conversion (:546-551); keep all values finite
     # (an inf in a masked branch poisons reverse-mode AD through the mask)
@@ -388,11 +402,15 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     f1 = jnp.where(active_e[:, None],
                    f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
 
-    # constant wall BSDF row, broadcast to the wavefront lanes
-    lb2 = bsdf_api.gather_lane_bsdf(
-        sd.bsdf, ctx.wall_bsdf_id.reshape(1), ctx.wall_uv.reshape(1, 2))
-    lb2 = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), lb2)
+    # wall BSDF rows: per-lane gather, or the constant row broadcast
+    if per_lane:
+        lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, lanes.wall_bsdf_id,
+                                        lanes.wall_uv)
+    else:
+        lb2 = bsdf_api.gather_lane_bsdf(
+            sd.bsdf, ctx.wall_bsdf_id.reshape(1), ctx.wall_uv.reshape(1, 2))
+        lb2 = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), lb2)
     if sctx is not None:
         lb2 = sctx.uplift_lb(lb2)
     if not polarized:
@@ -400,14 +418,13 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
 
     # segment 2: NEE wall point -> (delta) laser, all geometry constant
-    wframe = Frame.from_normal(ctx.wall_n_sh)
-    wi2 = jnp.stack([dot(-d1, wframe.s[None, :]),
-                     dot(-d1, wframe.t[None, :]),
-                     dot(-d1, wframe.n[None, :])], axis=-1)
-    wo2 = jnp.broadcast_to(
-        jnp.stack([jnp.sum(ctx.wall_d2 * wframe.s),
-                   jnp.sum(ctx.wall_d2 * wframe.t),
-                   jnp.sum(ctx.wall_d2 * wframe.n)]), (n, 3))
+    wall_n_sh = (lanes.wall_n_sh if per_lane
+                 else jnp.broadcast_to(ctx.wall_n_sh, (n, 3)))
+    wframe = Frame.from_normal(wall_n_sh)  # fields (N, 3)
+    wi2 = jnp.stack([dot(-d1, wframe.s), dot(-d1, wframe.t),
+                     dot(-d1, wframe.n)], axis=-1)
+    wo2 = jnp.stack([dot(wall_d2, wframe.s), dot(wall_d2, wframe.t),
+                     dot(wall_d2, wframe.n)], axis=-1)
 
     it2 = it_depth + 2  # two extra path vertices (:489-492 gates)
     if icfg.filter_depth != -1:
@@ -416,7 +433,8 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         active_e = active_e & (it2 > 2)
 
     f2, _ = bsdf_api.eval_pdf(lb2, wi2, wo2, active_e)
-    em_val = jnp.broadcast_to(ctx.wall_em, (n,) + ctx.wall_em.shape)
+    em_val = (lanes.wall_em if per_lane
+              else jnp.broadcast_to(ctx.wall_em, (n,) + ctx.wall_em.shape))
     if sctx is not None:
         em_val = sctx.emission(em_val)
 
@@ -436,8 +454,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         from ..core.mueller import stokes_apply_sandwich
         from ..scene.scene import BSDF_NULL as _BN
 
-        P2c = polarization_factor_col0_soa(
-            lb2, -jnp.broadcast_to(ctx.wall_d2, (n, 3)), -d1, cos_i2)
+        P2c = polarization_factor_col0_soa(lb2, -wall_d2, -d1, cos_i2)
         v = tuple(e * f2 for e in P2c)
         is_spec1, A1, B1, C1, S1, ci21, si21, co21, so21 = prm1
         v_spec = stokes_apply_sandwich(
@@ -457,7 +474,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         )
     else:
         Lr = jnp.where(active_e[:, None], beta2 * f2 * em_val, 0.0)
-    splat_dist = dist_after1 + (ctx.wall_dist2 * eta if account_last else 0.0)
+    splat_dist = dist_after1 + (wall_dist2 * eta if account_last else 0.0)
     return Lr, splat_dist
 
 
@@ -740,8 +757,13 @@ def sample_nlos_primal(
     sensor_up=None,
     spectral: bool = False,
     skip_le: bool = False,
+    lanes=None,
 ):
     """The NLOS wavefront loop (transientnlospath.py:672-927, primal).
+
+    ``lanes``: optional per-lane laser constants (ExhaustiveLaser rows per
+    wavefront lane) — the batched confocal scan, where every lane performs
+    laser NEE against its own focused wall point (see ``_laser_nee``).
 
     ``skip_le=True`` (static) elides the emitter-hit (Le) term and its film
     event entirely — valid when every emitter is delta (projector/point,
@@ -857,6 +879,7 @@ def sample_nlos_primal(
                 sd, ctx, icfg, si, lb, st["beta"], distance, st["eta"],
                 it, active_em, account_last=account,
                 wi_world=st["d"], polarized=polarized, sctx=sctx,
+                lanes=lanes,
             )
         else:
             Lr_dir, nee_dist = _plain_nee(
@@ -1002,68 +1025,24 @@ def sample_nlos_primal(
     return final["film"], L_out, final["depth"] > 0, final["n_rays"]
 
 
-def _laser_nee_lanes(sd, lasers: ExhaustiveLaser, icfg, si, lb, beta,
-                     distance, eta, it_depth, active_e,
-                     account_last: bool):
-    """Per-LANE two-segment laser NEE: every lane carries its own focused
-    laser constants (rows of ``lasers`` pre-gathered by scan point) — the
-    batched-confocal form of ``_laser_nee``.  Unpolarized."""
-    from ..core.frame import Frame
-
-    n = si.t.shape[0]
-    lt = lasers.laser_target  # (N, 3)
-    d1v = lt - si.p
-    dist1 = jnp.sqrt(jnp.maximum(jnp.sum(d1v * d1v, axis=-1), 1e-20))
-    d1 = d1v / dist1[:, None]
-    occ1 = ray_test(sd, si.p + d1 * 1e-4, d1, dist1 - 2e-4, active_e)
-    active_e = active_e & ~occ1 & lasers.wall_clear
-    wo1 = si.frame.to_local(d1)
-    f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
-    active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
-    cos_wl = dot(lasers.wall_ng, -d1)
-    active_e = active_e & (cos_wl > 0.0)
-    pdf_ls = dist1 * dist1 / jnp.maximum(cos_wl, 1e-9)
-    f1 = jnp.where(active_e[:, None],
-                   f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
-    beta2 = beta * f1
-    dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
-
-    wframe = Frame.from_normal(lasers.wall_n_sh)  # fields (N, 3)
-    wi2 = jnp.stack([dot(-d1, wframe.s), dot(-d1, wframe.t),
-                     dot(-d1, wframe.n)], axis=-1)
-    wo2 = jnp.stack([dot(lasers.wall_d2, wframe.s),
-                     dot(lasers.wall_d2, wframe.t),
-                     dot(lasers.wall_d2, wframe.n)], axis=-1)
-
-    it2 = it_depth + 2
-    if icfg.filter_depth != -1:
-        active_e = active_e & (it2 == icfg.filter_depth)
-    if icfg.discard_direct_paths:
-        active_e = active_e & (it2 > 2)
-
-    lb2 = bsdf_api.gather_lane_bsdf(sd.bsdf, lasers.wall_bsdf_id,
-                                    lasers.wall_uv)
-    f2, _ = bsdf_api.eval_pdf(lb2, wi2, wo2, active_e)
-    Lr = jnp.where(active_e[:, None], beta2 * f2 * lasers.wall_em, 0.0)
-    splat_dist = dist_after1 + (
-        lasers.wall_dist2 * eta if account_last else 0.0)
-    return Lr, splat_dist
-
-
 @_partial(jax.jit,
-          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_"),
+          static_argnames=("film_cfg_", "icfg_", "spp_", "hw_",
+                           "polarized_", "spectral_"),
           donate_argnames=("film",))
 def _nlos_confocal_pass(sd, ctx_, lanes_, film, seed_, pass_idx, inv_total,
-                        *, film_cfg_, icfg_, spp_, hw_):
+                        *, film_cfg_, icfg_, spp_, hw_, polarized_=False,
+                        spectral_=False):
     """One spp-pass of the batched confocal scan: every scan point's
     focused capture in one wavefront.  ``lanes_`` holds PER-SCAN-POINT
     laser constants (ExhaustiveLaser rows, one per scan pixel); each lane
-    uses the row of its pixel.  Path layout / RNG / splat semantics match
-    the per-point loop exactly except the sample stream (one stream for
-    the whole scan instead of one per point)."""
+    uses the row of its pixel.  The wavefront itself is
+    ``sample_nlos_primal`` with per-lane lasers (skip_le: the focused
+    laser is delta, so Le is identically zero) — one code path for ALL
+    variants (rgb/mono x polarized x spectral).  Path layout / RNG /
+    splat semantics match the per-point loop exactly except the sample
+    stream (one stream for the whole scan instead of one per point)."""
     n = spp_ * hw_
     sampler = Sampler(seed_, n, stream=pass_idx)
-    key = sampler.key
     # per-lane laser rows: lanes are spp-major (lane = s*hw + p), so the
     # "gather by pixel" is a TILE of the (hw, ...) tables — no actual
     # gather op (XLA TPU gathers of 2M rows cost ~0.2 s/pass)
@@ -1074,109 +1053,13 @@ def _nlos_confocal_pass(sd, ctx_, lanes_, film, seed_, pass_idx, inv_total,
     d = normalize(lanes.laser_target - o)
     ray = Ray.make(o, d)
     ray_weight = jnp.ones((n,), jnp.float32)
-    C = sd.bsdf.reflectance.shape[-1]
-    splat_w = ray_weight * inv_total
-    hg_on = icfg_.nlos_hidden_geometry_sampling
-    hg_rr = icfg_.nlos_hidden_geometry_sampling_do_rroulette
-    account = icfg_.account_first_and_last_bounces
-
-    state = dict(
-        o=ray.o, d=ray.d,
-        beta=jnp.ones((n, C), jnp.float32),
-        L=jnp.zeros((n, C), jnp.float32),
-        eta=jnp.ones((n,), jnp.float32),
-        distance=jnp.zeros((n,), jnp.float32),
-        active=jnp.ones((n,), bool),
-        depth=jnp.zeros((n,), jnp.int32),
-        film=film,
-        n_rays=jnp.zeros((), jnp.float32),
+    film, L, _valid, n_rays = sample_nlos_primal(
+        sd, ctx_, sampler, ray, ray_weight, film, film_cfg_, icfg_,
+        inv_total, base_dim=2, spp=spp_, polarized=polarized_,
+        spectral=spectral_, skip_le=True, lanes=lanes,
     )
-
-    def bounce(it, st):
-        from ..core.rng import draw_bounce_block
-
-        ub = draw_bounce_block(key, it, n, NLOS_DIMS_PER_BOUNCE)
-
-        def rnd1(k):
-            return ub[:, k]
-
-        def rnd2(k):
-            return ub[:, k : k + 2]
-
-        active = st["active"]
-        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
-        hit = active & si.valid
-        seg_ok = hit & (jnp.bool_(account) | (it > 0))
-        distance = st["distance"] + jnp.where(seg_ok, si.t, 0.0) * st["eta"]
-        lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
-        active_next = active & (it + 1 < icfg_.max_depth) & si.valid
-        active_em = active_next & bsdf_api.is_smooth(lb)
-
-        Lr_dir, nee_dist = _laser_nee_lanes(
-            sd, lanes, icfg_, si, lb, st["beta"], distance, st["eta"],
-            it, active_em, account_last=account)
-        film_st = splat_transient_pair(
-            st["film"], film_cfg_, spp_,
-            nee_dist, Lr_dir * splat_w[:, None], None, None, active,
-            icfg_.temporal_filter, icfg_.gaussian_stddev)
-        L = st["L"] + Lr_dir
-
-        if hg_on and hg_rr:
-            do_hg = rnd1(2) < 0.5
-            pdf_method = jnp.where(do_hg, 0.5, 0.5)
-        elif hg_on:
-            do_hg = jnp.ones((n,), bool)
-            pdf_method = jnp.ones((n,))
-        else:
-            do_hg = jnp.zeros((n,), bool)
-            pdf_method = jnp.ones((n,))
-
-        p_hg, n_hg, pdf_a = _sample_hidden_point(sd, ctx_, rnd1(4), rnd1(5))
-        dvh = p_hg - si.p
-        dist_h = jnp.sqrt(jnp.maximum(jnp.sum(dvh * dvh, axis=-1), 1e-20))
-        dh = dvh / dist_h[:, None]
-        cos_i = dot(si.n, dh)
-        cos_g = dot(n_hg, -dh)
-        hg_ok = active_next & do_hg & (cos_i > 1e-7) & (cos_g > 1e-7)
-        wo_hg = si.frame.to_local(dh)
-        f_hg, _ = bsdf_api.eval_pdf(lb, si.wi, wo_hg, hg_ok)
-        pdf_hg = pdf_a * dist_h * dist_h / jnp.maximum(jnp.abs(cos_g), 1e-9)
-        hg_ok = hg_ok & (pdf_hg > 1e-9)
-        rcp_hg = jnp.where(hg_ok, 1.0 / jnp.maximum(pdf_hg, 1e-9), 0.0)
-        w_hg = f_hg * rcp_hg[:, None]
-        bs = bsdf_api.sample(lb, si.wi, rnd1(6), rnd2(7),
-                             active_next & ~do_hg)
-        wo = jnp.where(do_hg[:, None], wo_hg, bs.wo)
-        weight = jnp.where(do_hg[:, None], w_hg, bs.weight)
-        eta_s = jnp.where(do_hg, 1.0, bs.eta)
-        d_world = si.frame.to_world(wo)
-        new_ray = si.spawn_ray(d_world)
-        beta = jnp.where(active_next[:, None],
-                         st["beta"] * weight / pdf_method[:, None],
-                         st["beta"])
-        eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
-        beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
-        active_next = active_next & (beta_max != 0.0)
-        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
-        active_next = active_next & (rr_prob > 0.0)
-        rr_active = it >= icfg_.rr_depth
-        rr_scale = jnp.where((rr_active & active_next) & (rr_prob > 0.0),
-                             1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
-        beta = beta * jax.lax.stop_gradient(rr_scale)[:, None]
-        rr_continue = rnd1(9) < rr_prob
-        active_next = active_next & (~rr_active | rr_continue)
-        return dict(
-            o=new_ray.o, d=d_world, beta=beta, L=L, eta=eta,
-            distance=distance, active=active_next,
-            depth=st["depth"] + jnp.where(hit, 1, 0),
-            film=film_st,
-            n_rays=st["n_rays"] + jnp.sum(active.astype(jnp.float32)) * 2.0,
-        )
-
-    final = jax.lax.fori_loop(0, icfg_.max_depth, bounce, state)
-    film = splat_steady(final["film"], spp_, final["L"],
-                        jnp.ones((n,), jnp.float32))
-    return film, final["n_rays"]
+    film = splat_steady(film, spp_, L, ray_weight)
+    return film, n_rays
 
 
 def render_nlos_confocal_scan(scene: Scene, spp=None, seed=0, sensor=0,
@@ -1207,11 +1090,8 @@ def render_nlos_confocal_scan(scene: Scene, spp=None, seed=0, sensor=0,
     if not icfg.nlos_laser_sampling:
         raise ValueError("the batched confocal scan requires "
                          "nlos_laser_sampling=True")
-    if scene.variant.polarized or scene.variant.spectral:
-        raise NotImplementedError(
-            "batched confocal scan supports rgb/mono variants; loop "
-            "focus_emitter_at_relay_wall_pixel + render for "
-            "polarized/spectral")
+    polarized = scene.variant.polarized
+    spectral = scene.variant.spectral
     pw, ph = cfg.scan_size
     hw = pw * ph
     spp = spp if spp is not None else cfg.spp
@@ -1235,7 +1115,7 @@ def render_nlos_confocal_scan(scene: Scene, spp=None, seed=0, sensor=0,
     spp_chunk = (spp + n_passes - 1) // n_passes
     total_spp = spp_chunk * n_passes
 
-    C = scene.variant.color_channels
+    C = scene.variant.color_channels * (4 if polarized else 1)
     film = film_init(film_cfg, C, scan_pixels=hw)
     from ..scene.scene import primal_sd
 
@@ -1244,7 +1124,8 @@ def render_nlos_confocal_scan(scene: Scene, spp=None, seed=0, sensor=0,
         film, n_rays = _nlos_confocal_pass(
             primal_sd(scene.data), ctx, lanes, film, jnp.uint32(seed),
             jnp.uint32(p), jnp.float32(1.0 / total_spp),
-            film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw)
+            film_cfg_=film_cfg, icfg_=icfg, spp_=spp_chunk, hw_=hw,
+            polarized_=polarized, spectral_=spectral)
         total_rays = total_rays + n_rays
         if progress_callback is not None:
             progress_callback((p + 1) / n_passes)

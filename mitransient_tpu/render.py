@@ -297,7 +297,8 @@ def load_film_state(path: str):
 # Differentiable rendering (PRB two-sweep; mirrors common.py:215-409)
 # --------------------------------------------------------------------------
 
-def _prb_setup(scene: Scene, spp, seed, sensor):
+def _prb_setup(scene: Scene, spp, seed, sensor,
+               max_lanes: int = DEFAULT_MAX_LANES * 4):
     cfg = scene.sensors[sensor]
     icfg = scene.integrator
     film_cfg = cfg.film
@@ -307,25 +308,30 @@ def _prb_setup(scene: Scene, spp, seed, sensor):
             "render the full film or crop the gradient instead")
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
-    if hw * spp > DEFAULT_MAX_LANES * 4:
-        # the reference likewise refuses multi-pass differential rendering
-        # (common.py:237-240,350-353)
+    if hw * spp > (1 << 32):
+        # parity with the reference's refusal threshold: one 2^32-lane
+        # wavefront (common.py:51-85,237-240).  Below that, spp is chunked
+        # into DEFAULT_MAX_LANES*4-lane passes and gradients/tangent films
+        # accumulate additively across passes.
         raise ValueError(
-            f"render_backward/forward require a single pass; reduce spp "
-            f"(lanes = {hw * spp})")
-    return cfg, icfg, film_cfg, spp, hw
+            f"render_backward/forward wavefront exceeds 2^32 lanes "
+            f"(lanes = {hw * spp}); reduce spp")
+    spp_chunk = max(1, min(spp, max_lanes // max(hw, 1)))
+    n_passes = (spp + spp_chunk - 1) // spp_chunk
+    spp_chunk = (spp + n_passes - 1) // n_passes
+    return cfg, icfg, film_cfg, spp, hw, spp_chunk, n_passes
 
 
 @partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
                                    "spp"))
-def _backward_pass(sd, cam, grad_st_flat, grad_tr_flat, seed, inv_spp, *,
-                   film_cfg, icfg, width, height, spp):
+def _backward_pass(sd, cam, grad_st_flat, grad_tr_flat, seed, pass_idx,
+                   inv_spp, *, film_cfg, icfg, width, height, spp):
     from .film.transient_film import film_init as _fi
     from .integrators.prb import sample_adjoint
     from .integrators.path import sample_primal
 
     n = width * height * spp
-    sampler = Sampler(seed, n, stream=0)
+    sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
     # sweep 1: primal (state_out = per-lane total L); film splats skipped
     film = _fi(film_cfg, sd.bsdf.reflectance.shape[-1])
@@ -343,7 +349,8 @@ def _backward_pass(sd, cam, grad_st_flat, grad_tr_flat, seed, inv_spp, *,
 
 def render_backward(scene: Scene, grad_in, spp: int | None = None,
                     seed: int = 0, sensor: int = 0,
-                    method: str | None = None):
+                    method: str | None = None,
+                    max_lanes: int = DEFAULT_MAX_LANES * 4):
     """Reverse-mode differential rendering (parity with
     ``TransientADIntegrator.render_backward``, common.py:325-409).
 
@@ -376,7 +383,8 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
 
         return render_backward_fullad(scene, grad_in, spp=spp, seed=seed,
                                       sensor=sensor)
-    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
+    cfg, icfg, film_cfg, spp, hw, spp_chunk, n_passes = _prb_setup(
+        scene, spp, seed, sensor, max_lanes)
     C = scene.variant.color_channels
     T = film_cfg.temporal_bins
     grad_steady, grad_transient = grad_in
@@ -388,12 +396,21 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
     cam = build_camera(cfg)
     from .scene.scene import primal_sd
 
-    grads = _backward_pass(
-        primal_sd(scene.data), cam, gs, gt, jnp.uint32(seed),
-        jnp.float32(1.0 / spp),
-        film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
-        height=film_cfg.height, spp=spp,
-    )
+    # spp-chunked accumulation (gradients are additive across sample
+    # chunks), lifting the single-pass cap to the reference's 2^32-lane
+    # refusal threshold (common.py:51-85) — same scheme as
+    # render_backward_volpath below.
+    total_spp = spp_chunk * n_passes
+    grads = None
+    for p in range(n_passes):
+        g = _backward_pass(
+            primal_sd(scene.data), cam, gs, gt, jnp.uint32(seed),
+            jnp.uint32(p), jnp.float32(1.0 / total_spp),
+            film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+            height=film_cfg.height, spp=spp_chunk,
+        )
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
     from .integrators.prb import grads_to_named
 
     return grads_to_named(scene, grads)
@@ -476,15 +493,19 @@ def render_backward_volpath(scene: Scene, grad_in, spp: int | None = None,
 
 @partial(jax.jit, static_argnames=("film_cfg", "icfg", "width", "height",
                                    "spp"))
-def _forward_pass(sd, cam, tangents, seed, inv_spp, *, film_cfg, icfg,
-                  width, height, spp):
+def _forward_pass(sd, cam, tangents, seed, pass_idx, inv_spp, *, film_cfg,
+                  icfg, width, height, spp):
+    """One spp chunk of plain-path forward mode.  Returns the (additive)
+    derivative-film STATE; the caller accumulates states across chunks and
+    develops once (develop's weight normalization then sees the total
+    weight)."""
     from .film.transient_film import film_init as _fi, splat_transient_pair
     from .integrators.prb import sample_adjoint
     from .integrators.path import sample_primal
 
     n = width * height * spp
     C = sd.bsdf.reflectance.shape[-1]
-    sampler = Sampler(seed, n, stream=0)
+    sampler = Sampler(seed, n, stream=pass_idx)
     ray, pix, ray_weight = sample_rays(cam, sampler, width, height, spp)
     film = _fi(film_cfg, C)
     _f, L, _v, _r = sample_primal(
@@ -509,10 +530,11 @@ def _forward_pass(sd, cam, tangents, seed, inv_spp, *, film_cfg, icfg,
             icfg.temporal_filter, icfg.gaussian_stddev,
         )
     # steady forward derivative: raw per-lane sum of dLo (splats carry the
-    # 1/spp scale; undo it — develop divides by the weight sum = spp)
+    # 1/spp_total scale; undo it — develop divides by the accumulated
+    # weight sum = spp_total)
     dL_total = jnp.sum(splats, axis=0) / inv_spp
     dfilm = splat_steady(dfilm, spp, dL_total, ray_weight)
-    return develop(dfilm, film_cfg)
+    return dfilm
 
 
 def _build_tangents(scene: Scene, tangent: dict):
@@ -546,15 +568,17 @@ def _build_tangents(scene: Scene, tangent: dict):
 
 @partial(jax.jit, static_argnames=("film_cfg", "icfg", "spp", "hw", "kind",
                                    "skip_le", "polarized", "spectral"))
-def _forward_pass_jvp(sd, ctx, tangents, seed, inv_spp, *, film_cfg, icfg,
-                      spp, hw, kind, skip_le=False, polarized=False,
-                      spectral=False):
-    """Integrator-generic forward mode: jax.jvp straight through the primal
-    wavefront program (film init + loop + develop).  Forward-mode needs no
-    taping, so memory is O(1) in path depth — structurally the same cost
-    as the reference's Forward-mode replay pass (common.py:215-323)."""
+def _forward_pass_jvp(sd, ctx, tangents, seed, pass_idx, inv_spp, *,
+                      film_cfg, icfg, spp, hw, kind, skip_le=False,
+                      polarized=False, spectral=False):
+    """Integrator-generic forward mode, one spp chunk: jax.jvp straight
+    through the primal wavefront program (film init + loop).  Forward-mode
+    needs no taping, so memory is O(1) in path depth — structurally the
+    same cost as the reference's Forward-mode replay pass
+    (common.py:215-323).  Returns the (primal, tangent) film-STATE pair;
+    the caller accumulates states across chunks and differentiates the
+    develop step once at the accumulated state."""
     from .film.transient_film import (
-        develop_any,
         film_init_any,
         splat_steady as _ss,
     )
@@ -564,7 +588,7 @@ def _forward_pass_jvp(sd, ctx, tangents, seed, inv_spp, *, film_cfg, icfg,
         sdt = insert_params(sd, theta)
         C = sdt.bsdf.reflectance.shape[-1]
         Cf = C * (4 if polarized else 1)
-        sampler = Sampler(seed, spp * hw, stream=jnp.uint32(0))
+        sampler = Sampler(seed, spp * hw, stream=pass_idx)
         if kind == "transient_nlos_path":
             from .integrators.nlos_path import (
                 sample_nlos_primal,
@@ -597,17 +621,14 @@ def _forward_pass_jvp(sd, ctx, tangents, seed, inv_spp, *, film_cfg, icfg,
                 sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
                 inv_spp, base_dim=2, spp=spp, polarized=polarized,
                 spectral=spectral, cam_vertical=ctx.R[:, 1])
-        film = _ss(film, spp, L, rw)
-        return develop_any(
-            film, film_cfg,
-            shape_hw=(film_cfg.height, film_cfg.width))
+        return _ss(film, spp, L, rw)
 
-    _primals, tangents_out = jax.jvp(f, (extract_params(sd),), (tangents,))
-    return tangents_out
+    return jax.jvp(f, (extract_params(sd),), (tangents,))
 
 
 def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
-                   seed: int = 0, sensor: int = 0):
+                   seed: int = 0, sensor: int = 0,
+                   max_lanes: int = DEFAULT_MAX_LANES * 4):
     """Forward-mode differential rendering (parity with
     ``render_forward``, common.py:215-323): returns the derivative
     (d_steady, d_transient) videos for a parameter perturbation direction.
@@ -621,7 +642,8 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
     the full primal program (exceeding the reference, whose prbvolpath has
     no forward mode, transient_prbvolpath.py:131-133).  Exhaustive NLOS is
     refused like the reference (transientnlospath.py:729-731)."""
-    cfg, icfg, film_cfg, spp, hw = _prb_setup(scene, spp, seed, sensor)
+    cfg, icfg, film_cfg, spp, hw, spp_chunk, n_passes = _prb_setup(
+        scene, spp, seed, sensor, max_lanes)
     nlos = (cfg.kind == "nlos_capture_meter"
             or icfg.kind == "transient_nlos_path")
 
@@ -630,16 +652,22 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
             "Exhaustive capture is not supported in differentiable "
             "rendering (transientnlospath.py:729-731)")
     tangents = _build_tangents(scene, tangent)
+    total_spp = spp_chunk * n_passes
 
     if (icfg.kind == "transient_path" and not nlos
             and not scene.variant.polarized and not scene.variant.spectral):
         cam = build_camera(cfg)
-        return _forward_pass(
-            scene.data, cam, tangents, jnp.uint32(seed),
-            jnp.float32(1.0 / spp),
-            film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
-            height=film_cfg.height, spp=spp,
-        )
+        dfilm = None
+        for p in range(n_passes):
+            df = _forward_pass(
+                scene.data, cam, tangents, jnp.uint32(seed), jnp.uint32(p),
+                jnp.float32(1.0 / total_spp),
+                film_cfg=film_cfg, icfg=icfg, width=film_cfg.width,
+                height=film_cfg.height, spp=spp_chunk,
+            )
+            dfilm = df if dfilm is None else jax.tree_util.tree_map(
+                jnp.add, dfilm, df)
+        return develop(dfilm, film_cfg)
 
     if nlos:
         from .integrators.nlos_path import can_skip_le, prepare_nlos_cached
@@ -655,12 +683,31 @@ def render_forward(scene: Scene, tangent: dict, spp: int | None = None,
     from .film.transient_film import xla_splat_scope
 
     with xla_splat_scope():  # jvp through the film scatter (no Pallas AD)
-        return _forward_pass_jvp(
-            scene.data, ctx, tangents, jnp.uint32(seed),
-            jnp.float32(1.0 / spp),
-            film_cfg=film_cfg, icfg=icfg, spp=spp, hw=hw, kind=kind,
-            skip_le=skip_le, polarized=scene.variant.polarized,
-            spectral=scene.variant.spectral)
+        # accumulate (primal, tangent) film STATES over spp chunks, then
+        # differentiate the develop step once at the accumulated state —
+        # exactly the jvp of the whole multi-pass program (film states are
+        # additive; filter weights carry zero tangent)
+        s_tot = t_tot = None
+        for p in range(n_passes):
+            s_p, t_p = _forward_pass_jvp(
+                scene.data, ctx, tangents, jnp.uint32(seed), jnp.uint32(p),
+                jnp.float32(1.0 / total_spp),
+                film_cfg=film_cfg, icfg=icfg, spp=spp_chunk, hw=hw,
+                kind=kind, skip_le=skip_le,
+                polarized=scene.variant.polarized,
+                spectral=scene.variant.spectral)
+            if s_tot is None:
+                s_tot, t_tot = s_p, t_p
+            else:
+                s_tot = jax.tree_util.tree_map(jnp.add, s_tot, s_p)
+                t_tot = jax.tree_util.tree_map(jnp.add, t_tot, t_p)
+        from .film.transient_film import develop_any as _dev
+
+        _out, d_out = jax.jvp(
+            lambda s: _dev(s, film_cfg,
+                           shape_hw=(film_cfg.height, film_cfg.width)),
+            (s_tot,), (t_tot,))
+        return d_out
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "channels"))

@@ -136,3 +136,46 @@ def test_forward_backward_consistency(scene):
     grads = mitr.render_backward(scene, (None, ones_t), spp=SPP, seed=0)
     bwd_total = float(np.asarray(grads["green.reflectance.value"]) @ v)
     assert abs(fwd_total - bwd_total) / max(abs(bwd_total), 1e-9) < 1e-3
+
+
+def test_backward_chunked_matches_single_pass(scene):
+    """spp-chunked PRB backward (multi-pass accumulation, round-5 lift of
+    the single-pass cap — reference bar common.py:51-85) is an unbiased
+    estimate of the same gradient: direction and magnitude agree with the
+    single-pass run within MC noise, and the emitter-radiance linearity
+    identity <grad, radiance> == E[loss] transfers."""
+    cfg = scene.sensors[0].film
+    ones_t = np.ones((cfg.height, cfg.width, cfg.temporal_bins, 3),
+                     np.float32)
+    g1 = mitr.render_backward(scene, (None, ones_t), spp=SPP, seed=0)
+    # max_lanes forces 16*16*32 lanes into 4 chunks of spp 8
+    gc = mitr.render_backward(scene, (None, ones_t), spp=SPP, seed=0,
+                              max_lanes=16 * 16 * 8)
+    a = np.asarray(g1["white.reflectance.value"])
+    b = np.asarray(gc["white.reflectance.value"])
+    cos = float(a @ b) / max(
+        float(np.linalg.norm(a) * np.linalg.norm(b)), 1e-12)
+    assert cos > 0.99
+    assert abs(a.sum() - b.sum()) / max(abs(a.sum()), 1e-9) < 0.1
+
+
+def test_forward_chunked_matches_single_pass(scene):
+    """spp-chunked forward mode (derivative-film state accumulation across
+    chunks) agrees with the single-pass derivative video within MC noise."""
+    v = np.array([1.0, 1.0, 1.0], np.float32)
+    ds1, dt1 = mitr.render_forward(
+        scene, {"white.reflectance.value": v}, spp=SPP, seed=0)
+    dsc, dtc = mitr.render_forward(
+        scene, {"white.reflectance.value": v}, spp=SPP, seed=0,
+        max_lanes=16 * 16 * 8)
+    # per-bin values are MC-noisy across the different chunk streams;
+    # compare the time-integrated derivative images (as the FD test does).
+    # Calibration: two independent SINGLE-pass estimates (seed 0 vs 1) have
+    # cosine 0.958 at this size — the chunked run measures 0.973, i.e.
+    # inside the estimator's own noise floor.
+    a = np.asarray(dt1).sum(axis=2)
+    b = np.asarray(dtc).sum(axis=2)
+    num = float((a * b).sum())
+    den = float(np.sqrt((a ** 2).sum() * (b ** 2).sum()))
+    assert den > 0 and num / den > 0.95
+    assert abs(a.sum() - b.sum()) / max(abs(a.sum()), 1e-9) < 0.1

@@ -399,3 +399,75 @@ def test_confocal_batched_scan_matches_perpoint_loop():
             b = t_pp[yy, xx].sum(axis=-1).nonzero()[0]
             if len(a) and len(b):
                 assert abs(int(a[0]) - int(b[0])) <= 1
+
+
+def test_confocal_batched_scan_polarized_matches_perpoint():
+    """Round-5: the batched confocal scan supports polarized variants
+    through the SAME wavefront code path (sample_nlos_primal with per-lane
+    lasers) — previously guarded off to the per-point loop (reference
+    confocal semantics: transientnlospath.py:337-339).
+
+    Checks: (a) S0 statistically matches the per-point focus+render loop
+    point by point; (b) the polarized batched scan's S0 equals the MONO
+    batched scan bit-for-bit (same estimator, same sample streams — the
+    Mueller chain must be radiometrically invisible on S0)."""
+    grid = 2
+    d = nlos_scene(sx=1, sy=1)
+    d["relay_wall"]["nlos_sensor"]["original_film_width"] = grid
+    d["relay_wall"]["nlos_sensor"]["original_film_height"] = grid
+    spp = 256
+    old = mitr.variant().name
+    mitr.set_variant("mono")
+    try:
+        _s, t_mono = mitr.nlos.scan_confocal(
+            mitr.load_dict(d), spp=spp, seed=0)
+        t_mono = np.asarray(t_mono)
+        mitr.set_variant("mono_polarized")
+        scene = mitr.load_dict(d)
+        s_b, t_b = mitr.nlos.scan_confocal(scene, spp=spp, seed=0)
+        t_b = np.asarray(t_b)  # (grid, grid, T, 4) Stokes-packed mono
+        assert t_b.shape == (grid, grid, 300, 4)
+        assert np.all(np.isfinite(t_b)) and t_b[..., 0].sum() > 0
+        # S1-S3 are exactly zero HERE: the diffuse relay wall is the last
+        # bounce before the sensor and diffuse is an ideal depolarizer
+        np.testing.assert_allclose(t_b[..., 0:1], t_mono, rtol=1e-5)
+
+        scene2 = mitr.load_dict(d)
+        t_pp = np.zeros_like(t_b)
+        for yy in range(grid):
+            for xx in range(grid):
+                mitr.nlos.focus_emitter_at_relay_wall_pixel(
+                    [xx + 0.5, yy + 0.5], scene2)
+                _s, t = mitr.render(scene2, spp=spp, seed=0)
+                t_pp[yy, xx] = np.asarray(t)[0, 0]
+        pb = t_b[..., 0].sum(axis=-1).ravel()
+        pp = t_pp[..., 0].sum(axis=-1).ravel()
+        assert pp.sum() > 0
+        num = float((pb * pp).sum())
+        den = float(np.sqrt((pb ** 2).sum() * (pp ** 2).sum()))
+        assert den > 0 and num / den > 0.999, (pb, pp)
+        # seed-to-seed spread of a bright pixel is ~10% at this spp (4-px
+        # sum; measured across 5 seeds) — the bit-exact S0==mono check
+        # above is the deterministic lock, this bounds statistical drift
+        assert abs(pb.sum() - pp.sum()) / pp.sum() < 0.15
+    finally:
+        mitr.set_variant(old)
+
+
+def test_confocal_batched_scan_spectral_runs():
+    """Round-5: spectral batched confocal (hero-wavelength lanes, sRGB
+    film) — previously guarded off."""
+    grid = 2
+    d = nlos_scene(sx=1, sy=1)
+    d["relay_wall"]["nlos_sensor"]["original_film_width"] = grid
+    d["relay_wall"]["nlos_sensor"]["original_film_height"] = grid
+    old = mitr.variant().name
+    mitr.set_variant("spectral")
+    try:
+        scene = mitr.load_dict(d)
+        s_b, t_b = mitr.nlos.scan_confocal(scene, spp=128, seed=0)
+        t_b = np.asarray(t_b)
+        assert t_b.shape == (grid, grid, 300, 3)
+        assert np.all(np.isfinite(t_b)) and t_b.sum() > 0
+    finally:
+        mitr.set_variant(old)
