@@ -81,7 +81,8 @@ def fullad_grads(sd, ctx, gs, gt_full, seed, stream, inv_total, *,
                                        film_cfg.height, spp)
             film, L, _v, _r = sample_volpath_primal(
                 sdt, sampler, ray, pix, rw, film, film_cfg, icfg,
-                inv_total, base_dim=2, spp=spp, spectral=spectral)
+                inv_total, base_dim=2, spp=spp, spectral=spectral,
+                polarized=polarized, cam_vertical=ctx.R[:, 1])
         _steady_dev, transient = develop_any(
             film, film_cfg, shape_hw=(film_cfg.height, film_cfg.width))
         # steady partial: per-pass sum of L * inv_total (box filter weights)
@@ -121,11 +122,6 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
     C = scene.variant.color_channels * (4 if polarized else 1)
     T = film_cfg.temporal_bins
 
-    if kind == "transient_prbvolpath" and polarized:
-        raise NotImplementedError(
-            "polarized volumetric is primal-only (the reference has no "
-            "polarized volumetric at all; its prbvolpath is unpolarized, "
-            "transient_prbvolpath.py:40-48)")
     if kind == "transient_nlos_path":
         if icfg.capture_type == "exhaustive":
             raise ValueError(

@@ -95,12 +95,12 @@ def render_sharded(
             scene, mesh, spp=spp, seed=seed, sensor=sensor,
             return_stats=return_stats)
     film_cfg = cfg.film
-    if film_cfg.is_cropped:
-        raise NotImplementedError(
-            "sharded rendering with a cropped film is not supported")
     ndev = mesh.size
     spp = spp if spp is not None else cfg.spp
-    hw = film_cfg.width * film_cfg.height
+    # crop windows: lanes cover the DATA (crop) dims; uv mapping uses the
+    # full sensor (mi.Film crop semantics) — same scheme as render()
+    dw, dh = film_cfg.data_width, film_cfg.data_height
+    hw = dw * dh
     polarized = scene.variant.polarized
     spectral = scene.variant.spectral
     volumetric = icfg.kind == "transient_prbvolpath"
@@ -113,8 +113,11 @@ def render_sharded(
     total_spp = chunk * n_passes * ndev
 
     nlos, ctx = _sensor_context(scene, cfg)
+    if nlos and film_cfg.is_cropped:
+        raise NotImplementedError(
+            "NLOS capture films do not support crop windows")
     C_film = scene.variant.color_channels * (4 if polarized else 1)
-    scan_pixels = hw if nlos else None
+    scan_pixels = hw if (nlos or film_cfg.is_cropped) else None
 
     @partial(
         shard_map,
@@ -145,7 +148,9 @@ def render_sharded(
             )
         else:
             ray, pix, ray_weight = sample_rays(
-                ctx_, sampler, film_cfg.width, film_cfg.height, chunk)
+                ctx_, sampler, dw, dh, chunk,
+                crop_offset=(film_cfg.crop_offset_x, film_cfg.crop_offset_y),
+                full_size=(film_cfg.width, film_cfg.height))
             if volumetric:
                 from ..integrators.volpath import sample_volpath_primal
 
@@ -168,7 +173,7 @@ def render_sharded(
             # reproduce the camera jitter (sampler dims 0-1 of this stream)
             jit2 = Sampler(seed_, hw * chunk, stream=stream).next_2d()
             film = splat_steady_gaussian(
-                film, film_cfg.height, film_cfg.width, chunk, L, ray_weight,
+                film, dh, dw, chunk, L, ray_weight,
                 jit2, stddev=film_cfg.rfilter_stddev)
         else:
             film = splat_steady(film, chunk, L, ray_weight)
@@ -190,7 +195,7 @@ def render_sharded(
         acc = film if acc is None else jax.tree.map(jnp.add, acc, film)
     steady, transient = develop(
         acc, film_cfg,
-        shape_hw=(film_cfg.height, film_cfg.width) if nlos else None)
+        shape_hw=(film_cfg.height, film_cfg.width) if nlos else (dh, dw))
     if return_stats:
         return steady, transient, {"rays": total_rays, "spp": total_spp,
                                    "devices": ndev}
@@ -542,10 +547,6 @@ def render_backward_sharded(
             raise ValueError(
                 "Exhaustive capture is not supported in differentiable "
                 "rendering (transientnlospath.py:729-731)")
-        if icfg.kind == "transient_prbvolpath" and scene.variant.polarized:
-            raise NotImplementedError(
-                "polarized volumetric is primal-only (the reference has no "
-                "polarized volumetric at all)")
         gt_full = (jnp.zeros((film_cfg.height, film_cfg.width, T, C),
                              jnp.float32)
                    if grad_transient is None

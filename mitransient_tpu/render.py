@@ -368,7 +368,13 @@ def render_backward(scene: Scene, grad_in, spp: int | None = None,
     full reverse-mode AD through the wavefront loop
     (integrators/fullad.py).
     """
-    if scene.integrator.kind == "transient_prbvolpath" and method != "fullad":
+    if (scene.integrator.kind == "transient_prbvolpath"
+            and method != "fullad" and not scene.variant.polarized):
+        # polarized volumetric falls through to the chunked full-AD path
+        # below — the PRB replay (prb_vol.py) replays the unpolarized
+        # estimator, but jax.grad through the polarized primal is exact.
+        # Exceeds the reference, whose prbvolpath is unpolarized
+        # (transient_prbvolpath.py:40-48).
         return render_backward_volpath(scene, grad_in, spp=spp, seed=seed,
                                        sensor=sensor)
     if (scene.integrator.kind in ("transient_nlos_path",

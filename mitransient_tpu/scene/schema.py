@@ -894,6 +894,20 @@ class Scene:
         if not self.sensors:
             raise ValueError("scene has no sensor")
 
+        # Film / NLOS-sensor parameters in the traversal surface (parity:
+        # transient_hdr_film.py:295-308 and nloscapturemeter.py:219-227 —
+        # NonDifferentiable there, host-side re-config here; an update()
+        # re-bins the next render via the static film config).
+        for _si, _scfg in enumerate(self.sensors):
+            _sk = "sensor" if _si == 0 else f"sensor{_si}"
+            for _f in ("start_opl", "bin_width_opl", "temporal_bins"):
+                self._param_paths[f"{_sk}.film.{_f}"] = (f"film.{_f}", _si)
+            if _scfg.kind == "nlos_capture_meter":
+                self._param_paths[f"{_sk}.laser_bounce_opl"] = (
+                    "nlos.laser_bounce_opl", _si)
+                self._param_paths[f"{_sk}.laser_target"] = (
+                    "nlos.laser_target", _si)
+
         # NLOS bookkeeping: laser focus state (updated by mitransient_tpu.nlos)
         self.laser_target = np.zeros(3)
         self.laser_bounce_opl = 0.0
@@ -1325,6 +1339,13 @@ class ParamMap:
             # additive axis-angle delta about the shape pivot; always zero
             # after update() re-bakes the pose into the soup
             return self.scene.data.geom.rotate[idx]
+        if table.startswith("film."):
+            return getattr(self.scene.sensors[idx].film,
+                           table.split(".", 1)[1])
+        if table == "nlos.laser_bounce_opl":
+            return float(self.scene.laser_bounce_opl)
+        if table == "nlos.laser_target":
+            return np.asarray(self.scene.laser_target, np.float32)
         raise KeyError(key)
 
     def __setitem__(self, key, value):
@@ -1394,6 +1415,22 @@ class ParamMap:
                              .translate(-piv))
                     shp.to_world = delta @ shp.to_world
                     rebake = True
+            elif table.startswith("film."):
+                # static film re-config (transient_hdr_film.py:295-308):
+                # the next render re-bins with the new window (film configs
+                # are jit-static, so this recompiles that shape once)
+                field = table.split(".", 1)[1]
+                cast = int if field == "temporal_bins" else float
+                scfg = self.scene.sensors[idx]
+                self.scene.sensors[idx] = scfg._replace(
+                    film=scfg.film._replace(**{field: cast(value)}))
+            elif table == "nlos.laser_bounce_opl":
+                self.scene.laser_bounce_opl = float(value)
+                self.scene._nlos_ctx_cache = None
+            elif table == "nlos.laser_target":
+                self.scene.laser_target = np.asarray(value, np.float64)
+                self.scene.laser_focused = True
+                self.scene._nlos_ctx_cache = None
         if rebake:
             # geometry moved: re-bake the triangle soup, emitter tables,
             # pivots and acceleration structure host-side (the geom deltas
@@ -1460,6 +1497,8 @@ class ParamMap:
             elif table in ("emitter.to_world", "shape.translate",
                            "shape.rotate"):
                 pass  # host-side re-bake; handled in update()
+            elif table.startswith("film.") or table.startswith("nlos."):
+                pass  # static host-side config; handled in update()
             else:
                 raise KeyError(key)
         return data

@@ -255,3 +255,73 @@ def test_emitter_radiance_update_survives_rebake():
     params[tkey] = np.asarray(params[tkey]) + np.array([0.02, 0.0, 0.0])
     params.update()
     assert np.allclose(np.asarray(params[ekey]), base * 2.0, rtol=1e-6)
+
+
+def test_film_params_traversable():
+    """Round-5: film re-bin parameters are in the traversal surface
+    (parity: transient_hdr_film.py:295-308 exposes temporal_bins /
+    bin_width_opl / start_opl as NonDifferentiable).  update() re-bins the
+    next render."""
+    d = mitr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    d["sensor"]["film"]["temporal_bins"] = 100
+    scene = mitr.load_dict(d)
+    params = mitr.traverse(scene)
+    for key in ("sensor.film.start_opl", "sensor.film.bin_width_opl",
+                "sensor.film.temporal_bins"):
+        assert key in params.keys(), key
+    assert params["sensor.film.temporal_bins"] == 100
+    bw = float(params["sensor.film.bin_width_opl"])
+    _s, t1 = mitr.render(scene, spp=16, seed=0)
+    assert np.asarray(t1).shape[2] == 100
+    # halving the bin width doubles the first-arrival bin index
+    p1 = np.asarray(t1).sum(axis=(0, 1, 3))
+    f1 = np.nonzero(p1)[0][0]
+    # halve the bin width and double the bin count: the SAME time window
+    # at twice the resolution — energy conserved, first arrival at 2x bin
+    params["sensor.film.bin_width_opl"] = bw / 2.0
+    params["sensor.film.temporal_bins"] = 200
+    params.update()
+    assert scene.sensors[0].film.temporal_bins == 200
+    _s, t2 = mitr.render(scene, spp=16, seed=0)
+    assert np.asarray(t2).shape[2] == 200
+    p2 = np.asarray(t2).sum(axis=(0, 1, 3))
+    f2 = np.nonzero(p2)[0][0]
+    assert abs(f2 - 2 * f1) <= 2, (f1, f2)
+    # energy is conserved across re-binning (same paths, same window)
+    assert abs(p2.sum() - p1.sum()) / p1.sum() < 1e-3
+
+
+def test_nlos_laser_params_traversable():
+    """NLOS sensor exposes laser_bounce_opl / laser_target
+    (nloscapturemeter.py:219-227); updating laser_target refocuses the
+    next render (the memoized NLOS context is invalidated)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_nlos import nlos_scene
+
+    scene = mitr.load_dict(nlos_scene())
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([1.0, 1.0], scene)
+    params = mitr.traverse(scene)
+    assert "sensor.laser_bounce_opl" in params.keys()
+    assert "sensor.laser_target" in params.keys()
+    t0 = np.asarray(params["sensor.laser_target"]).copy()
+    opl0 = float(params["sensor.laser_bounce_opl"])
+    # the focus helper filled both: target on the wall, opl = ||target-o||
+    assert np.abs(t0[2]) < 1e-5  # relay wall is the z=0 plane
+    assert opl0 > 0
+    # writes land in the scene's laser state and invalidate the memoized
+    # NLOS context (like the reference's NonDifferentiable params,
+    # nloscapturemeter.py:219-227 — writing does not re-aim the emitter
+    # there either)
+    mitr.nlos.focus_emitter_at_relay_wall_pixel([3.0, 3.0], scene)
+    t1 = np.asarray(mitr.traverse(scene)["sensor.laser_target"])
+    assert not np.allclose(t0, t1)
+    params2 = mitr.traverse(scene)
+    params2["sensor.laser_target"] = t0
+    params2["sensor.laser_bounce_opl"] = opl0
+    params2.update()
+    assert np.allclose(np.asarray(scene.laser_target), t0)
+    assert float(scene.laser_bounce_opl) == opl0
+    assert scene._nlos_ctx_cache is None

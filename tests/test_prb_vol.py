@@ -106,3 +106,48 @@ def test_replay_heterogeneous_grid():
     scene = mitr.load_dict(d)
     akey = next(k for k in mitr.traverse(scene).keys() if "albedo" in k)
     _fd_check(scene, akey, spp=32, tol=0.08)
+
+
+def test_fd_polarized_fog_backward():
+    """Round-5: polarized volumetric backward (chunked full-AD through the
+    polarized volpath primal — exceeds the reference, whose prbvolpath is
+    unpolarized, transient_prbvolpath.py:40-48).  FD-validates the albedo
+    gradient of the S0-weighted loss on a polarized fog cbox."""
+    old = mitr.variant().name
+    mitr.set_variant("rgb_polarized")
+    try:
+        scene = _scene(max_depth=8, sigma_t=2.0)
+        fc = scene.sensors[0].film
+        # adjoint seed: weight S0 rows only (physical radiance); S1-3 rows
+        # get zero adjoint so the loss is variant-comparable
+        ones = np.zeros((fc.height, fc.width, fc.temporal_bins, 12),
+                        np.float32)
+        ones[..., 0:3] = 1.0
+        spp = 16
+        grads = mitr.render_backward(scene, (None, ones), spp=spp, seed=0)
+        akey = next(k for k in mitr.traverse(scene).keys() if "albedo" in k)
+        g = np.asarray(grads[akey])
+        assert np.all(np.isfinite(g)) and np.abs(g).sum() > 0
+        params = mitr.traverse(scene)
+        base = np.asarray(params[akey])
+        v = np.ones_like(base)
+        eps = 1e-3
+
+        def loss():
+            _s, t = mitr.render(scene, spp=spp, seed=0)
+            return float(np.asarray(t, np.float64)[..., 0:3].sum())
+
+        params[akey] = base + eps * v
+        params.update()
+        lp = loss()
+        params[akey] = base - eps * v
+        params.update()
+        lm = loss()
+        params[akey] = base
+        params.update()
+        fd = (lp - lm) / (2 * eps)
+        an = float(g.reshape(-1) @ v.reshape(-1))
+        assert fd != 0.0
+        assert abs(an - fd) / max(abs(fd), 1e-9) < 0.05, (an, fd)
+    finally:
+        mitr.set_variant(old)
