@@ -75,6 +75,21 @@ def _report(name, value, best, rays, spp, **extra):
               f"({value/1e6:.1f} M vs {prev/1e6:.1f} M rays/s)", flush=True)
 
 
+def _ref_scene(rel):
+    """Resolve a reference example scene; MITR_REF_ROOT overrides the
+    default /root/reference checkout.  Raises a clear SkipBench when the
+    tree is absent instead of a bare FileNotFoundError."""
+    import os
+
+    root = os.environ.get("MITR_REF_ROOT", "/root/reference")
+    path = os.path.join(root, rel)
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"benchmark scene not found: {path} — set MITR_REF_ROOT to a "
+            "mitransient reference checkout or skip this workload")
+    return path
+
+
 def _run(scene, spp, seed=0, **kw):
     import mitransient_tpu as mitr
 
@@ -89,14 +104,26 @@ def bench(name, make_scene, spp, reps=2, **kw):
 
     scene = make_scene()
     stats = _run(scene, spp, seed=0, **kw)  # warm/compile
+    # Sub-second workloads carry +-10% run-to-run noise through the 25 ms
+    # tunnel RTT (BASELINE.md "Timing semantics"); batch enough renders
+    # per timed region to cover ~1 s so the 0.9x regression guard is
+    # trustworthy (round-4 verdict weak item 6).  Seeds differ per call —
+    # identical args can hit client-side caching through the tunnel.
+    t0 = time.perf_counter()
+    stats = _run(scene, spp, seed=997, **kw)
+    dt0 = time.perf_counter() - t0
+    batch = max(1, min(10, int(1.0 / max(dt0, 1e-3))))
     best = None
+    seed = 1
     for rep in range(reps):
         t0 = time.perf_counter()
-        stats = _run(scene, spp, seed=1 + rep, **kw)
-        dt = time.perf_counter() - t0
+        for _ in range(batch):
+            stats = _run(scene, spp, seed=seed, **kw)
+            seed += 1
+        dt = (time.perf_counter() - t0) / batch
         best = dt if best is None else min(best, dt)
     rays = float(stats["rays"])
-    _report(name, rays / best, best, rays, spp)
+    _report(name, rays / best, best, rays, spp, batch=batch)
 
 
 def cbox(**over):
@@ -220,7 +247,7 @@ def make_staircase():
     import mitransient_tpu as mitr
 
     return mitr.load_file(
-        "/root/reference/examples/diff-transient/staircase/scene.xml",
+        _ref_scene("examples/diff-transient/staircase/scene.xml"),
         resx=256, resy=256, max_depth=6)
 
 
@@ -232,7 +259,7 @@ def make_nlos_zroom():
     import mitransient_tpu as mitr
 
     return mitr.load_file(
-        "/root/reference/examples/transient-nlos/nlos-z-room.xml")
+        _ref_scene("examples/transient-nlos/nlos-z-room.xml"))
 
 
 ALL = {

@@ -59,6 +59,10 @@ class PathState(NamedTuple):
     prev_delta: jnp.ndarray  # (N,) bool
     film: TransientFilmState
     n_rays: jnp.ndarray  # () f32 — closest-hit + shadow rays actually traced
+    # polarized only: pending-rotator carry (cos 2a, sin 2a) with TRUE
+    # Mueller throughput = stored beta @ R(pend) (core/mueller.py
+    # "Structured right-applies"); () when unpolarized
+    pend: tuple = ()
 
 
 def sample_primal(
@@ -129,18 +133,24 @@ def sample_primal(
     splat_w = ray_weight * sample_scale
 
     if polarized:
-        from ..bsdf.polarized import sensor_alignment_soa
+        from ..bsdf.polarized import sensor_alignment_angles
+        from ..core.mueller import msoa_identity
 
         vert = cam_vertical if cam_vertical is not None else jnp.array(
             [0.0, 1.0, 0.0])
         # SoA Mueller throughput: tuple of 16 (N, C) arrays — rank-2 like
         # every unpolarized carry, so XLA assigns ONE layout (the rank-4
         # (N, 4, 4, C) carry got three competing TPU layouts and relayout
-        # copies dominated the loop; see core/mueller.py msoa_* notes)
-        beta0 = sensor_alignment_soa(ray.d, vert, C)
+        # copies dominated the loop; see core/mueller.py msoa_* notes).
+        # Pending-rotator carry (ported from path_regen, round 5): the
+        # sensor-alignment rotator (reference utils.py:9-21) rides in the
+        # pending slot, beta starts as the identity.
+        beta0 = msoa_identity(jnp.zeros((n, C), jnp.float32))
+        pend0 = sensor_alignment_angles(ray.d, vert)
         L0 = jnp.zeros((n, 4 * C), jnp.float32)
     else:
         beta0 = jnp.ones((n, C), jnp.float32)
+        pend0 = ()
         L0 = jnp.zeros((n, C), jnp.float32)
 
     state = PathState(
@@ -157,6 +167,7 @@ def sample_primal(
         prev_delta=jnp.ones((n,), bool),
         film=film,
         n_rays=jnp.zeros((), jnp.float32),
+        pend=pend0,
     )
 
     def bounce(it, st: PathState) -> PathState:
@@ -221,7 +232,7 @@ def sample_primal(
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
             from ..bsdf.polarized import polarization_factor_col0_soa
-            from ..core.mueller import msoa_matvec
+            from ..core.mueller import msoa_matvec, stokes_rotate
 
             # Fresnel incidence cosine at the half vector (local frame)
             m_h = si.wi + wo_em
@@ -230,9 +241,11 @@ def sample_primal(
             cos_i_em = jnp.abs(jnp.sum(si.wi * m_h, axis=-1))
             wo_em_world = ds.d
             # NEE sources are unpolarized, so only column 0 of the Mueller
-            # factor survives: one matvec instead of a full 4x4 product
+            # factor survives; the pending rotator applies to the column
+            # (true beta = stored @ R(pend)) before one 4-vector matvec
             P0 = polarization_factor_col0_soa(lb, -wo_em_world, -st.d,
                                               cos_i_em)
+            P0 = stokes_rotate(P0, st.pend[0][:, None], st.pend[1][:, None])
             col = msoa_matvec(st.beta, tuple(p * f_em for p in P0))
             w_em = mis_em[:, None] * em_weight
             Lr_dir = jnp.where(
@@ -267,8 +280,14 @@ def sample_primal(
 
         L = st.L + Le + Lr_dir
         if polarized:
-            from ..bsdf.polarized import polarization_factor_soa
-            from ..core.mueller import msoa_product, msoa_where
+            from ..bsdf.polarized import specular_params_soa
+            from ..core.mueller import (
+                msoa_apply_fresnel_cols,
+                msoa_apply_rotator_cols,
+                msoa_where,
+                rot2_compose,
+            )
+            from ..scene.scene import BSDF_NULL
 
             m_h = si.wi + bs.wo
             m_h = m_h / jnp.maximum(
@@ -277,14 +296,44 @@ def sample_primal(
                 bs.delta, jnp.abs(si.wi[:, 2]),
                 jnp.abs(jnp.sum(si.wi * m_h, axis=-1)))
             transmitted = bs.wo[:, 2] * si.wi[:, 2] < 0.0
-            P_s = polarization_factor_soa(
+            # Structured bounce update (no sandwich construction, no
+            # 64-madd product): beta' @ R(pend') = beta @ R(pend) @ R_out
+            # @ F @ R_in with R(pend)@R_out composed by angle addition, F
+            # applied as a column mix, and R_in deferred into the next
+            # pending slot (same scheme as path_regen.py).
+            is_spec, A, B, Cc, S, ci2, si2, co2, so2 = specular_params_soa(
                 lb, -d_world, -st.d, cos_i_s, transmitted=transmitted)
-            M_w = tuple(e * bs.weight for e in P_s)
-            beta = msoa_where(active_next[:, None],
-                              msoa_product(st.beta, M_w), st.beta)
+            pc2, ps2 = st.pend
+            cc, cs = rot2_compose(pc2, ps2, co2, so2)
+            f = bs.weight
+            spec_beta = msoa_apply_fresnel_cols(
+                msoa_apply_rotator_cols(st.beta, cc[:, None], cs[:, None]),
+                A * f, B * f, Cc * f, S * f)
+            # non-specular: column 0 survives for every lobe (x f);
+            # columns 1-3 survive only for null (identity P)
+            is_null = lb.kind == BSDF_NULL
+            nullf = is_null[:, None].astype(jnp.float32)
+            sp = is_spec[:, None]
+            beta = tuple(
+                jnp.where(sp, spec_beta[4 * i + j],
+                          st.beta[4 * i + j] * f
+                          * (1.0 if j == 0 else nullf))
+                for i in range(4) for j in range(4))
+            beta = msoa_where(active_next[:, None], beta, st.beta)
+            # pending: specular lanes defer R_in; null keeps the current
+            # rotator; depolarizing lanes reset (depolarizer @ R = depol)
+            keep = is_null & active_next
+            specp = is_spec & active_next
+            pend = (
+                jnp.where(specp, ci2, jnp.where(keep, pc2,
+                          jnp.where(active_next, 1.0, pc2))),
+                jnp.where(specp, si2, jnp.where(keep, ps2,
+                          jnp.where(active_next, 0.0, ps2))),
+            )
         else:
             beta = jnp.where(active_next[:, None], st.beta * bs.weight,
                              st.beta)
+            pend = st.pend
         eta = jnp.where(active_next, st.eta * bs.eta, st.eta)
 
         # ---------------- stopping criteria --------------------------------
@@ -330,6 +379,7 @@ def sample_primal(
             n_rays=st.n_rays
             + jnp.sum(active.astype(jnp.float32))
             + jnp.sum(active_em.astype(jnp.float32)),
+            pend=pend,
         )
 
     state = jax.lax.fori_loop(0, icfg.max_depth, bounce, state)

@@ -76,6 +76,15 @@ SELECT_K = 1
 # path is kept as the measured branch point for future hierarchy work.
 BVH_MODE = "chunk"
 
+# Alive-compaction cascade ladder: a stage hands off to a prefix of
+# LADDER_NUM/LADDER_DEN of its size once the alive count fits, down to a
+# floor of LADDER_FLOOR_TILES tiles.  Ratio 2 hands off at the median of
+# the per-ray visit distribution; finer ratios trade more handoff sorts +
+# compiled stages for less overwork on the tail.
+LADDER_NUM = 1
+LADDER_DEN = 2
+LADDER_FLOOR_TILES = 4
+
 
 def _pad_reshape(x, fill):
     n = x.shape[0]
@@ -120,24 +129,51 @@ def _woop_update(tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask,
 
 
 def _sweep_kernel(
-    aabb_ref,                       # (8, C) SMEM chunk bounds (+2 pad rows)
+    aabb_ref,                       # (8, C_pad) SMEM chunk bounds
+    sup_ref,                        # (8, S) SMEM super-chunk bounds
     pages_ref,                      # (C, tri_rows, 128) ANY (HBM); tri_rows = per-accel page cap // 8
-    *refs,                          # SELECT_K cid tiles, 7 ray tiles, outs,
-                                    # scratch, sem
+    *refs,                          # cid tile, 7 ray tiles, 2 gate tiles,
+                                    # outs (t, p, e, c), scratch, sem
     n_chunks: int,
+    n_supers: int,
     tri_rows: int,
     unroll: int,
 ):
-    cids = [refs[j][...] for j in range(SELECT_K)]
-    ox, oy, oz, dx, dy, dz, limit = refs[SELECT_K:SELECT_K + 7]
-    best_t_ref, best_p_ref = refs[SELECT_K + 7:SELECT_K + 9]
-    page_scr = refs[SELECT_K + 9]
-    sem = refs[SELECT_K + 10]
+    """Fused sweep + next-candidate select.
+
+    After walking the tile's bound chunk pages, the kernel re-runs the
+    front-to-back chunk SELECTION for the next pass while the ray state is
+    still in registers — with the POST-sweep best_t, which prunes harder
+    than the pre-sweep select ever could.  This removes the standalone
+    select kernel (and its full HBM round trip of the 9-array ray state)
+    from every pass after the first."""
+    cid_t, ox, oy, oz, dx, dy, dz, limit, ge_t, gc_t = refs[:10]
+    best_t_ref, best_p_ref, e_out, c_out = refs[10:14]
+    page_scr = refs[14]
+    sem = refs[15]
+    cids = [cid_t[...]]
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
     lim = limit[...]
     sent = jnp.int32(n_chunks)
+
+    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+        t0x = (bminx - rox) * ix
+        t1x = (bmaxx - rox) * ix
+        t0y = (bminy - roy) * iy
+        t1y = (bmaxy - roy) * iy
+        t0z = (bminz - roz) * iz
+        t1z = (bmaxz - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        return tn, tf
 
     best_t_ref[...] = lim
     best_p_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
@@ -176,23 +212,9 @@ def _sweep_kernel(
         # the rays whose selection bound it.  Duplicate work is idempotent
         # (min-reduce) and the wider mask slashes the number of passes the
         # outer loop needs.
-        t0x = (aabb_ref[0, cur] - rox) * ix
-        t0y = (aabb_ref[1, cur] - roy) * iy
-        t0z = (aabb_ref[2, cur] - roz) * iz
-        t1x = (aabb_ref[3, cur] - rox) * ix
-        t1y = (aabb_ref[4, cur] - roy) * iy
-        t1z = (aabb_ref[5, cur] - roz) * iz
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), RAY_EPS),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
+        tn, tf = slab(aabb_ref[0, cur], aabb_ref[1, cur], aabb_ref[2, cur],
+                      aabb_ref[3, cur], aabb_ref[4, cur], aabb_ref[5, cur])
         bound = cids[0] == cur
-        for c in cids[1:]:
-            bound = bound | (c == cur)
         mask = bound | ((tn <= tf) & (tn < bt))
 
         def row(g, carry):
@@ -220,13 +242,60 @@ def _sweep_kernel(
 
     jax.lax.while_loop(lambda s: s[0] < sent, body, (first, 0))
 
+    # ---- fused next-candidate select (K=1, post-sweep best_t) ----------
+    bt = best_t_ref[...]
+    ge = ge_t[...]
+    gc = gc_t[...]
 
-def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
-    """Run the sweep kernel over a (sorted) wavefront: each ray is tested
-    against its K bound chunks (plus any resident chunk it can improve
-    against); returns improved (t, prim) candidates."""
+    def sup_body(si, carry):
+        be, bc = carry
+        tn, tf = slab(sup_ref[0, si], sup_ref[1, si], sup_ref[2, si],
+                      sup_ref[3, si], sup_ref[4, si], sup_ref[5, si])
+        # packet pruning: a super matters only if some ray in the tile
+        # could still insert a chunk from it (gate-independent, safe)
+        hit = jnp.any((tn <= tf) & (tn < jnp.minimum(bt, be)))
+
+        def scan8(carry):
+            be, bc = carry
+            for k in range(SUPER_CHUNKS):
+                ci = si * SUPER_CHUNKS + k
+                tn, tf = slab(aabb_ref[0, ci], aabb_ref[1, ci],
+                              aabb_ref[2, ci], aabb_ref[3, ci],
+                              aabb_ref[4, ci], aabb_ref[5, ci])
+                cif = ci.astype(jnp.float32)
+                after = (tn > ge) | ((tn == ge) & (cif > gc))
+                valid = (tn <= tf) & (tn < bt) & after \
+                    & (cif < jnp.float32(n_chunks))
+                e = jnp.where(valid, tn, jnp.inf)
+                c = jnp.where(valid, cif, 1.0e30)
+                less = (e < be) | ((e == be) & (c < bc))
+                be = jnp.where(less, e, be)
+                bc = jnp.where(less, c, bc)
+            return be, bc
+
+        return jax.lax.cond(hit, scan8, lambda c: c, (be, bc))
+
+    shape = (SUBLANES, LANES)
+    be, bc = jax.lax.fori_loop(
+        0, n_supers, sup_body,
+        (jnp.full(shape, jnp.inf, jnp.float32),
+         jnp.full(shape, 1.0e30, jnp.float32)))
+    found = jnp.isfinite(be)
+    e_out[...] = jnp.where(found, be, -jnp.inf)
+    c_out[...] = jnp.where(found & (bc < jnp.float32(n_chunks)),
+                           bc.astype(jnp.int32), -1)
+
+
+def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, gate_e, gate_c,
+                interpret):
+    """Run the fused sweep+select kernel over a (sorted) wavefront: each
+    ray is tested against its bound chunk (plus any resident chunk it can
+    improve against), then picks its NEXT front-to-back candidate with the
+    updated best_t.  Returns (t, prim, next_e, next_c)."""
     n = ray_o.shape[0]
     n_chunks = accel.pages.shape[0]
+    s_n = accel.sup_min.shape[0]
+    c_pad = s_n * SUPER_CHUNKS
     tiles = tuple(
         _pad_reshape(jnp.where(c >= 0, c, n_chunks), n_chunks)
         for c in cids
@@ -238,24 +307,42 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
         _pad_reshape(ray_d[:, 1], 0.0),
         _pad_reshape(ray_d[:, 2], 1.0),
         _pad_reshape(jnp.minimum(best_t, BIG), -BIG),
+        _pad_reshape(gate_e, jnp.inf),
+        _pad_reshape(gate_c.astype(jnp.float32), 0.0),
     )
     rows = tiles[0].shape[0]
     grid = (rows // SUBLANES,)
     aabb_smem = jnp.concatenate(
         [accel.aabb_min.T, accel.aabb_max.T,
          jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
+    if c_pad > n_chunks:
+        # pad chunks: unhittable bounds (min=+1 > max=-1 reorders into a
+        # hittable box under slab min/max, but the select masks ci >=
+        # n_chunks at the source; the opportunistic-mask slab only ever
+        # sees cur < n_chunks)
+        fill = jnp.concatenate([
+            jnp.ones((3, c_pad - n_chunks), jnp.float32),
+            -jnp.ones((3, c_pad - n_chunks), jnp.float32),
+            jnp.zeros((2, c_pad - n_chunks), jnp.float32),
+        ], axis=0)
+        aabb_smem = jnp.concatenate([aabb_smem, fill], axis=1)
+    sup_smem = jnp.concatenate(
+        [accel.sup_min.T, accel.sup_max.T,
+         jnp.zeros((2, s_n), jnp.float32)], axis=0)
     tri_rows = accel.pages.shape[1]
     kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks,
-                               tri_rows=tri_rows,
+                               n_supers=s_n, tri_rows=tri_rows,
                                unroll=1 if interpret else tri_rows)
-    best, prim = pl.pallas_call(
+    best, prim, e_nxt, c_nxt = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY)]
-        + [_ray_spec()] * (SELECT_K + 7),
-        out_specs=(_ray_spec(), _ray_spec()),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        + [_ray_spec()] * 10,
+        out_specs=(_ray_spec(), _ray_spec(), _ray_spec(), _ray_spec()),
         out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
@@ -264,8 +351,9 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(aabb_smem, accel.pages, *tiles)
-    return best.reshape(-1)[:n], prim.reshape(-1)[:n]
+    )(aabb_smem, sup_smem, accel.pages, *tiles)
+    return (best.reshape(-1)[:n], prim.reshape(-1)[:n],
+            e_nxt.reshape(-1)[:n], c_nxt.reshape(-1)[:n])
 
 
 def _sweep_super_kernel(
@@ -607,9 +695,10 @@ def _query_super(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         st, sids = pick(state)
         size = n
         sizes = []
-        while size > 4 * TILE:
+        floor = LADDER_FLOOR_TILES * TILE
+        while size > floor:
             sizes.append(size)
-            size = max(size // 2, 4 * TILE)
+            size = max(size * LADDER_NUM // LADDER_DEN, floor)
             size -= size % TILE
         sizes.append(size)
         for i, sz in enumerate(sizes):
@@ -868,61 +957,55 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
     )
 
     def pick(st):
-        """Select each ray's next SELECT_K chunks front-to-back AND commit
-        the gate past all of them (every candidate is swept in the very
-        next sweep pass, so the advance is exact).  Returns the updated
-        state and the K candidate-cid arrays."""
+        """INITIAL front-to-back pick (pass 0 only — every later pass gets
+        its next candidate from the fused sweep+select kernel): select each
+        ray's nearest chunk and commit the gate past it."""
         ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
         o = jnp.stack([ox, oy, oz], -1)
         d = jnp.stack([dx, dy, dz], -1)
         if interpret:
-            # interpreter/CPU path: emulate the K-candidate pick with K
-            # gate-advancing single picks of the dense-scan select
             inv = _safe_inv(d)
-            es, cs = [], []
-            ge_l, gc_l = ge, gc
-            for _ in range(SELECT_K):
-                e1, c1 = _select_next(accel, o, d, inv, bt, ge_l, gc_l,
-                                      bt > 0)
-                es.append(e1)
-                cs.append(c1)
-                ge_l = jnp.where(c1 >= 0, e1, ge_l)
-                gc_l = jnp.where(c1 >= 0, c1, gc_l)
-            es, cs = tuple(es), tuple(cs)
+            e1, c1 = _select_next(accel, o, d, inv, bt, ge, gc, bt > 0)
         else:
             es, cs = _select_next_pallas(accel, o, d, bt, ge, gc)
-        for e1, c1 in zip(es, cs):
-            valid = c1 >= 0
-            ge = jnp.where(valid, e1, ge)
-            gc = jnp.where(valid, c1, gc)
+            e1, c1 = es[0], cs[0]
+        valid = c1 >= 0
+        ge = jnp.where(valid, e1, ge)
+        gc = jnp.where(valid, c1, gc)
         st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
-        return st, cs
+        return st, (c1,)
 
     def body(carry):
         st, cids = carry
         key = jnp.where(cids[0] >= 0, cids[0], sent)
-        sorted_ = jax.lax.sort((key,) + tuple(cids[1:]) + st, num_keys=1)
+        sorted_ = jax.lax.sort((key,) + st, num_keys=1)
         key = sorted_[0]
-        cids = (jnp.where(key < sent, key, -1),) + sorted_[1:SELECT_K]
-        st = sorted_[SELECT_K:]
+        cids = (jnp.where(key < sent, key, -1),)
+        st = sorted_[1:]
         ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
         o = jnp.stack([ox, oy, oz], -1)
         d = jnp.stack([dx, dy, dz], -1)
-        t_new, p_new = _sweep_pass(accel, cids, o, d, bt, interpret)
+        t_new, p_new, e1, c1 = _sweep_pass(accel, cids, o, d, bt, ge, gc,
+                                           interpret)
         improved = p_new >= 0
         bt = jnp.where(improved, t_new, bt)
         bp = jnp.where(improved, p_new, bp)
         if occlusion:
             # any hit resolves the ray: collapse best_t so no chunk's
-            # entry distance can beat it again
+            # entry distance can beat it again, and drop its candidate
+            # (the fused select ran before the collapse)
             bt = jnp.where(bp >= 0, -BIG, bt)
+            c1 = jnp.where(bp >= 0, -1, c1)
+        valid = c1 >= 0
+        ge = jnp.where(valid, e1, ge)
+        gc = jnp.where(valid, c1, gc)
         st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
-        return pick(st)
+        return st, (c1,)
 
     if interpret:
         # interpreter path (CPU tests): bounded unrolled loop (small C)
         carry = pick(state)
-        steps = -(-int(accel.pages.shape[0]) // SELECT_K) + 1
+        steps = int(accel.pages.shape[0]) + 1
         for _ in range(steps):
             carry = body(carry)
         st, cids = carry
@@ -940,9 +1023,10 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         st, cids = pick(state)
         size = n
         sizes = []
-        while size > 4 * TILE:
+        floor = LADDER_FLOOR_TILES * TILE
+        while size > floor:
             sizes.append(size)
-            size = max(size // 2, 4 * TILE)
+            size = max(size * LADDER_NUM // LADDER_DEN, floor)
             size -= size % TILE
         sizes.append(size)
         for i, sz in enumerate(sizes):
@@ -962,12 +1046,10 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
             if not last:
                 # compact alive rays into the next prefix
                 key = jnp.where(cids_h[0] >= 0, cids_h[0], sent)
-                sorted_ = jax.lax.sort(
-                    (key,) + tuple(cids_h[1:]) + head, num_keys=1)
+                sorted_ = jax.lax.sort((key,) + head, num_keys=1)
                 key = sorted_[0]
-                cids_h = (jnp.where(key < sent, key, -1),) \
-                    + sorted_[1:SELECT_K]
-                head = sorted_[SELECT_K:]
+                cids_h = (jnp.where(key < sent, key, -1),)
+                head = sorted_[1:]
             st = tuple(
                 jax.lax.dynamic_update_slice(a, h, (0,))
                 for a, h in zip(st, head)

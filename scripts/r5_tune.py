@@ -22,6 +22,12 @@ if "R5_SELECT_K" in os.environ:
 if "R5_SUBLANES" in os.environ:
     bp.SUBLANES = int(os.environ["R5_SUBLANES"])
     bp.TILE = bp.LANES * bp.SUBLANES
+if "R5_LNUM" in os.environ:
+    bp.LADDER_NUM = int(os.environ["R5_LNUM"])
+if "R5_LDEN" in os.environ:
+    bp.LADDER_DEN = int(os.environ["R5_LDEN"])
+if "R5_FLOOR" in os.environ:
+    bp.LADDER_FLOOR_TILES = int(os.environ["R5_FLOOR"])
 occl = os.environ.get("R5_OCCL", "0") == "1"
 
 import mitransient_tpu as mitr
@@ -59,6 +65,7 @@ def q(o, d):
 
 
 tag = (f"K={bp.SELECT_K} SUB={bp.SUBLANES} "
+       f"L={bp.LADDER_NUM}/{bp.LADDER_DEN}@{bp.LADDER_FLOOR_TILES} "
        f"{'occl' if occl else 'closest'}")
 for label, oo, dd in (("inc", o, d), ("coh", co, cd)):
     s = float(np.asarray(q(oo, dd)))
