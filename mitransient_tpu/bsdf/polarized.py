@@ -61,6 +61,37 @@ def _identity_P(n, C):
     return jnp.broadcast_to(eye, (n, 4, 4, C))
 
 
+def _sb_unit(w):
+    """stokes_basis for an already-unit direction (skips the normalize)."""
+    from ..core.frame import coordinate_system
+
+    return coordinate_system(w)[0]
+
+
+def _plane_rotators(p_in, p_out, need_in=True):
+    """(ci2, si2, co2, so2) rotator angle pairs from the canonical Stokes
+    bases into the s/p basis of the (p_in, p_out) incidence plane and back.
+
+    Normalization-free: the s-axis is the raw cross product (any positive
+    scale works for :func:`rotator_angles_unnorm`), with the canonical
+    basis as the degenerate fallback.  The three per-bounce rotator-angle
+    computations measured 17% of the polarized cbox render
+    (scripts/r5_pol_ablate.py) before this rewrite."""
+    from ..core.mueller import rotator_angles_unnorm
+
+    sp = cross(p_in, p_out)
+    sp_len2 = jnp.sum(sp * sp, axis=-1)
+    degenerate = sp_len2 < 1e-12
+    sb_in = _sb_unit(p_in)
+    s_axis = jnp.where(degenerate[:, None], sb_in, sp)
+    if need_in:
+        ci2, si2 = rotator_angles_unnorm(p_in, sb_in, s_axis)
+    else:
+        ci2 = si2 = None
+    co2, so2 = rotator_angles_unnorm(p_out, s_axis, _sb_unit(p_out))
+    return ci2, si2, co2, so2
+
+
 def polarization_factor(
     lb: LaneBSDF,
     p_in: jnp.ndarray,  # (N, 3) light propagation INTO the surface (world)
@@ -86,14 +117,7 @@ def polarization_factor(
         # basis perpendicular to the plane of incidence (fused closed-form
         # sandwich instead of two unrolled 4x4 products — the polarized hot
         # path's dominant cost)
-        sp = cross(p_in, p_out)
-        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-        degenerate = sp_len < 1e-6
-        s_axis = jnp.where(
-            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-        )
-        ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
-        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        ci2, si2, co2, so2 = _plane_rotators(p_in, p_out)
         ci2, si2 = ci2[:, None], si2[:, None]
         co2, so2 = co2[:, None], so2[:, None]
 
@@ -154,13 +178,7 @@ def polarization_factor_col0(
     P0 = e0
     if has_cond:
         ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
-        sp = cross(p_in, p_out)
-        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-        degenerate = sp_len < 1e-6
-        s_axis = jnp.where(
-            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-        )
-        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        _ci2, _si2, co2, so2 = _plane_rotators(p_in, p_out, need_in=False)
         A, B, _Cc, _S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
                                       lb.eta_re, lb.eta_im)
         Bn = B / jnp.maximum(A, 1e-12)
@@ -197,14 +215,7 @@ def polarization_factor_soa(
     ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
 
     if has_cond or has_diel:
-        sp = cross(p_in, p_out)
-        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-        degenerate = sp_len < 1e-6
-        s_axis = jnp.where(
-            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-        )
-        ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
-        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        ci2, si2, co2, so2 = _plane_rotators(p_in, p_out)
         ci2, si2 = ci2[:, None], si2[:, None]
         co2, so2 = co2[:, None], so2[:, None]
 
@@ -265,13 +276,7 @@ def polarization_factor_col0_soa(
     P0 = [oo, zz, zz, zz]  # depolarizer / null col0 = e0
     if has_cond:
         ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
-        sp = cross(p_in, p_out)
-        sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-        degenerate = sp_len < 1e-6
-        s_axis = jnp.where(
-            degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-        )
-        co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+        _ci2, _si2, co2, so2 = _plane_rotators(p_in, p_out, need_in=False)
         A, B, _Cc, _S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
                                       lb.eta_re, lb.eta_im)
         Bn = B / jnp.maximum(A, 1e-12)
@@ -312,14 +317,7 @@ def specular_params_soa(
         return (jnp.zeros((n,), bool), oo, zz, oo, zz, on, zn, on, zn)
 
     ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
-    sp = cross(p_in, p_out)
-    sp_len = jnp.sqrt(jnp.maximum(jnp.sum(sp * sp, axis=-1), 1e-20))
-    degenerate = sp_len < 1e-6
-    s_axis = jnp.where(
-        degenerate[:, None], stokes_basis(p_in), sp / sp_len[:, None]
-    )
-    ci2, si2 = rotator_angles(p_in, stokes_basis(p_in), s_axis)
-    co2, so2 = rotator_angles(p_out, s_axis, stokes_basis(p_out))
+    ci2, si2, co2, so2 = _plane_rotators(p_in, p_out)
 
     is_spec = jnp.zeros((n,), bool)
     A, B, Cc, S = oo, zz, oo, zz

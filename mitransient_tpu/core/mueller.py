@@ -237,6 +237,25 @@ def rotator_angles(w, basis_current, basis_target):
     return 2.0 * c * c - 1.0, 2.0 * c * s
 
 
+def rotator_angles_unnorm(w, f1, f2):
+    """:func:`rotator_angles` for UNNORMALIZED basis vectors.
+
+    ``w`` must be unit; ``f1``/``f2`` are basis vectors perpendicular to
+    ``w`` at ANY positive scale.  With d = f1.f2 = k cos(t) and
+    x = w.(f1 x f2) = k sin(t) (same k = |f1||f2|):
+    cos 2t = (d^2 - x^2)/(d^2 + x^2),  sin 2t = 2 d x/(d^2 + x^2) —
+    one reciprocal instead of two vector normalizations.  Measured on the
+    polarized cbox (round 5): the three per-bounce rotator-angle
+    computations were 17% of the whole render wall (scripts/
+    r5_pol_ablate.py: 48.0 -> 57.4 Mrays/s with angles stubbed)."""
+    d = dot(f1, f2)
+    x = dot(w, cross(f1, f2))
+    d2 = d * d
+    x2 = x * x
+    inv = 1.0 / jnp.maximum(d2 + x2, 1e-30)
+    return (d2 - x2) * inv, 2.0 * d * x * inv
+
+
 def specular_sandwich(A, B, C, S, ci2, si2, co2, so2):
     """Closed form of ``R_out @ F @ R_in`` for the specular Mueller F
     ([[A,B,0,0],[B,A,0,0],[0,0,C,S],[0,0,-S,C]]) between rotators with

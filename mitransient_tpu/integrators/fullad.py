@@ -122,6 +122,11 @@ def render_backward_fullad(scene: Scene, grad_in, spp=None, seed=0,
     C = scene.variant.color_channels * (4 if polarized else 1)
     T = film_cfg.temporal_bins
 
+    if film_cfg.kind == "phasor_hdr_film":
+        raise NotImplementedError(
+            "the phasor film is not differentiable (matching the "
+            "reference's PhasorHDRFilm); use transient_hdr_film for "
+            "gradients")
     if kind == "transient_nlos_path":
         if icfg.capture_type == "exhaustive":
             raise ValueError(

@@ -306,6 +306,11 @@ def _prb_setup(scene: Scene, spp, seed, sensor,
         raise NotImplementedError(
             "differential rendering with a cropped film is not supported; "
             "render the full film or crop the gradient instead")
+    if film_cfg.kind == "phasor_hdr_film":
+        raise NotImplementedError(
+            "the phasor film is not differentiable (matching the "
+            "reference's PhasorHDRFilm); use transient_hdr_film for "
+            "gradients")
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
     if hw * spp > (1 << 32):
@@ -457,10 +462,16 @@ def render_backward_volpath(scene: Scene, grad_in, spp: int | None = None,
     cfg = scene.sensors[sensor]
     icfg = scene.integrator
     film_cfg = cfg.film
+    if film_cfg.kind == "phasor_hdr_film":
+        raise NotImplementedError(
+            "the phasor film is not differentiable (matching the "
+            "reference's PhasorHDRFilm); use transient_hdr_film for "
+            "gradients")
     if scene.variant.polarized:
         raise NotImplementedError(
-            "polarized volumetric is primal-only (the reference has no "
-            "polarized volumetric at all)")
+            "polarized volumetric is primal-only via the PRB replay; "
+            "render_backward dispatches polarized volumetric scenes to "
+            "the chunked full-AD path instead")
     spp = spp if spp is not None else cfg.spp
     hw = film_cfg.width * film_cfg.height
     C = scene.variant.color_channels

@@ -471,3 +471,29 @@ def test_confocal_batched_scan_spectral_runs():
         assert np.all(np.isfinite(t_b)) and t_b.sum() > 0
     finally:
         mitr.set_variant(old)
+
+
+def test_exhaustive_non_delta_laser_clear_error():
+    """Round-5 matrix check: an exhaustive capture with a NON-delta (area)
+    laser routes off the fused wavefront (which assumes a refocused delta
+    laser) to the per-point driver, whose prepare then rejects the
+    un-aimable emitter with the reference's own validation message
+    (transientnlospath.py:334 — NLOS captures require an aimable
+    projector/point laser in the reference too)."""
+    d = nlos_scene(sx=2, sy=2, laser_sampling=False)
+    d["integrator"]["capture_type"] = "exhaustive"
+    d["relay_wall"]["nlos_sensor"]["film"]["exhaustive_scan"] = True
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_width"] = 2
+    d["relay_wall"]["nlos_sensor"]["film"]["laser_scan_height"] = 2
+    # replace the projector with a small area emitter near the wall
+    d["laser"] = {
+        "type": "rectangle",
+        "to_world": {"translate": [-0.5, 0.0, 0.25],
+                     "rotate": {"axis": [0, 1, 0], "angle": 180},
+                     "scale": 0.05},
+        "emitter": {"type": "area",
+                    "radiance": {"type": "rgb", "value": [80.0, 80.0, 80.0]}},
+    }
+    scene = mitr.load_dict(d)
+    with pytest.raises(ValueError, match="not pointing at the scene"):
+        mitr.render(scene, spp=8, seed=0)

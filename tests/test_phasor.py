@@ -85,3 +85,20 @@ def test_zero_frequency_equals_time_integral(mono_variant):
     # f=0: re = time integral of the signal, im = 0
     assert ph[..., 0, 0].sum() > 0.0
     assert np.abs(ph[..., 0, 1]).max() < 1e-6
+
+
+def test_phasor_not_differentiable():
+    """The phasor film is excluded from AD like the reference's
+    PhasorHDRFilm: differential entry points raise a clear error."""
+    import pytest
+
+    d = mitr.cornell_box()
+    d["sensor"]["film"] = {
+        "type": "phasor_hdr_film", "width": 8, "height": 8,
+        "wl_mean": 100.0, "wl_sigma": 100.0, "temporal_bins": 50,
+        "start_opl": 3.5, "bin_width_opl": 0.02}
+    scene = mitr.load_dict(d)
+    with pytest.raises(NotImplementedError, match="phasor"):
+        mitr.render_backward(scene, (None, None), spp=4, seed=0)
+    with pytest.raises(NotImplementedError, match="phasor"):
+        mitr.render_forward(scene, {}, spp=4, seed=0)
