@@ -193,16 +193,24 @@ def test_polarized_volumetric_primal():
     assert float(np.median(dop)) < 0.05
 
 
-def test_polarized_volumetric_backward_raises():
+def test_polarized_volumetric_backward_works():
+    """Round-5: polarized volumetric backward routes through the chunked
+    full-AD path (was a NotImplementedError through round 4); exceeds the
+    reference, whose prbvolpath is unpolarized
+    (transient_prbvolpath.py:40-48).  FD validation lives in
+    tests/test_prb_vol.py::test_fd_polarized_fog_backward."""
     old = mitr.variant().name
     try:
         mitr.set_variant("mono_polarized")
         d = vol_cbox(sigma_t=1.0, w=8, h=8, max_depth=3)
         scene = mitr.load_dict(d)
-        import pytest as _pytest
-
-        with _pytest.raises(NotImplementedError):
-            mitr.render_backward(scene, (np.ones((8, 8, 1)), None), spp=4)
+        # S0-row adjoint on the (8, 8, 4) Stokes-packed steady image
+        g = mitr.render_backward(
+            scene, (np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                            (8, 8, 1)), None), spp=4)
+        vals = [np.asarray(v) for k, v in g.items() if k != "__tables__"]
+        assert all(np.all(np.isfinite(v)) for v in vals)
+        assert sum(float(np.abs(v).sum()) for v in vals) > 0
     finally:
         mitr.set_variant(old)
 
