@@ -34,6 +34,7 @@ from ..scene.scene import (
     emitter_eval_hit,
     pdf_emitter_direction,
     ray_intersect,
+    ray_intersect_and_test,
     sample_emitter_direction,
 )
 from ..scene.schema import FilmConfig, IntegratorConfig
@@ -107,6 +108,18 @@ def sample_primal_regen(
     pix = (lane % hw).astype(jnp.int32)
     row = (lane // hw).astype(jnp.uint32)
 
+    # Shadow-ray pipelining (accel scenes only): bounce k's NEE visibility
+    # resolves inside bounce k+1's closest-hit query as ONE merged BVH pass
+    # loop (scene.ray_intersect_and_test) — a doubled wavefront amortizes
+    # the selection scans / sorts and packs the chunk bins denser.  The
+    # estimator is unchanged: the NEE contribution is computed
+    # pre-visibility and zeroed on occlusion one iteration later (its OPL
+    # and pixel ride along; a lane's pixel never changes, so resolution
+    # after regeneration still lands in the right film cell).  Small-scene
+    # loops keep the in-bounce ray_test — their queries are cheap and the
+    # extra carried state would tax the 100+ Mrays/s paths.
+    pipeline = sd.accel is not None
+
     def gen_ray(sample_idx):
         """Camera ray for each lane's sample ``sample_idx`` (dims 0-1)."""
         sid = sample_idx * jnp.uint32(hw) + pix.astype(jnp.uint32)
@@ -144,12 +157,24 @@ def sample_primal_regen(
         film=film,
         n_rays=jnp.zeros((), jnp.float32),
         it=jnp.uint32(0),
+        **(dict(
+            sh_o=o0,
+            sh_d=d0,
+            sh_dist=jnp.zeros((n,), jnp.float32),
+            sh_valid=jnp.zeros((n,), bool),
+            nee_val=jnp.zeros((n, CS), jnp.float32),
+            nee_dist=jnp.zeros((n,), jnp.float32),
+        ) if pipeline else {}),
     )
 
-    max_iters = ((spp_total + L - 1) // L) * icfg.max_depth + icfg.max_depth
+    max_iters = (((spp_total + L - 1) // L) * icfg.max_depth
+                 + icfg.max_depth + 1)
 
     def cond(st):
-        return jnp.any(st["lane_live"]) & (st["it"] < max_iters)
+        live = jnp.any(st["lane_live"])
+        if pipeline:  # drain the last bounce's pending shadow rays
+            live = live | jnp.any(st["sh_valid"])
+        return live & (st["it"] < max_iters)
 
     def body(st):
         active = st["path_active"] & st["lane_live"]
@@ -165,7 +190,14 @@ def sample_primal_regen(
         def rnd2(k):
             return jnp.stack([rnd1(k), rnd1(k + 1)], axis=-1)
 
-        si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
+        if pipeline:
+            si, occ_prev = ray_intersect_and_test(
+                sd, Ray.make(st["o"], st["d"]), active,
+                st["sh_o"], st["sh_d"], st["sh_dist"], st["sh_valid"])
+            Lr_prev = jnp.where(
+                (st["sh_valid"] & ~occ_prev)[:, None], st["nee_val"], 0.0)
+        else:
+            si = ray_intersect(sd, Ray.make(st["o"], st["d"]), active)
         hit = active & si.valid
         distance = st["distance"] + jnp.where(hit, si.t, 0.0) * st["eta"]
 
@@ -192,8 +224,8 @@ def sample_primal_regen(
 
         cont = active & (depth + 1 < icfg.max_depth) & si.valid
         active_em = cont & bsdf_api.is_smooth(lb)
-        ds, em_weight = sample_emitter_direction(sd, si.p, rnd2(0), True,
-                                                 active_em)
+        ds, em_weight = sample_emitter_direction(sd, si.p, rnd2(0),
+                                                 not pipeline, active_em)
         active_em = active_em & (ds.pdf > 0.0)
         wo_em = si.frame.to_local(ds.d)
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
@@ -224,19 +256,31 @@ def sample_primal_regen(
                 active_em[:, None],
                 st["beta"] * mis_em[:, None] * f_em * em_weight, 0.0)
 
-        film_st = splat_pair_any(
-            st["film"], film_cfg, L,
-            distance, Le * splat_scale,
-            distance + ds.dist * st["eta"], Lr_dir * splat_scale,
-            active,
-            icfg.temporal_filter, icfg.gaussian_stddev,
-        )
+        if pipeline:
+            # this bounce's NEE becomes the pending pair; the splat pairs
+            # this bounce's emitter hit with the PREVIOUS bounce's resolved
+            # NEE (value already zero-masked for occluded/invalid lanes)
+            film_st = splat_pair_any(
+                st["film"], film_cfg, L,
+                distance, Le * splat_scale,
+                st["nee_dist"], Lr_prev * splat_scale,
+                active | st["sh_valid"],
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
+        else:
+            film_st = splat_pair_any(
+                st["film"], film_cfg, L,
+                distance, Le * splat_scale,
+                distance + ds.dist * st["eta"], Lr_dir * splat_scale,
+                active,
+                icfg.temporal_filter, icfg.gaussian_stddev,
+            )
 
         bs = bsdf_api.sample(lb, si.wi, rnd1(2), rnd2(3), cont)
         d_world = si.frame.to_world(bs.wo)
         new_ray = si.spawn_ray(d_world)
 
-        L_acc = st["L"] + Le + Lr_dir
+        L_acc = st["L"] + Le + (0.0 if pipeline else Lr_dir)
         if polarized:
             from ..bsdf.polarized import specular_params_soa
             from ..core.mueller import (
@@ -315,6 +359,10 @@ def sample_primal_regen(
         # lane's next sample ------------------------------------------------
         finished = active & ~cont
         steady = st["steady"] + jnp.where(finished[:, None], L_acc, 0.0)
+        if pipeline:
+            # resolved NEE goes straight to the per-lane steady accumulator
+            # (order-free row sum; the lane may already have regenerated)
+            steady = steady + Lr_prev
         next_sample = st["sample_idx"] + jnp.uint32(L)
         has_more = next_sample < jnp.uint32(spp_total)
         regen = finished & has_more
@@ -358,6 +406,14 @@ def sample_primal_regen(
             + jnp.sum(active.astype(jnp.float32))
             + jnp.sum(active_em.astype(jnp.float32)),
             it=st["it"] + 1,
+            **(dict(
+                sh_o=si.p + ds.d * 1e-4,
+                sh_d=ds.d,
+                sh_dist=ds.dist - 2e-4,
+                sh_valid=active_em,
+                nee_val=Lr_dir,
+                nee_dist=distance + ds.dist * st["eta"],
+            ) if pipeline else {}),
         )
         return out
 

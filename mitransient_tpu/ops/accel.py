@@ -70,6 +70,9 @@ class Accel(NamedTuple):
     #   ops per ray-triangle test vs ~57 for Moller-Trumbore (the cross
     #   products move to the host-side build).  Exactly-128 rows keep DMA
     #   slices tile-aligned and all lane extracts static (Mosaic).
+    rows: jnp.ndarray      # (C,) f32 — 8-triangle rows actually used per
+    #   page (subtree cuts vary in size; the common cap pads ~34% dead
+    #   rows on the staircase, which the sweep kernel skips via this)
 
 
 def woop_records(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
@@ -165,8 +168,10 @@ def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
     tri16[:, :, 9] = -1.0
     aabb_min = np.zeros((c, 3), np.float32)
     aabb_max = np.zeros((c, 3), np.float32)
+    used_rows = np.zeros((c,), np.float32)
     for ci, (lo, hi) in enumerate(ranges):
         n_i = hi - lo
+        used_rows[ci] = -(-n_i // 8)
         tri16[ci, :n_i, 0:9] = ga[lo:hi].reshape(n_i, 9)
         tri16[ci, :n_i, 9] = order[lo:hi].astype(np.float32)
         tri16[ci, :n_i, 10:13] = gc[lo:hi]
@@ -189,6 +194,7 @@ def build_accel(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> Accel:
         sup_min=jnp.asarray(sup_min),
         sup_max=jnp.asarray(sup_max),
         pages=jnp.asarray(pages),
+        rows=jnp.asarray(used_rows),
     )
 
 

@@ -51,16 +51,23 @@ BIG = 3.0e38
 # Page row count (8 triangles x 16 fields per 128-lane row) is derived per
 # accel from pages.shape[1] — subtree-aligned chunks pad to a common cap
 # that can exceed CHUNK_TRIS (ops/accel.py _subtree_ranges).
-# Candidates emitted per select pass: each ray advances through up to
-# SELECT_K chunks per (select, sort, sweep) round, amortizing the dense
-# chunk-slab selection scan and the wavefront sort over K chunk visits.
-# Measured on the staircase (262k tris, TPU v5e, round 3): K=1 0.64 Mrays/s,
-# K=2 0.35, K=4 0.32 — the K-sorted register bubble in the select kernel and
-# the K extra sort payloads cost more than the amortization saves, so the
-# round-2 default of 4 was a 2x regression.  Re-measured in round 4 at
-# (32,128) tiles + unrolled sweeps: K=1 2.18 Mrays/s incoherent, K=2 1.18
-# (coherent 10.3 -> 11.5) — still a 2x incoherent regression.  Keep K=1.
-SELECT_K = 1
+# Candidates emitted per SELECT (initial pick + in-kernel refills).  Round
+# 3/4 measured K>1 as a 2x regression when each PASS swept K chunks per ray
+# (candidate-2 cids scatter across the sorted tiles, blowing up the per-tile
+# chunk unions).  Round 5 uses K=2 differently: each pass still consumes
+# exactly ONE candidate (sort coherence preserved), but the second candidate
+# rides the sorted state as a CACHE pair (entry, cid), halving how often the
+# dense super/chunk selection scan runs — the scan is the largest per-pass
+# cost (12.2 of 29.6 ms/1M rays, scripts/r5_phases.py).  The cache is exact:
+# front-to-back entries are non-decreasing, so a cached candidate whose
+# entry no longer beats the ray's best-t proves the ray is DONE, and one
+# that does beat it is exactly what a fresh select would return.
+SELECT_K = 2
+# Rows (8 triangles each) swept per dynamic block: subtree-aligned chunks
+# vary in size below the common page cap (staircase: mean fill 339 of 512
+# tris — 34% dead rows), so the row loop runs ceil(used_rows/ROW_BLK)
+# blocks of ROW_BLK statically-unrolled rows instead of the full cap.
+ROW_BLK = 8
 
 # Traversal mode: "chunk" = per-ray front-to-back CHUNK selection (one
 # 512-tri page per pass), "super" = per-ray front-to-back SUPER-CHUNK
@@ -129,29 +136,45 @@ def _woop_update(tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask,
 
 
 def _sweep_kernel(
-    aabb_ref,                       # (8, C_pad) SMEM chunk bounds
+    aabb_ref,                       # (8, C_pad) SMEM: rows 0-5 chunk
+                                    # bounds, row 6 = used row-blocks
     sup_ref,                        # (8, S) SMEM super-chunk bounds
     pages_ref,                      # (C, tri_rows, 128) ANY (HBM); tri_rows = per-accel page cap // 8
-    *refs,                          # cid tile, 7 ray tiles, 2 gate tiles,
-                                    # outs (t, p, e, c), scratch, sem
+    *refs,                          # cid + 7 ray + 2 cache + oidx tiles,
+                                    # outs (t, p, c1, e2, c2), scratch, sem
     n_chunks: int,
     n_supers: int,
     tri_rows: int,
-    unroll: int,
+    n_closest: int,
 ):
-    """Fused sweep + next-candidate select.
+    """Fused sweep + candidate-cache promote + K=2 refill select.
 
-    After walking the tile's bound chunk pages, the kernel re-runs the
-    front-to-back chunk SELECTION for the next pass while the ray state is
-    still in registers — with the POST-sweep best_t, which prunes harder
-    than the pre-sweep select ever could.  This removes the standalone
-    select kernel (and its full HBM round trip of the 9-array ray state)
-    from every pass after the first."""
-    cid_t, ox, oy, oz, dx, dy, dz, limit, ge_t, gc_t = refs[:10]
-    best_t_ref, best_p_ref, e_out, c_out = refs[10:14]
-    page_scr = refs[14]
-    sem = refs[15]
-    cids = [cid_t[...]]
+    Each pass consumes ONE chunk candidate per ray (the sorted cid tile),
+    then advances the ray's front-to-back enumeration from a 1-deep cache
+    pair carried in the sorted state:
+
+    - cache (e2, c2) with c2 >= 0: a pre-selected next candidate.  If its
+      entry still beats the post-sweep best-t it becomes the next cid;
+      otherwise the ray is DONE (front-to-back entries are non-decreasing,
+      so nothing later can improve either).  The consumed pair is re-encoded
+      as the refill gate: (e2, -(c2+2)).
+    - cache c2 <= -2: dry, holding the lex gate of the last emission — the
+      dense super/chunk selection scan runs (with the post-sweep best-t,
+      which prunes harder than any pre-sweep select) and emits the next TWO
+      candidates.  The scan therefore runs every OTHER pass per ray, and
+      tiles whose rays all hold cached candidates (or are finished) skip it
+      entirely.
+    - cache c2 == -1: no candidates remain; the ray is finished.
+
+    Occlusion rays are identified positionally (oidx >= n_closest — merged
+    wavefronts put closest-hit rays first, so no extra sorted array is
+    needed): their best-t collapses to -BIG on any hit, which both ends
+    their enumeration and signals the hit to the caller."""
+    (cid_t, ox, oy, oz, dx, dy, dz, limit, e2_t, c2_t, oidx_t) = refs[:11]
+    best_t_ref, best_p_ref, c1_out, e2_out, c2_out = refs[11:16]
+    page_scr = refs[16]
+    sem = refs[17]
+    cids = cid_t[...]
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
@@ -185,10 +208,7 @@ def _sweep_kernel(
         )
 
     def tile_min_after(cur):
-        m = sent
-        for c in cids:
-            m = jnp.minimum(m, jnp.min(jnp.where(c > cur, c, sent)))
-        return m
+        return jnp.min(jnp.where(cids > cur, cids, sent))
 
     first = tile_min_after(jnp.int32(-1))
 
@@ -214,92 +234,133 @@ def _sweep_kernel(
         # outer loop needs.
         tn, tf = slab(aabb_ref[0, cur], aabb_ref[1, cur], aabb_ref[2, cur],
                       aabb_ref[3, cur], aabb_ref[4, cur], aabb_ref[5, cur])
-        bound = cids[0] == cur
+        bound = cids == cur
         mask = bound | ((tn <= tf) & (tn < bt))
 
-        def row(g, carry):
+        def blk(g, carry):
             bt, bp = carry
-            blk = page_scr[slot, pl.ds(g, 1), :]
-            for kk in range(8):
-                base = 16 * kk
-                tri12 = tuple(blk[0, base + r] for r in range(9)) \
-                    + tuple(blk[0, base + 10 + r] for r in range(3))
-                prim = blk[0, base + 9].astype(jnp.int32)
-                bt, bp = _woop_update(
-                    tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask, bt, bp
-                )
+            for r in range(ROW_BLK):
+                # the clamp covers caps not divisible by 8*ROW_BLK tris:
+                # re-testing the last row is idempotent (strict < on t)
+                gr = jnp.minimum(g * ROW_BLK + r, tri_rows - 1)
+                blkrow = page_scr[slot, pl.ds(gr, 1), :]
+                for kk in range(8):
+                    base = 16 * kk
+                    tri12 = tuple(blkrow[0, base + q] for q in range(9)) \
+                        + tuple(blkrow[0, base + 10 + q] for q in range(3))
+                    prim = blkrow[0, base + 9].astype(jnp.int32)
+                    bt, bp = _woop_update(
+                        tri12, prim, rox, roy, roz, rdx, rdy, rdz, mask,
+                        bt, bp)
             return bt, bp
 
-        # full unroll (Mosaic supports only 1 or num_steps): overlaps the
-        # scalar triangle-field extracts with the previous row's vector math.
-        # Interpret mode keeps unroll=1 — tracing 512 inlined tests per
-        # kernel makes the CPU test path minutes-slow.
-        bt, bp = jax.lax.fori_loop(0, tri_rows, row, (bt, bp),
-                                   unroll=unroll)
+        # dynamic trip count = the chunk's used row-blocks (SMEM row 6);
+        # the ROW_BLK statically-unrolled rows inside each block keep the
+        # scalar triangle-field extracts overlapped with vector math.
+        nblk = aabb_ref[6, cur].astype(jnp.int32)
+        bt, bp = jax.lax.fori_loop(0, nblk, blk, (bt, bp))
         best_t_ref[...] = bt
         best_p_ref[...] = bp
         return nxt, 1 - slot
 
     jax.lax.while_loop(lambda s: s[0] < sent, body, (first, 0))
 
-    # ---- fused next-candidate select (K=1, post-sweep best_t) ----------
+    # ---- occlusion collapse (positional: oidx >= n_closest) ------------
     bt = best_t_ref[...]
-    ge = ge_t[...]
-    gc = gc_t[...]
+    bp = best_p_ref[...]
+    occl = oidx_t[...] >= jnp.int32(n_closest)
+    bt = jnp.where(occl & (bp >= 0), -BIG, bt)
+    best_t_ref[...] = bt
 
-    def sup_body(si, carry):
-        be, bc = carry
-        tn, tf = slab(sup_ref[0, si], sup_ref[1, si], sup_ref[2, si],
-                      sup_ref[3, si], sup_ref[4, si], sup_ref[5, si])
-        # packet pruning: a super matters only if some ray in the tile
-        # could still insert a chunk from it (gate-independent, safe)
-        hit = jnp.any((tn <= tf) & (tn < jnp.minimum(bt, be)))
+    # ---- cache promote -------------------------------------------------
+    e2v = e2_t[...]
+    c2v = c2_t[...]
+    valid2 = c2v >= 0.0
+    take = valid2 & (e2v < bt)
+    c1_out[...] = jnp.where(take, c2v.astype(jnp.int32), -1)
+    e2_out[...] = e2v
+    c2_out[...] = jnp.where(take, -(c2v + 3.0), -1.0)
 
-        def scan8(carry):
-            be, bc = carry
-            for k in range(SUPER_CHUNKS):
-                ci = si * SUPER_CHUNKS + k
-                tn, tf = slab(aabb_ref[0, ci], aabb_ref[1, ci],
-                              aabb_ref[2, ci], aabb_ref[3, ci],
-                              aabb_ref[4, ci], aabb_ref[5, ci])
-                cif = ci.astype(jnp.float32)
-                after = (tn > ge) | ((tn == ge) & (cif > gc))
-                valid = (tn <= tf) & (tn < bt) & after \
-                    & (cif < jnp.float32(n_chunks))
-                e = jnp.where(valid, tn, jnp.inf)
-                c = jnp.where(valid, cif, 1.0e30)
-                less = (e < be) | ((e == be) & (c < bc))
-                be = jnp.where(less, e, be)
-                bc = jnp.where(less, c, bc)
-            return be, bc
+    # ---- K=2 refill select (dry caches only; post-sweep best_t) --------
+    # Gate encoding -(gc+3) puts every gate at <= -2 (gc=-1, the fresh-ray
+    # gate, encodes as -2), keeping -1 free as the DONE sentinel — so a
+    # fresh wavefront needs no standalone pick kernel: its first pass has
+    # nothing bound and refills here, after the cascade has already had a
+    # chance to compact dead lanes away.
+    need = (c2v <= -2.0) & (bt > -BIG)
 
-        return jax.lax.cond(hit, scan8, lambda c: c, (be, bc))
+    @pl.when(jnp.any(need))
+    def _():
+        ge = e2v
+        gc = -(c2v + 3.0)
 
-    shape = (SUBLANES, LANES)
-    be, bc = jax.lax.fori_loop(
-        0, n_supers, sup_body,
-        (jnp.full(shape, jnp.inf, jnp.float32),
-         jnp.full(shape, 1.0e30, jnp.float32)))
-    found = jnp.isfinite(be)
-    e_out[...] = jnp.where(found, be, -jnp.inf)
-    c_out[...] = jnp.where(found & (bc < jnp.float32(n_chunks)),
-                           bc.astype(jnp.int32), -1)
+        def sup_body(si, carry):
+            be1, bc1, be2, bc2 = carry
+            tn, tf = slab(sup_ref[0, si], sup_ref[1, si], sup_ref[2, si],
+                          sup_ref[3, si], sup_ref[4, si], sup_ref[5, si])
+            # packet pruning: a super matters only if some refilling ray
+            # could still insert a chunk from it (gate-independent, safe)
+            hit = jnp.any(need & (tn <= tf) & (tn < jnp.minimum(bt, be2)))
+
+            def scan8(carry):
+                be1, bc1, be2, bc2 = carry
+                for k in range(SUPER_CHUNKS):
+                    ci = si * SUPER_CHUNKS + k
+                    tn, tf = slab(aabb_ref[0, ci], aabb_ref[1, ci],
+                                  aabb_ref[2, ci], aabb_ref[3, ci],
+                                  aabb_ref[4, ci], aabb_ref[5, ci])
+                    cif = ci.astype(jnp.float32)
+                    after = (tn > ge) | ((tn == ge) & (cif > gc))
+                    valid = (tn <= tf) & (tn < bt) & after \
+                        & (cif < jnp.float32(n_chunks)) & need
+                    e = jnp.where(valid, tn, jnp.inf)
+                    c = jnp.where(valid, cif, 1.0e30)
+                    # bubble (e, c) through the two sorted register pairs
+                    less = (e < be1) | ((e == be1) & (c < bc1))
+                    ne = jnp.where(less, e, be1)
+                    nc = jnp.where(less, c, bc1)
+                    e = jnp.where(less, be1, e)
+                    c = jnp.where(less, bc1, c)
+                    be1, bc1 = ne, nc
+                    less = (e < be2) | ((e == be2) & (c < bc2))
+                    be2 = jnp.where(less, e, be2)
+                    bc2 = jnp.where(less, c, bc2)
+                return be1, bc1, be2, bc2
+
+            return jax.lax.cond(hit, scan8, lambda c: c,
+                                (be1, bc1, be2, bc2))
+
+        shape = (SUBLANES, LANES)
+        be1, bc1, be2, bc2 = jax.lax.fori_loop(
+            0, n_supers, sup_body,
+            (jnp.full(shape, jnp.inf, jnp.float32),
+             jnp.full(shape, 1.0e30, jnp.float32),
+             jnp.full(shape, jnp.inf, jnp.float32),
+             jnp.full(shape, 1.0e30, jnp.float32)))
+        f1 = jnp.isfinite(be1) & (bc1 < jnp.float32(n_chunks))
+        f2 = jnp.isfinite(be2) & (bc2 < jnp.float32(n_chunks))
+        g1 = jnp.where(f1, bc1.astype(jnp.int32), -1)
+        e2_new = jnp.where(f2, be2, be1)
+        c2_new = jnp.where(f2, bc2,
+                           jnp.where(f1, -(bc1 + 3.0), -1.0))
+        c1_out[...] = jnp.where(need, g1, c1_out[...])
+        e2_out[...] = jnp.where(need, e2_new, e2_out[...])
+        c2_out[...] = jnp.where(need, c2_new, c2_out[...])
 
 
-def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, gate_e, gate_c,
-                interpret):
-    """Run the fused sweep+select kernel over a (sorted) wavefront: each
-    ray is tested against its bound chunk (plus any resident chunk it can
-    improve against), then picks its NEXT front-to-back candidate with the
-    updated best_t.  Returns (t, prim, next_e, next_c)."""
+def _sweep_pass(accel: Accel, cid, ray_o, ray_d, best_t, cache_e, cache_c,
+                oidx, n_closest, interpret):
+    """Run the fused sweep+promote+refill kernel over a (sorted) wavefront:
+    each ray is tested against its bound chunk (plus any resident chunk it
+    can improve against), then its next front-to-back candidate comes from
+    the cache pair or a K=2 refill with the updated best_t.  Returns
+    (t, prim, next_cid, next_cache_e, next_cache_c)."""
     n = ray_o.shape[0]
     n_chunks = accel.pages.shape[0]
     s_n = accel.sup_min.shape[0]
     c_pad = s_n * SUPER_CHUNKS
-    tiles = tuple(
-        _pad_reshape(jnp.where(c >= 0, c, n_chunks), n_chunks)
-        for c in cids
-    ) + (
+    tiles = (
+        _pad_reshape(jnp.where(cid >= 0, cid, n_chunks), n_chunks),
         _pad_reshape(ray_o[:, 0], 0.0),
         _pad_reshape(ray_o[:, 1], 0.0),
         _pad_reshape(ray_o[:, 2], 0.0),
@@ -307,14 +368,16 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, gate_e, gate_c,
         _pad_reshape(ray_d[:, 1], 0.0),
         _pad_reshape(ray_d[:, 2], 1.0),
         _pad_reshape(jnp.minimum(best_t, BIG), -BIG),
-        _pad_reshape(gate_e, jnp.inf),
-        _pad_reshape(gate_c.astype(jnp.float32), 0.0),
+        _pad_reshape(cache_e, -jnp.inf),
+        _pad_reshape(cache_c, -1.0),
+        _pad_reshape(oidx, 0),
     )
     rows = tiles[0].shape[0]
     grid = (rows // SUBLANES,)
+    nblk = jnp.ceil(accel.rows / float(ROW_BLK)).astype(jnp.float32)
     aabb_smem = jnp.concatenate(
-        [accel.aabb_min.T, accel.aabb_max.T,
-         jnp.zeros((2, n_chunks), jnp.float32)], axis=0)
+        [accel.aabb_min.T, accel.aabb_max.T, nblk[None, :],
+         jnp.zeros((1, n_chunks), jnp.float32)], axis=0)
     if c_pad > n_chunks:
         # pad chunks: unhittable bounds (min=+1 > max=-1 reorders into a
         # hittable box under slab min/max, but the select masks ci >=
@@ -332,19 +395,20 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, gate_e, gate_c,
     tri_rows = accel.pages.shape[1]
     kernel = functools.partial(_sweep_kernel, n_chunks=n_chunks,
                                n_supers=s_n, tri_rows=tri_rows,
-                               unroll=1 if interpret else tri_rows)
-    best, prim, e_nxt, c_nxt = pl.pallas_call(
+                               n_closest=n_closest)
+    best, prim, c_nxt, e2_nxt, c2_nxt = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [pl.BlockSpec(memory_space=pl.ANY)]
-        + [_ray_spec()] * 10,
-        out_specs=(_ray_spec(), _ray_spec(), _ray_spec(), _ray_spec()),
+        + [_ray_spec()] * 11,
+        out_specs=tuple(_ray_spec() for _ in range(5)),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tri_rows, 128), jnp.float32),
@@ -353,7 +417,8 @@ def _sweep_pass(accel: Accel, cids, ray_o, ray_d, best_t, gate_e, gate_c,
         interpret=interpret,
     )(aabb_smem, sup_smem, accel.pages, *tiles)
     return (best.reshape(-1)[:n], prim.reshape(-1)[:n],
-            e_nxt.reshape(-1)[:n], c_nxt.reshape(-1)[:n])
+            c_nxt.reshape(-1)[:n], e2_nxt.reshape(-1)[:n],
+            c2_nxt.reshape(-1)[:n])
 
 
 def _sweep_super_kernel(
@@ -940,8 +1005,11 @@ def _select_next(accel: Accel, ray_o, ray_d, inv_d, best_t, gate_e, gate_c,
     return jnp.where(none, -jnp.inf, e), jnp.where(none, -1, cid)
 
 
-def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
+def _query(accel: Accel, ray_o, ray_d, maxt, active, n_closest: int,
            interpret: bool):
+    """Pass loop in chunk mode.  Rays with original index >= ``n_closest``
+    are occlusion (any-hit) rays — merged wavefronts lay closest-hit rays
+    first so the mode needs no per-lane array through the per-pass sorts."""
     n = ray_o.shape[0]
     idx0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     sent = jnp.int32(accel.pages.shape[0])
@@ -951,76 +1019,64 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
         ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
         jnp.where(active, jnp.minimum(maxt, BIG), -BIG),  # best_t
         jnp.full(n, -1, jnp.int32),                       # best_p
-        jnp.full(n, -jnp.inf, jnp.float32),               # gate_e
-        jnp.full(n, -1, jnp.int32),                       # gate_c
-        idx0,
+        jnp.full(n, -jnp.inf, jnp.float32),               # cache_e
+        jnp.full(n, -2.0, jnp.float32),                   # cache_c: encoded
+        idx0,                                             #   fresh gate -1
     )
+    cids = (jnp.full(n, -1, jnp.int32),)  # nothing bound before pass 1
 
-    def pick(st):
-        """INITIAL front-to-back pick (pass 0 only — every later pass gets
-        its next candidate from the fused sweep+select kernel): select each
-        ray's nearest chunk and commit the gate past it."""
-        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
-        o = jnp.stack([ox, oy, oz], -1)
-        d = jnp.stack([dx, dy, dz], -1)
-        if interpret:
-            inv = _safe_inv(d)
-            e1, c1 = _select_next(accel, o, d, inv, bt, ge, gc, bt > 0)
-        else:
-            es, cs = _select_next_pallas(accel, o, d, bt, ge, gc)
-            e1, c1 = es[0], cs[0]
-        valid = c1 >= 0
-        ge = jnp.where(valid, e1, ge)
-        gc = jnp.where(valid, c1, gc)
-        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
-        return st, (c1,)
+    def live_of(st, cids):
+        """Rays the pass loop still owes work: a bound candidate, or a dry
+        cache (encoded gate <= -2) awaiting an in-kernel refill."""
+        bt, c2 = st[6], st[9]
+        return (cids[0] >= 0) | ((c2 <= -2.0) & (bt > -BIG))
 
-    def body(carry):
-        st, cids = carry
-        key = jnp.where(cids[0] >= 0, cids[0], sent)
+    def sort_state(st, cids):
+        """Bin by bound chunk; refill-pending rays (key = sent) stay ahead
+        of finished ones (sent + 1) so cascade slices keep every live ray
+        in the prefix."""
+        live = live_of(st, cids)
+        key = jnp.where(cids[0] >= 0, cids[0],
+                        jnp.where(live, sent, sent + 1))
         sorted_ = jax.lax.sort((key,) + st, num_keys=1)
         key = sorted_[0]
-        cids = (jnp.where(key < sent, key, -1),)
-        st = sorted_[1:]
-        ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx = st
+        return sorted_[1:], (jnp.where(key < sent, key, -1),)
+
+    def body(carry):
+        """One pass over an ALREADY-SORTED prefix; re-sorts at the end so
+        the sort doubles as the cascade handoff compaction (no separate
+        per-stage sorts)."""
+        st, cids = carry
+        ox, oy, oz, dx, dy, dz, bt, bp, e2, c2, oidx = st
         o = jnp.stack([ox, oy, oz], -1)
         d = jnp.stack([dx, dy, dz], -1)
-        t_new, p_new, e1, c1 = _sweep_pass(accel, cids, o, d, bt, ge, gc,
-                                           interpret)
+        t_new, p_new, c1, e2, c2 = _sweep_pass(
+            accel, cids[0], o, d, bt, e2, c2, oidx, n_closest, interpret)
         improved = p_new >= 0
         bt = jnp.where(improved, t_new, bt)
         bp = jnp.where(improved, p_new, bp)
-        if occlusion:
-            # any hit resolves the ray: collapse best_t so no chunk's
-            # entry distance can beat it again, and drop its candidate
-            # (the fused select ran before the collapse)
-            bt = jnp.where(bp >= 0, -BIG, bt)
-            c1 = jnp.where(bp >= 0, -1, c1)
-        valid = c1 >= 0
-        ge = jnp.where(valid, e1, ge)
-        gc = jnp.where(valid, c1, gc)
-        st = (ox, oy, oz, dx, dy, dz, bt, bp, ge, gc, oidx)
-        return st, (c1,)
+        st = (ox, oy, oz, dx, dy, dz, bt, bp, e2, c2, oidx)
+        return sort_state(st, (c1,))
 
+    st, cids = sort_state(state, cids)
     if interpret:
-        # interpreter path (CPU tests): bounded unrolled loop (small C)
-        carry = pick(state)
-        steps = int(accel.pages.shape[0]) + 1
+        # interpreter path (CPU tests): bounded unrolled loop (small C);
+        # +2 covers the initial refill-only pass
+        carry = (st, cids)
+        steps = int(accel.pages.shape[0]) + 2
         for _ in range(steps):
             carry = body(carry)
         st, cids = carry
     else:
-        # Cascade: the alive count shrinks geometrically with passes, so
-        # late passes run on statically-sliced prefixes.  Sorting by chunk
-        # id puts finished rays (sentinel key) last, preserving the
-        # invariant "alive rays live in the prefix".  Ladder ratio 2 (not
-        # 4): a stage only hands off when alive <= next size, so ratio 4
-        # kept the wavefront at FULL width until 75% of rays finished —
-        # i.e. ~p75 of the per-ray visit distribution ran as full-size
-        # passes.  Ratio 2 hands off at the median (part of the round-4
-        # 668 -> 481 ms step on the 1M-ray incoherent staircase wavefront,
-        # together with the (32,128) tiles + unrolled sweeps).
-        st, cids = pick(state)
+        # Cascade: the live count shrinks geometrically with passes, so
+        # late passes run on statically-sliced prefixes.  The trailing
+        # sort of each pass maintains the "live rays in the prefix"
+        # invariant, so stage handoffs slice directly (no per-stage
+        # compaction sorts), and stages wider than the initial live count
+        # fall through before doing ANY work — low-occupancy wavefronts
+        # (bounce loops average ~50-60% dead lanes) compact away before
+        # the first selection scan runs.  Ladder ratio 2 hands off at the
+        # median of the per-ray visit distribution (round-4 measurement).
         size = n
         sizes = []
         floor = LADDER_FLOOR_TILES * TILE
@@ -1036,20 +1092,14 @@ def _query(accel: Accel, ray_o, ray_d, maxt, active, occlusion: bool,
 
             if last:
                 def cond(c, sz=sz):
-                    return jnp.any(c[1][0] >= 0)
+                    return jnp.any(live_of(c[0], c[1]))
             else:
                 def cond(c, sz=sz, nxt=sizes[i + 1]):
-                    return jnp.sum((c[1][0] >= 0).astype(jnp.int32)) > nxt
+                    return jnp.sum(
+                        live_of(c[0], c[1]).astype(jnp.int32)) > nxt
 
             head, cids_h = jax.lax.while_loop(
                 cond, body, (head, cids_h))
-            if not last:
-                # compact alive rays into the next prefix
-                key = jnp.where(cids_h[0] >= 0, cids_h[0], sent)
-                sorted_ = jax.lax.sort((key,) + head, num_keys=1)
-                key = sorted_[0]
-                cids_h = (jnp.where(key < sent, key, -1),)
-                head = sorted_[1:]
             st = tuple(
                 jax.lax.dynamic_update_slice(a, h, (0,))
                 for a, h in zip(st, head)
@@ -1073,9 +1123,11 @@ def closest_hit_bvh(accel: Accel, ray_o, ray_d, maxt, active,
 
     Returns (t (N,) f32 — +inf on miss, prim (N,) i32 — -1 on miss), with
     ``prim`` in the scene's original triangle numbering."""
-    impl = _query_super if BVH_MODE == "super" else _query
-    return impl(accel, ray_o, ray_d, maxt, active, occlusion=False,
-                interpret=interpret)
+    if BVH_MODE == "super":
+        return _query_super(accel, ray_o, ray_d, maxt, active,
+                            occlusion=False, interpret=interpret)
+    return _query(accel, ray_o, ray_d, maxt, active,
+                  n_closest=ray_o.shape[0], interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1085,7 +1137,25 @@ def ray_test_bvh(accel: Accel, ray_o, ray_d, maxt, active,
 
     Same pass loop as closest-hit but a ray stops at its FIRST hit (its
     best_t collapses so no remaining chunk passes the entry test)."""
-    impl = _query_super if BVH_MODE == "super" else _query
-    _, prim = impl(accel, ray_o, ray_d, maxt, active, occlusion=True,
-                   interpret=interpret)
+    if BVH_MODE == "super":
+        _, prim = _query_super(accel, ray_o, ray_d, maxt, active,
+                               occlusion=True, interpret=interpret)
+        return prim >= 0
+    _, prim = _query(accel, ray_o, ray_d, maxt, active, n_closest=0,
+                     interpret=interpret)
     return prim >= 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_closest", "interpret"))
+def mixed_query_bvh(accel: Accel, ray_o, ray_d, maxt, active,
+                    n_closest: int, interpret: bool = False):
+    """One pass loop over a MERGED wavefront: lanes [0, n_closest) are
+    closest-hit rays, lanes [n_closest, N) are any-hit occlusion rays.
+
+    Merging a bounce's next-ray queries with the previous bounce's shadow
+    rays doubles the sorted wavefront the pass loop amortizes its dense
+    selection scans, sorts and cascade over, and packs the per-tile chunk
+    bins denser (integrators/path*.py pipelining).  Returns (t, prim);
+    occlusion lanes report hits as prim >= 0 (their t is collapsed)."""
+    return _query(accel, ray_o, ray_d, maxt, active,
+                  n_closest=n_closest, interpret=interpret)

@@ -349,6 +349,46 @@ def ray_intersect(sd: SceneData, ray: Ray, active: jnp.ndarray) -> SurfaceIntera
         sd.tri.v0, sd.tri.e1, sd.tri.e2, sg(ray.o), sg(ray.d), sg(ray.maxt),
         active, accel=sd.accel,
     )
+    return _si_from_t_prim(sd, ray, t, prim)
+
+
+def ray_intersect_and_test(sd: SceneData, ray: Ray, active,
+                           sh_o, sh_d, sh_dist, sh_active):
+    """Fused closest-hit + shadow-occlusion query.
+
+    On TPU accel scenes both ray sets share ONE binned-pass loop
+    (ops/bvh_pallas.mixed_query_bvh): a doubled wavefront amortizes the
+    selection scans / sorts / cascade and packs the per-tile chunk bins
+    denser — the integrators pipeline bounce k's shadow rays into bounce
+    k+1's next-ray query (path_regen.py).  Elsewhere it is exactly
+    ``(ray_intersect(...), ray_test(...))``; both halves match those
+    single-query semantics bit-for-bit (same kernels, same epsilons).
+
+    Returns ``(si, occluded)``.
+    """
+    from ..ops.intersect import _use_pallas
+
+    if _use_pallas() and sd.accel is not None:
+        from ..ops.bvh_pallas import mixed_query_bvh
+
+        sg = jax.lax.stop_gradient
+        n1 = ray.o.shape[0]
+        maxt_sh = sh_dist * (1.0 - 1e-3)  # ray_test epsilon shortening
+        o = jnp.concatenate([sg(ray.o), sg(sh_o)])
+        d = jnp.concatenate([sg(ray.d), sg(sh_d)])
+        maxt = jnp.concatenate([sg(ray.maxt), sg(maxt_sh)])
+        act = jnp.concatenate([active, sh_active])
+        t, prim = mixed_query_bvh(sd.accel, o, d, maxt, act, n_closest=n1)
+        si = _si_from_t_prim(sd, ray, t[:n1], prim[:n1])
+        return si, prim[n1:] >= 0
+    si = ray_intersect(sd, ray, active)
+    occluded = ray_test(sd, sh_o, sh_d, sh_dist, sh_active)
+    return si, occluded
+
+
+def _si_from_t_prim(sd: SceneData, ray: Ray, t, prim) -> SurfaceInteraction:
+    """Shading-record construction from a traversal result (t, prim) —
+    shared tail of ray_intersect / ray_intersect_and_test."""
     valid = prim >= 0
     prim_c = jnp.maximum(prim, 0)
     cols = columns_lookup(

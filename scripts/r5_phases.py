@@ -1,10 +1,12 @@
-"""Round-5: honest per-phase costs of the BVH pass loop at C=775 (SAH).
+"""Round-5: honest per-phase costs of the BVH pass loop (SAH, C=775),
+updated for the K=2 cache kernel (cid + cache pair promote/refill).
 
 Times, at a 1M-ray incoherent wavefront (batched calls, scalar fetch):
   - full closest-hit query
-  - one fused sweep+select kernel pass (sorted wavefront)
-  - one standalone select kernel
   - one 12-array lax.sort
+  - one fused sweep pass with caches VALID (refill skipped)
+  - one fused sweep pass with caches DRY (refill runs)
+  - one standalone K=2 select (pass-0 pick)
 """
 import sys
 import time
@@ -50,14 +52,13 @@ def timeit(fn, *args, reps=10):
     return dt * 1e3
 
 
-# control: dispatch overhead
 ctl = jax.jit(lambda x: x + 1.0)
 print(f"control x+1: {timeit(ctl, o):.2f} ms", flush=True)
 
 q = jax.jit(lambda o, d: bp.closest_hit_bvh(acc, o, d, maxt, act))
 print(f"full query : {timeit(q, o, d, reps=3):.1f} ms", flush=True)
 
-# a realistic mid-pass state: run the initial pick to get cids/gates
+# realistic mid-pass state via the pass-0 pick
 ge0 = jnp.full((N,), -jnp.inf)
 gc0 = jnp.full((N,), -1, jnp.int32)
 
@@ -65,32 +66,46 @@ gc0 = jnp.full((N,), -1, jnp.int32)
 @jax.jit
 def init_pick(o, d):
     es, cs = bp._select_next_pallas(acc, o, d, maxt, ge0, gc0)
-    return es[0], cs[0]
+    c1 = cs[0]
+    c1f = c1.astype(jnp.float32)
+    e2 = jnp.where(cs[1] >= 0, es[1], es[0])
+    c2 = jnp.where(cs[1] >= 0, cs[1].astype(jnp.float32),
+                   jnp.where(cs[0] >= 0, -(c1f + 2.0), -1.0))
+    return c1, e2, c2
 
 
-e1, c1 = init_pick(o, d)
-key = jnp.where(c1 >= 0, c1, acc.pages.shape[0])
+c1, e2, c2 = init_pick(o, d)
+oidx = jnp.arange(N, dtype=jnp.int32)
+sentf = jnp.int32(acc.pages.shape[0])
+key = jnp.where(c1 >= 0, c1, sentf)
 st = (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-      maxt, jnp.full((N,), -1, jnp.int32), e1,
-      jnp.where(c1 >= 0, c1, gc0).astype(jnp.float32), jnp.arange(N))
+      maxt, jnp.full((N,), -1, jnp.int32), e2, c2, oidx)
 
 sort_fn = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
 print(f"sort 12-arr: {timeit(sort_fn, *st, reps=10):.2f} ms", flush=True)
 
 srt = sort_fn(*st)
-cid_s = jnp.where(srt[0] < acc.pages.shape[0], srt[0], -1)
+cid_s = jnp.where(srt[0] < sentf, srt[0], -1)
 o_s = jnp.stack(srt[1:4], -1)
 d_s = jnp.stack(srt[4:7], -1)
 bt_s = srt[7]
-ge_s = srt[9]
-gc_s = srt[10].astype(jnp.int32)
+e2_s = srt[9]
+c2_s = srt[10]
+oidx_s = srt[11]
 
-sweep = jax.jit(lambda cid, o, d, bt, ge, gc: bp._sweep_pass(
-    acc, (cid,), o, d, bt, ge, gc, False))
-print(f"fused sweep+select: {timeit(sweep, cid_s, o_s, d_s, bt_s, ge_s, gc_s, reps=10):.2f} ms",
+sweep = jax.jit(lambda cid, o, d, bt, e2, c2, oi: bp._sweep_pass(
+    acc, cid, o, d, bt, e2, c2, oi, N, False))
+print(f"pass (cache valid): "
+      f"{timeit(sweep, cid_s, o_s, d_s, bt_s, e2_s, c2_s, oidx_s, reps=10):.2f} ms",
       flush=True)
 
-sel = jax.jit(lambda o, d, bt, ge, gc: bp._select_next_pallas(
-    acc, o, d, bt, ge, gc))
-print(f"standalone select : {timeit(sel, o_s, d_s, bt_s, ge_s, gc_s, reps=10):.2f} ms",
+# dry caches: encode every cache slot as a gate so the refill select runs
+c2_dry = jnp.where(c2_s >= 0, -(c2_s + 2.0), c2_s)
+print(f"pass (cache dry)  : "
+      f"{timeit(sweep, cid_s, o_s, d_s, bt_s, e2_s, c2_dry, oidx_s, reps=10):.2f} ms",
+      flush=True)
+
+sel = jax.jit(lambda o, d, bt: bp._select_next_pallas(
+    acc, o, d, bt, ge0, gc0))
+print(f"standalone K=2 select: {timeit(sel, o_s, d_s, bt_s, reps=10):.2f} ms",
       flush=True)

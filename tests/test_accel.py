@@ -197,3 +197,62 @@ def test_phantom_pad_chunks_near_origin():
                           jnp.asarray(maxt), jnp.asarray(act),
                           interpret=True)
     np.testing.assert_array_equal(occ_ref, np.asarray(occ))
+
+
+def test_regen_shadow_pipeline_matches_unpipelined():
+    """The shadow-ray pipelining in the regen loop (bounce k's NEE
+    visibility resolved inside bounce k+1's query, path_regen.py) must be
+    estimator-IDENTICAL: same RNG stream, same contributions, only the
+    film/steady accumulation order differs.  Render the accel test scene
+    once as-is (accel present -> pipelined) and once with the accel
+    stripped (-> in-bounce ray_test), same seed; images must agree to
+    float-sum tolerance."""
+    import mitransient_tpu as mitr
+    from mitransient_tpu.render import render
+
+    n = 64
+    xs = np.linspace(-1, 1, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    P = np.stack([X, Y, np.zeros_like(X)], -1).reshape(-1, 3)
+
+    def vid(i, j):
+        return i * (n + 1) + j
+
+    faces = []
+    for i in range(n):
+        for j in range(n):
+            faces.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+            faces.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    d = {
+        "type": "scene",
+        "integrator": {"type": "transient_path", "max_depth": 4},
+        "mesh": {
+            "type": "mesh", "vertices": P.astype(np.float32),
+            "faces": np.asarray(faces, np.int32),
+            "bsdf": {"type": "diffuse", "reflectance": 0.6},
+        },
+        "light": {
+            "type": "rectangle",
+            "to_world": {"translate": [0, 0, 2],
+                         "scale": [0.3, 0.3, 1.0]},
+            "emitter": {"type": "area", "radiance": 10.0},
+        },
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": {"look_at": {"origin": [0, 0, 3],
+                                     "target": [0, 0, 0],
+                                     "up": [0, 1, 0]}},
+            "film": {"type": "transient_hdr_film", "width": 8, "height": 8,
+                     "temporal_bins": 16, "start_opl": 0.0,
+                     "bin_width_opl": 0.8},
+        },
+    }
+    sc = mitr.load_dict(d)
+    assert sc.data.accel is not None
+    s_pipe, t_pipe = render(sc, spp=8, seed=3, regenerate=True)
+    sc.data = sc.data._replace(accel=None)  # plain Scene object attribute
+    s_ref, t_ref = render(sc, spp=8, seed=3, regenerate=True)
+    np.testing.assert_allclose(np.asarray(s_pipe), np.asarray(s_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_pipe), np.asarray(t_ref),
+                               rtol=2e-5, atol=1e-6)
