@@ -86,6 +86,30 @@ def sample_primal_regen(
     width, height = film_cfg.width, film_cfg.height
     seed_u = jnp.uint32(seed)
     splat_scale = jnp.float32(1.0 / spp_total)
+
+    # Mono squeeze: C == 1 spectral state is carried and computed as (N,)
+    # instead of (N, 1) — TPU layouts put the trailing dim on the 128-lane
+    # axis, so (N, 1) elementwise chains waste 127 of 128 lanes and run at
+    # ~1/4 of (N,) throughput (scripts/r5_lane_layout.py: 3.8 vs 16.9
+    # G elem/s).  ``sqz`` converts (N, C) outputs of the shared BSDF /
+    # emitter kernels to the internal spectral shape, ``ch`` lifts per-lane
+    # scalars/masks for spectral broadcasting, and ``pack`` restores the
+    # (N, CS) film/steady channel layout at the splat boundary.
+    mono = C == 1
+
+    def sqz(x):
+        return x[:, 0] if mono else x
+
+    def ch(x):
+        return x if mono else x[:, None]
+
+    def pack(parts):
+        if len(parts) == 1:
+            return parts[0][:, None] if mono else parts[0]
+        return (jnp.stack(parts, -1) if mono
+                else jnp.concatenate(parts, axis=-1))
+
+    spec_shape = (n,) if mono else (n, C)
     if polarized:
         from ..bsdf.polarized import sensor_alignment_angles
         from ..core.mueller import msoa_identity
@@ -93,13 +117,13 @@ def sample_primal_regen(
         cam_vert = cam.R[:, 1]
 
         # Pending-rotator Mueller carry (core/mueller.py "Structured
-        # right-applies"): stored beta (tuple of 16 (N, C) arrays) with
+        # right-applies"): stored beta (tuple of 16 spectral arrays) with
         # TRUE beta = stored @ R(pend).  The sensor-alignment rotator
         # (reference utils.py:9-21) IS a rotator about the camera segment,
         # so fresh paths start from the constant identity with the
         # alignment angles riding in the pending slot.
         def beta_init(d):
-            return msoa_identity(jnp.zeros((n, C), jnp.float32))
+            return msoa_identity(jnp.zeros(spec_shape, jnp.float32))
 
         def pend_init(d):
             return sensor_alignment_angles(d, cam_vert)
@@ -141,7 +165,8 @@ def sample_primal_regen(
 
     state = dict(
         o=o0, d=d0,
-        beta=beta_init(d0) if polarized else jnp.ones((n, C), jnp.float32),
+        beta=beta_init(d0) if polarized else jnp.ones(spec_shape,
+                                                      jnp.float32),
         **(dict(pend=pend_init(d0)) if polarized else {}),
         L=jnp.zeros((n, CS), jnp.float32),
         eta=jnp.ones((n,), jnp.float32),
@@ -207,20 +232,20 @@ def sample_primal_regen(
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
         mis = mis_weight(st["prev_pdf"], pdf_em_hit)
         le_mask = hit & ~jnp.bool_(icfg.discard_direct_light)
-        Le_raw = emitter_eval_hit(sd, si, st["d"])
+        Le_raw = sqz(emitter_eval_hit(sd, si, st["d"]))
         if polarized:
             # emission is unpolarized: Stokes = E * mis * column 0 of the
             # Mueller throughput (SoA entries 4i)
-            w_le = mis[:, None] * Le_raw
+            w_le = ch(mis) * Le_raw
             Le = jnp.where(
                 le_mask[:, None],
-                jnp.concatenate(
-                    [st["beta"][4 * i] * w_le for i in range(4)], axis=-1),
+                pack([st["beta"][4 * i] * w_le for i in range(4)]),
                 0.0,
             )
         else:
             Le = jnp.where(
-                le_mask[:, None], st["beta"] * mis[:, None] * Le_raw, 0.0)
+                le_mask[:, None], pack([st["beta"] * ch(mis) * Le_raw]),
+                0.0)
 
         cont = active & (depth + 1 < icfg.max_depth) & si.valid
         active_em = cont & bsdf_api.is_smooth(lb)
@@ -229,6 +254,8 @@ def sample_primal_regen(
         active_em = active_em & (ds.pdf > 0.0)
         wo_em = si.frame.to_local(ds.d)
         f_em, pdf_bsdf_em = bsdf_api.eval_pdf(lb, si.wi, wo_em, active_em)
+        f_em = sqz(f_em)
+        em_weight = sqz(em_weight)
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_em))
         if polarized:
             from ..bsdf.polarized import polarization_factor_col0_soa
@@ -242,19 +269,19 @@ def sample_primal_regen(
             # factor survives; the pending rotator applies to the column
             # (true beta = stored @ R(pend)) before one 4-vector matvec
             P0 = polarization_factor_col0_soa(lb, -ds.d, -st["d"], cos_i_em)
-            P0 = stokes_rotate(P0, st["pend"][0][:, None],
-                               st["pend"][1][:, None])
+            P0 = tuple(sqz(p) for p in P0)
+            P0 = stokes_rotate(P0, ch(st["pend"][0]), ch(st["pend"][1]))
             col = msoa_matvec(st["beta"], tuple(p * f_em for p in P0))
-            w_em = mis_em[:, None] * em_weight
+            w_em = ch(mis_em) * em_weight
             Lr_dir = jnp.where(
                 active_em[:, None],
-                jnp.concatenate([c * w_em for c in col], axis=-1),
+                pack([c * w_em for c in col]),
                 0.0,
             )
         else:
             Lr_dir = jnp.where(
                 active_em[:, None],
-                st["beta"] * mis_em[:, None] * f_em * em_weight, 0.0)
+                pack([st["beta"] * ch(mis_em) * f_em * em_weight]), 0.0)
 
         if pipeline:
             # this bounce's NEE becomes the pending pair; the splat pairs
@@ -306,21 +333,21 @@ def sample_primal_regen(
                 lb, -d_world, -st["d"], cos_i_s, transmitted=transmitted)
             pc2, ps2 = st["pend"]
             cc, cs = rot2_compose(pc2, ps2, co2, so2)
-            f = bs.weight
+            f = sqz(bs.weight)
             spec_beta = msoa_apply_fresnel_cols(
-                msoa_apply_rotator_cols(st["beta"], cc[:, None], cs[:, None]),
-                A * f, B * f, Cc * f, S * f)
+                msoa_apply_rotator_cols(st["beta"], ch(cc), ch(cs)),
+                sqz(A) * f, sqz(B) * f, sqz(Cc) * f, sqz(S) * f)
             # non-specular: column 0 survives for every lobe (x f); columns
             # 1-3 survive only for null (identity P — polarization passes)
             is_null = lb.kind == BSDF_NULL
-            nullf = is_null[:, None].astype(jnp.float32)
-            sp = is_spec[:, None]
+            nullf = ch(is_null.astype(jnp.float32))
+            sp = ch(is_spec)
             beta = tuple(
                 jnp.where(sp, spec_beta[4 * i + j],
                           st["beta"][4 * i + j] * f
                           * (1.0 if j == 0 else nullf))
                 for i in range(4) for j in range(4))
-            beta = msoa_where(cont[:, None], beta, st["beta"])
+            beta = msoa_where(ch(cont), beta, st["beta"])
             # pending: specular lanes defer R_in; null keeps the current
             # rotator; depolarizing lanes reset (depolarizer @ R = depol)
             keep = is_null & cont
@@ -331,11 +358,11 @@ def sample_primal_regen(
                 jnp.where(specp, si2, jnp.where(keep, ps2,
                           jnp.where(cont, 0.0, ps2))),
             )
-            beta_max = jnp.max(beta[0], axis=-1)
+            beta_max = beta[0] if mono else jnp.max(beta[0], axis=-1)
         else:
-            beta = jnp.where(cont[:, None], st["beta"] * bs.weight,
+            beta = jnp.where(ch(cont), st["beta"] * sqz(bs.weight),
                              st["beta"])
-            beta_max = jnp.max(beta, axis=-1)
+            beta_max = beta if mono else jnp.max(beta, axis=-1)
         eta = jnp.where(cont, st["eta"] * bs.eta, st["eta"])
 
         cont = cont & (beta_max != 0.0)
@@ -348,11 +375,10 @@ def sample_primal_regen(
         if polarized:
             from ..core.mueller import msoa_where as _mw
 
-            beta = _mw(rr_mask[:, None],
-                       tuple(e * rr_scale[:, None] for e in beta), beta)
+            beta = _mw(ch(rr_mask),
+                       tuple(e * ch(rr_scale) for e in beta), beta)
         else:
-            beta = jnp.where(rr_mask[:, None], beta * rr_scale[:, None],
-                             beta)
+            beta = jnp.where(ch(rr_mask), beta * ch(rr_scale), beta)
         cont = cont & (~rr_active | (rnd1(5) < rr_prob))
 
         # ---- regeneration: finished paths bank their L and start the
@@ -375,12 +401,12 @@ def sample_primal_regen(
             # sensor-alignment rotator in the pending slot
             from ..core.mueller import msoa_where as _mw
 
-            beta_next = _mw(regen[:, None], beta_init(d_new), beta)
+            beta_next = _mw(ch(regen), beta_init(d_new), beta)
             npc2, nps2 = pend_init(d_new)
             pend_next = (jnp.where(regen, npc2, pend[0]),
                          jnp.where(regen, nps2, pend[1]))
         else:
-            beta_next = jnp.where(regen[:, None], 1.0, beta)
+            beta_next = jnp.where(ch(regen), 1.0, beta)
         out = dict(
             **(dict(pend=pend_next) if polarized else {}),
             o=jnp.where(regen[:, None], o_new, new_ray.o),
