@@ -259,6 +259,13 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
     has_rough = ks.has(BSDF_ROUGH_CONDUCTOR)
     has_plast = ks.has(BSDF_ROUGH_PLASTIC)
 
+    # spectral lift: squeezed mono tables ((N,) — integrators/path_regen
+    # "Mono squeeze") broadcast per-lane scalars with no trailing axis
+    spec1 = lb.reflectance.ndim == 1
+
+    def sl(x):
+        return x if spec1 else x[..., None]
+
     sgn = _maybe_flip(lb, wi)
     wi_l = wi * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
     wo_l = wo * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
@@ -272,7 +279,7 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
     if has_diff or has_plast:
         pdf_diff = square_to_cosine_hemisphere_pdf(wo_l)
     if has_diff:
-        f_diff = lb.reflectance * (co / jnp.pi)[..., None]
+        f_diff = lb.reflectance * sl(co / jnp.pi)
         lobes.append((lb.kind == BSDF_DIFFUSE, f_diff, pdf_diff))
 
     if has_rough or has_plast:
@@ -287,7 +294,7 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
         F = fresnel_conductor(jnp.sum(wi_l * m, axis=-1), lb.eta_re,
                               lb.eta_im)
         f_rough = (lb.reflectance * F
-                   * safe_div(d_ndf * g, 4.0 * ci)[..., None])
+                   * sl(safe_div(d_ndf * g, 4.0 * ci)))
         lobes.append((lb.kind == BSDF_ROUGH_CONDUCTOR, f_rough, pdf_rough))
 
     if has_plast:
@@ -301,18 +308,18 @@ def eval_pdf(lb: LaneBSDF, wi: jnp.ndarray, wo: jnp.ndarray,
         fdr = _fdr(lb.eta_ratio)
         f_pl_diff = (
             lb.reflectance
-            * ((1.0 - Fi) * (1.0 - Fo) * inv_eta2
-               / (jnp.pi * (1.0 - fdr)) * co)[..., None]
+            * sl((1.0 - Fi) * (1.0 - Fo) * inv_eta2
+                 / (jnp.pi * (1.0 - fdr)) * co)
         )
-        f_plastic = f_pl_diff + f_pl_spec[..., None]
+        f_plastic = f_pl_diff + sl(f_pl_spec)
         pdf_plastic = Fi * pdf_rough + (1.0 - Fi) * pdf_diff
         lobes.append((lb.kind == BSDF_ROUGH_PLASTIC, f_plastic, pdf_plastic))
 
-    n, C = lb.reflectance.shape
-    f = jnp.zeros((n, C), jnp.float32)
+    n = lb.reflectance.shape[0]
+    f = jnp.zeros_like(lb.reflectance)
     pdf = jnp.zeros((n,), jnp.float32)
     for mask, f_k, pdf_k in lobes:
-        f = jnp.where((ok & mask)[..., None], f_k, f)
+        f = jnp.where(sl(ok & mask), f_k, f)
         pdf = jnp.where(ok & mask, pdf_k, pdf)
     return f, pdf
 
@@ -334,7 +341,14 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     has_plast = ks.has(BSDF_ROUGH_PLASTIC)
 
     n = wi.shape[0]
-    C = lb.reflectance.shape[-1]
+    # spectral lift: squeezed mono tables ((N,) — integrators/path_regen
+    # "Mono squeeze") broadcast per-lane scalars with no trailing axis
+    spec1 = lb.reflectance.ndim == 1
+
+    def sl(x):
+        return x if spec1 else x[..., None]
+
+    spec_ones = jnp.ones_like(lb.reflectance)
     sgn = _maybe_flip(lb, wi)
     wi_l = wi * jnp.stack([jnp.ones_like(sgn)] * 2 + [sgn], axis=-1)
     ci = wi_l[..., 2]
@@ -348,8 +362,8 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         wo_diff = square_to_cosine_hemisphere(u2)
         pdf_diff = square_to_cosine_hemisphere_pdf(wo_diff)
     if has_diff:
-        w_diff = jnp.broadcast_to(lb.reflectance, (n, C))
-        lobes.append((lb.kind == BSDF_DIFFUSE, wo_diff, w_diff, pdf_diff))
+        lobes.append((lb.kind == BSDF_DIFFUSE, wo_diff, lb.reflectance,
+                      pdf_diff))
 
     if has_mirr:
         # ---- smooth conductor: mirror -------------------------------------
@@ -384,9 +398,9 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
                                 lb.eta_im)
         # weight = f*cos/pdf = F * G2/G1(wi)
         g2 = g1_i * _ggx_g1(wo_rough, lb.alpha, lb.alpha_v)
-        w_rough = lb.reflectance * F_r * safe_div(g2, g1_i)[..., None]
+        w_rough = lb.reflectance * F_r * sl(safe_div(g2, g1_i))
         rough_ok = (co_r > 0.0) & (pdf_rough > 0.0)
-        w_rough = jnp.where(rough_ok[..., None], w_rough, 0.0)
+        w_rough = jnp.where(sl(rough_ok), w_rough, 0.0)
         lobes.append((lb.kind == BSDF_ROUGH_CONDUCTOR, wo_rough, w_rough,
                       pdf_rough))
 
@@ -404,18 +418,15 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         wo_diel = jnp.where(refl[..., None], wo_refl, wo_refr)
         # transmission carries radiance scale 1/eta_it^2 (solid-angle
         # compression)
-        w_diel = jnp.where(
-            refl[..., None],
-            jnp.ones((n, C)),
-            (eta_ti * eta_ti)[..., None] * jnp.ones((n, C)),
-        )
+        w_diel = jnp.where(sl(refl), spec_ones,
+                           sl(eta_ti * eta_ti) * spec_ones)
         eta_diel = jnp.where(refl, 1.0, eta_it)
         pdf_diel = jnp.where(refl, Fd, 1.0 - Fd)
         lobes.append((is_diel, wo_diel, w_diel, pdf_diel))
 
     if has_null:
         # ---- null: pass-through --------------------------------------------
-        lobes.append((lb.kind == BSDF_NULL, -wi, jnp.ones((n, C)),
+        lobes.append((lb.kind == BSDF_NULL, -wi, spec_ones,
                       jnp.ones(n)))
 
     if has_plast:
@@ -435,9 +446,9 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         fdr = _fdr(lb.eta_ratio)
         f_plast = (
             lb.reflectance
-            * ((1.0 - Fi_pl) * (1.0 - Fo_pl) * inv_eta2
-               / (jnp.pi * (1.0 - fdr)) * co_pl)[..., None]
-            + (F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))[..., None]
+            * sl((1.0 - Fi_pl) * (1.0 - Fo_pl) * inv_eta2
+                 / (jnp.pi * (1.0 - fdr)) * co_pl)
+            + sl(F_sp_pl * safe_div(d_pl * g_pl, 4.0 * ci))
         )
         pdf_vndf_pl = safe_div(
             _ggx_g1(wi_l, lb.alpha, lb.alpha_v) * d_pl, 4.0 * ci)
@@ -446,8 +457,8 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
             + (1.0 - Fi_pl) * square_to_cosine_hemisphere_pdf(wo_plast))
         plast_ok = (co_pl > 0.0) & (pdf_plast > 1e-9)
         w_plast = jnp.where(
-            plast_ok[..., None],
-            f_plast / jnp.maximum(pdf_plast, 1e-9)[..., None], 0.0)
+            sl(plast_ok),
+            f_plast / sl(jnp.maximum(pdf_plast, 1e-9)), 0.0)
         lobes.append((lb.kind == BSDF_ROUGH_PLASTIC, wo_plast, w_plast,
                       pdf_plast))
 
@@ -461,11 +472,11 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     lane_ok = active & (~up_mask | up)
 
     wo_l = jnp.zeros((n, 3))
-    weight = jnp.zeros((n, C))
+    weight = jnp.zeros_like(lb.reflectance)
     pdf = jnp.zeros(n)
     for mask, wo_k, w_k, pdf_k in lobes:
-        wo_l = jnp.where(mask[..., None], wo_k, wo_l)
-        weight = jnp.where(mask[..., None], w_k, weight)
+        wo_l = jnp.where(mask[:, None], wo_k, wo_l)
+        weight = jnp.where(sl(mask), w_k, weight)
         pdf = jnp.where(mask, pdf_k, pdf)
 
     eta = (jnp.where(is_diel, eta_diel, 1.0) if has_diel
@@ -477,8 +488,9 @@ def sample(lb: LaneBSDF, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         if present:
             delta = delta | (lb.kind == code)
 
-    ok = lane_ok & (pdf > 0.0) & jnp.any(weight != 0.0, axis=-1)
-    weight = jnp.where(ok[..., None], weight, 0.0)
+    nz = (weight != 0.0) if spec1 else jnp.any(weight != 0.0, axis=-1)
+    ok = lane_ok & (pdf > 0.0) & nz
+    weight = jnp.where(sl(ok), weight, 0.0)
 
     # un-flip wo for two-sided lanes (dielectric/null already in true frame)
     if ks.any_two_sided:

@@ -13,9 +13,13 @@ def fresnel_conductor(cos_theta_i: jnp.ndarray, eta_re: jnp.ndarray,
                       eta_im: jnp.ndarray) -> jnp.ndarray:
     """Unpolarized reflectance for a conductor with complex IOR.
 
-    ``cos_theta_i``: (N,) (>=0); eta_*: broadcastable (N, C).  Returns (N, C).
+    ``cos_theta_i``: (N,) (>=0); eta_*: (N, C), or (N,) for squeezed mono
+    tables (integrators carry C == 1 state as (N,) — see
+    integrators/path_regen.py "Mono squeeze").  Returns eta's shape.
     """
-    ci = jnp.clip(cos_theta_i, 0.0, 1.0)[..., None]
+    ci = jnp.clip(cos_theta_i, 0.0, 1.0)
+    if eta_re.ndim > ci.ndim:
+        ci = ci[..., None]
     ci2 = ci * ci
     si2 = 1.0 - ci2
     eta2 = eta_re * eta_re - eta_im * eta_im

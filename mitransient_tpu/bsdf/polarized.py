@@ -264,25 +264,29 @@ def polarization_factor_col0_soa(
     p_out: jnp.ndarray,
     cos_theta_i: jnp.ndarray,
 ) -> tuple:
-    """SoA column 0 of the polarization factor: tuple of 4 (N, C) arrays
-    (entries identical to :func:`polarization_factor_col0`)."""
-    n = p_in.shape[0]
-    C = lb.reflectance.shape[-1]
+    """SoA column 0 of the polarization factor: tuple of 4 spectral arrays
+    ((N, C), or (N,) for squeezed mono tables — integrators/path_regen
+    "Mono squeeze"; entries identical to
+    :func:`polarization_factor_col0`)."""
     ks = lb.ks
     has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
 
-    zz = jnp.zeros((n, C), jnp.float32)
-    oo = jnp.ones((n, C), jnp.float32)
+    spec1 = lb.reflectance.ndim == 1
+
+    def sl(x):
+        return x if spec1 else x[:, None]
+
+    zz = jnp.zeros_like(lb.reflectance)
+    oo = jnp.ones_like(lb.reflectance)
     P0 = [oo, zz, zz, zz]  # depolarizer / null col0 = e0
     if has_cond:
         ci = jnp.clip(jnp.abs(cos_theta_i), 1e-4, 1.0)
         _ci2, _si2, co2, so2 = _plane_rotators(p_in, p_out, need_in=False)
-        A, B, _Cc, _S = specular_abcs(ci[:, None] * jnp.ones((1, C)),
-                                      lb.eta_re, lb.eta_im)
+        A, B, _Cc, _S = specular_abcs(sl(ci) * oo, lb.eta_re, lb.eta_im)
         Bn = B / jnp.maximum(A, 1e-12)
-        col = (jnp.ones_like(Bn), co2[:, None] * Bn, -so2[:, None] * Bn, zz)
-        m = ((lb.kind == BSDF_CONDUCTOR)
-             | (lb.kind == BSDF_ROUGH_CONDUCTOR))[:, None]
+        col = (jnp.ones_like(Bn), sl(co2) * Bn, -sl(so2) * Bn, zz)
+        m = sl((lb.kind == BSDF_CONDUCTOR)
+               | (lb.kind == BSDF_ROUGH_CONDUCTOR))
         P0 = [jnp.where(m, e, p) for e, p in zip(col, P0)]
     return tuple(P0)
 
@@ -298,19 +302,24 @@ def specular_params_soa(
     pending-rotator bounce update (core/mueller.py msoa_apply_*), replacing
     :func:`polarization_factor_soa`'s matrix construction:
 
-    Returns (is_spec (N,) bool, A, B, Cc, S (N, C) normalized s/p Fresnel
-    entries, ci2, si2, co2, so2 (N,) rotator angle pairs).  Lanes that are
-    NOT specular (diffuse / rough-plastic / null / transmitted dielectric)
-    get identity parameters; the caller handles the depolarizer (diffuse)
-    and identity (null) classes from lb.kind directly."""
+    Returns (is_spec (N,) bool, A, B, Cc, S spectral ((N, C), or (N,) for
+    squeezed mono tables) normalized s/p Fresnel entries, ci2, si2, co2,
+    so2 (N,) rotator angle pairs).  Lanes that are NOT specular (diffuse /
+    rough-plastic / null / transmitted dielectric) get identity
+    parameters; the caller handles the depolarizer (diffuse) and identity
+    (null) classes from lb.kind directly."""
     n = p_in.shape[0]
-    C = lb.reflectance.shape[-1]
     ks = lb.ks
     has_cond = ks.has(BSDF_CONDUCTOR) or ks.has(BSDF_ROUGH_CONDUCTOR)
     has_diel = ks.has(BSDF_DIELECTRIC)
 
-    oo = jnp.ones((n, C), jnp.float32)
-    zz = jnp.zeros((n, C), jnp.float32)
+    spec1 = lb.reflectance.ndim == 1
+
+    def sl(x):
+        return x if spec1 else x[:, None]
+
+    oo = jnp.ones_like(lb.reflectance)
+    zz = jnp.zeros_like(lb.reflectance)
     on = jnp.ones((n,), jnp.float32)
     zn = jnp.zeros((n,), jnp.float32)
     if not (has_cond or has_diel):
@@ -324,10 +333,9 @@ def specular_params_soa(
     if has_cond:
         m = ((lb.kind == BSDF_CONDUCTOR)
              | (lb.kind == BSDF_ROUGH_CONDUCTOR))
-        Ac, Bc, Cx, Sx = specular_abcs(ci[:, None] * jnp.ones((1, C)),
-                                       lb.eta_re, lb.eta_im)
+        Ac, Bc, Cx, Sx = specular_abcs(sl(ci) * oo, lb.eta_re, lb.eta_im)
         inv_a = 1.0 / jnp.maximum(Ac, 1e-12)
-        mm = m[:, None]
+        mm = sl(m)
         A = jnp.where(mm, jnp.ones_like(Ac), A)
         B = jnp.where(mm, Bc * inv_a, B)
         Cc = jnp.where(mm, Cx * inv_a, Cc)
@@ -337,11 +345,11 @@ def specular_params_soa(
         m = lb.kind == BSDF_DIELECTRIC
         if transmitted is not None:
             m = m & ~transmitted  # transmission ~ depolarizer (see module doc)
-        eta_d = lb.eta_ratio[:, None] * jnp.ones((1, C))
-        Ad, Bd, Cx, Sx = specular_abcs(ci[:, None] * jnp.ones((1, C)),
+        eta_d = sl(lb.eta_ratio) * oo
+        Ad, Bd, Cx, Sx = specular_abcs(sl(ci) * oo,
                                        eta_d, jnp.zeros_like(eta_d))
         inv_a = 1.0 / jnp.maximum(Ad, 1e-12)
-        mm = m[:, None]
+        mm = sl(m)
         A = jnp.where(mm, jnp.ones_like(Ad), A)
         B = jnp.where(mm, Bd * inv_a, B)
         Cc = jnp.where(mm, Cx * inv_a, Cc)

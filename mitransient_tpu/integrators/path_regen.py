@@ -98,7 +98,7 @@ def sample_primal_regen(
     mono = C == 1
 
     def sqz(x):
-        return x[:, 0] if mono else x
+        return x[:, 0] if (mono and x.ndim == 2) else x
 
     def ch(x):
         return x if mono else x[:, None]
@@ -227,6 +227,12 @@ def sample_primal_regen(
         distance = st["distance"] + jnp.where(hit, si.t, 0.0) * st["eta"]
 
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
+        if mono:
+            # squeeze the spectral table columns too: the BSDF eval/sample
+            # and polarized-factor kernels are shape-polymorphic over
+            # (N, C) vs (N,) tables (bsdf/api.py "spectral lift")
+            lb = lb._replace(reflectance=sqz(lb.reflectance),
+                             eta_re=sqz(lb.eta_re), eta_im=sqz(lb.eta_im))
 
         pdf_em_hit = pdf_emitter_direction(sd, st["prev_p"], si)
         pdf_em_hit = jnp.where(st["prev_delta"], 0.0, pdf_em_hit)
