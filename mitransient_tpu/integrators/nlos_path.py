@@ -62,6 +62,33 @@ from ..scene.shapes import Rectangle
 NLOS_DIMS_PER_BOUNCE = 10
 
 
+def _spec_tools(lb):
+    """Mono-squeeze adapters keyed on the gathered table rank (see
+    integrators/path_regen.py "Mono squeeze": C == 1 spectral state runs
+    as (N,) so elementwise chains keep full VPU lane occupancy).
+
+    Returns (spec1, sl, pk): whether tables are squeezed, the per-lane
+    scalar lift, and the film-layout pack."""
+    spec1 = lb.reflectance.ndim == 1
+
+    def sl(x):
+        return x if spec1 else x[:, None]
+
+    def pk(parts):
+        if len(parts) == 1:
+            return parts[0][:, None] if spec1 else parts[0]
+        return (jnp.stack(parts, -1) if spec1
+                else jnp.concatenate(parts, axis=-1))
+
+    return spec1, sl, pk
+
+
+def _squeeze_lb(lb):
+    """Squeeze a gathered BSDF table's spectral columns to (N,)."""
+    return lb._replace(reflectance=lb.reflectance[:, 0],
+                       eta_re=lb.eta_re[:, 0], eta_im=lb.eta_im[:, 0])
+
+
 def _sctx_film(sctx, v, polarized: bool):
     """Spectral splat conversion: per-Stokes-row sRGB when polarized."""
     return sctx.to_film_stokes(v) if polarized else sctx.to_film(v)
@@ -381,6 +408,7 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     occ1 = ray_test(sd, si.p + d1 * 1e-4, d1, dist1 - 2e-4, active_e)
     active_e = active_e & ~occ1 & wall_clear
     wo1 = si.frame.to_local(d1)
+    spec1, sl, pk = _spec_tools(lb)
     f1, _ = bsdf_api.eval_pdf(lb, si.wi, wo1, active_e)
     if polarized:
         from ..bsdf.polarized import specular_params_soa
@@ -393,14 +421,15 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         # (applied to the NEE column below — no matrix build)
         prm1 = specular_params_soa(lb, -d1, -wi_world, cos_i1)
 
-    active_e = active_e & (jnp.max(f1, axis=-1) > 1e-7)
+    f1max = f1 if spec1 else jnp.max(f1, axis=-1)
+    active_e = active_e & (f1max > 1e-7)
     cos_wl = dot(wall_ng, -d1)
     active_e = active_e & (cos_wl > 0.0)
     # area -> solid angle pdf conversion (:546-551); keep all values finite
     # (an inf in a masked branch poisons reverse-mode AD through the mask)
     pdf_ls = dist1 * dist1 / jnp.maximum(cos_wl, 1e-9)
-    f1 = jnp.where(active_e[:, None],
-                   f1 / jnp.maximum(pdf_ls, 1e-9)[:, None], 0.0)
+    f1 = jnp.where(sl(active_e),
+                   f1 / sl(jnp.maximum(pdf_ls, 1e-9)), 0.0)
 
     # wall BSDF rows: per-lane gather, or the constant row broadcast
     if per_lane:
@@ -413,6 +442,8 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
             lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), lb2)
     if sctx is not None:
         lb2 = sctx.uplift_lb(lb2)
+    if spec1:
+        lb2 = _squeeze_lb(lb2)
     if not polarized:
         beta2 = beta * f1
     dist_after1 = distance + jnp.where(active_e, dist1, 0.0) * eta
@@ -437,6 +468,8 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
               else jnp.broadcast_to(ctx.wall_em, (n,) + ctx.wall_em.shape))
     if sctx is not None:
         em_val = sctx.emission(em_val)
+    if spec1:
+        em_val = em_val[:, 0]
 
     if polarized:
         from ..bsdf.polarized import polarization_factor_col0_soa
@@ -458,10 +491,9 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         v = tuple(e * f2 for e in P2c)
         is_spec1, A1, B1, C1, S1, ci21, si21, co21, so21 = prm1
         v_spec = stokes_apply_sandwich(
-            v, A1, B1, C1, S1, ci21[:, None], si21[:, None],
-            co21[:, None], so21[:, None])
-        sp1 = is_spec1[:, None]
-        nullf1 = (lb.kind == _BN)[:, None].astype(jnp.float32)
+            v, A1, B1, C1, S1, sl(ci21), sl(si21), sl(co21), sl(so21))
+        sp1 = sl(is_spec1)
+        nullf1 = sl((lb.kind == _BN).astype(jnp.float32))
         t_col = tuple(
             jnp.where(sp1, v_spec[j], v[j] * (1.0 if j == 0 else nullf1))
             * f1
@@ -469,11 +501,11 @@ def _laser_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         col = msoa_matvec(beta, t_col)
         Lr = jnp.where(
             active_e[:, None],
-            jnp.concatenate([c * em_val for c in col], axis=-1),
+            pk([c * em_val for c in col]),
             0.0,
         )
     else:
-        Lr = jnp.where(active_e[:, None], beta2 * f2 * em_val, 0.0)
+        Lr = jnp.where(active_e[:, None], pk([beta2 * f2 * em_val]), 0.0)
     splat_dist = dist_after1 + (wall_dist2 * eta if account_last else 0.0)
     return Lr, splat_dist
 
@@ -711,6 +743,9 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
     if sctx is not None:
         em_val = sctx.emission(em_val)
     wo2 = si.frame.to_local(d2)
+    spec1, sl, pk = _spec_tools(lb)
+    if spec1:
+        em_val = em_val[:, 0]
     f2, _ = bsdf_api.eval_pdf(lb, si.wi, wo2, active_e)
 
     # depth gates (:489-492)
@@ -732,11 +767,11 @@ def _plain_nee(sd, ctx, icfg, si, lb, beta, distance, eta, it_depth, active_e,
         col = msoa_matvec(beta, tuple(e * f2 for e in P2c))
         Lr = jnp.where(
             active_e[:, None],
-            jnp.concatenate([c * em_val for c in col], axis=-1),
+            pk([c * em_val for c in col]),
             0.0,
         )
     else:
-        Lr = jnp.where(active_e[:, None], beta * f2 * em_val, 0.0)
+        Lr = jnp.where(active_e[:, None], pk([beta * f2 * em_val]), 0.0)
     splat_dist = distance + (dist2 * eta if account_last else 0.0)
     return Lr, splat_dist
 
@@ -793,16 +828,21 @@ def sample_nlos_primal(
     hg_rr = icfg.nlos_hidden_geometry_sampling_do_rroulette
     laser_on = icfg.nlos_laser_sampling
 
+    # Mono squeeze (see path_regen.py): C == 1 spectral state rides as
+    # (N,); the NEE helpers and BSDF kernels are shape-polymorphic
+    mono = C == 1
     if polarized:
         from ..bsdf.polarized import sensor_alignment_soa
 
         vert = sensor_up if sensor_up is not None else jnp.array(
             [0.0, 1.0, 0.0])
-        # SoA Mueller throughput (tuple of 16 (N, C) arrays)
+        # SoA Mueller throughput (tuple of 16 spectral arrays)
         beta0 = sensor_alignment_soa(ray.d, vert, C)
+        if mono:
+            beta0 = tuple(e[:, 0] for e in beta0)
         L0 = jnp.zeros((n, 4 * C), jnp.float32)
     else:
-        beta0 = jnp.ones((n, C), jnp.float32)
+        beta0 = jnp.ones((n,) if mono else (n, C), jnp.float32)
         L0 = jnp.zeros((n, C), jnp.float32)
 
     state = dict(
@@ -843,6 +883,9 @@ def sample_nlos_primal(
         lb = bsdf_api.gather_lane_bsdf(sd.bsdf, si.bsdf_id, si.uv)
         if sctx is not None:
             lb = sctx.uplift_lb(lb)
+        if mono:
+            lb = _squeeze_lb(lb)
+        _, sl, pk = _spec_tools(lb)
 
         # ---------------- direct emission -------------------------------
         if skip_le:
@@ -854,18 +897,18 @@ def sample_nlos_primal(
             Le_raw = emitter_eval_hit(sd, si, st["d"])
             if sctx is not None:
                 Le_raw = sctx.emission(Le_raw)
+            if mono:
+                Le_raw = Le_raw[:, 0]
             if polarized:
-                w_le = mis[:, None] * Le_raw
+                w_le = sl(mis) * Le_raw
                 Le = jnp.where(
                     hit[:, None],
-                    jnp.concatenate(
-                        [st["beta"][4 * i] * w_le for i in range(4)],
-                        axis=-1),
+                    pk([st["beta"][4 * i] * w_le for i in range(4)]),
                     0.0,
                 )
             else:
                 Le = jnp.where(hit[:, None],
-                               st["beta"] * mis[:, None] * Le_raw, 0.0)
+                               pk([st["beta"] * sl(mis) * Le_raw]), 0.0)
 
         active_next = active & (it + 1 < icfg.max_depth) & si.valid
         active_em = active_next & bsdf_api.is_smooth(lb)
@@ -933,14 +976,14 @@ def sample_nlos_primal(
         # masked guarded reciprocal: no huge intermediates on dead lanes
         # (they poison reverse-mode AD through the selects)
         rcp_hg = jnp.where(hg_ok, 1.0 / jnp.maximum(pdf_hg, 1e-9), 0.0)
-        w_hg = f_hg * rcp_hg[:, None]
+        w_hg = f_hg * sl(rcp_hg)
 
         # plain BSDF sample (dims 6-8)
         bs = bsdf_api.sample(lb, si.wi, rnd1(6), rnd2(7),
                              active_next & ~do_hg)
 
         wo = jnp.where(do_hg[:, None], wo_hg, bs.wo)
-        weight = jnp.where(do_hg[:, None], w_hg, bs.weight)
+        weight = jnp.where(sl(do_hg), w_hg, bs.weight)
         pdf_dir = jnp.where(do_hg, pdf_hg, bs.pdf)
         delta = jnp.where(do_hg, False, bs.delta)
         eta_s = jnp.where(do_hg, 1.0, bs.eta)
@@ -964,22 +1007,22 @@ def sample_nlos_primal(
             # the Mueller factor and running a 64-madd product
             is_spec, A, B, Cc, S, ci2, si2, co2, so2 = specular_params_soa(
                 lb, -d_world, -st["d"], cos_i_s)
-            f = weight / pdf_method[:, None]
+            f = weight / sl(pdf_method)
             spec_beta = msoa_apply_sandwich(
                 st["beta"], A * f, B * f, Cc * f, S * f,
-                ci2[:, None], si2[:, None], co2[:, None], so2[:, None])
-            sp = is_spec[:, None]
-            nullf = (lb.kind == _BN)[:, None].astype(jnp.float32)
+                sl(ci2), sl(si2), sl(co2), sl(so2))
+            sp = sl(is_spec)
+            nullf = sl((lb.kind == _BN).astype(jnp.float32))
             beta = tuple(
                 jnp.where(sp, spec_beta[4 * i + j],
                           st["beta"][4 * i + j] * f
                           * (1.0 if j == 0 else nullf))
                 for i in range(4) for j in range(4))
-            beta = msoa_where(active_next[:, None], beta, st["beta"])
+            beta = msoa_where(sl(active_next), beta, st["beta"])
         else:
             beta = jnp.where(
-                active_next[:, None],
-                st["beta"] * weight / pdf_method[:, None],
+                sl(active_next),
+                st["beta"] * weight / sl(pdf_method),
                 st["beta"],
             )
         eta = jnp.where(active_next, st["eta"] * eta_s, st["eta"])
@@ -988,9 +1031,11 @@ def sample_nlos_primal(
         # stop_gradient keeps full-loop AD from differentiating the
         # acceptance probability
         if polarized:
-            beta_max = jax.lax.stop_gradient(jnp.max(beta[0], axis=-1))
+            b0 = beta[0]
         else:
-            beta_max = jax.lax.stop_gradient(jnp.max(beta, axis=-1))
+            b0 = beta
+        beta_max = jax.lax.stop_gradient(
+            b0 if mono else jnp.max(b0, axis=-1))
         active_next = active_next & (beta_max != 0.0)
         rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
         active_next = active_next & (rr_prob > 0.0)
@@ -999,9 +1044,9 @@ def sample_nlos_primal(
                              1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
         rr_scale = jax.lax.stop_gradient(rr_scale)
         if polarized:
-            beta = tuple(e * rr_scale[:, None] for e in beta)
+            beta = tuple(e * sl(rr_scale) for e in beta)
         else:
-            beta = beta * rr_scale[:, None]
+            beta = beta * sl(rr_scale)
         rr_continue = rnd1(9) < rr_prob
         active_next = active_next & (~rr_active | rr_continue)
 
